@@ -1,13 +1,175 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory)
+  * and §7 (build plan). Every operator has a `queries` entry; the
+  * SQL-expressible ones also carry a DuckDB oracle with IDENTICAL
+  * column names and rounding on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf0.001: the TPC-H Q1-shaped aggregate. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 relational core
+    "q1_agg" -> (Relational.q1Agg(_, _)),
+    "q2_filter" -> (Relational.q2Filter(_, _)),
+    "q3_join_agg" -> (Relational.q3JoinAgg(_, _)),
+    "q4_broadcast_join" -> (Relational.q4BroadcastJoin(_, _)),
+    "q5_semi_join" -> (Relational.q5SemiJoin(_, _)),
+    "q6_anti_join" -> (Relational.q6AntiJoin(_, _)),
+    "q7_window" -> (Relational.q7Window(_, _)),
+    "q8_topk" -> (Relational.q8TopK(_, _)),
+    "q9_distinct" -> (Relational.q9Distinct(_, _)),
+    "q10_rollup" -> (Relational.q10Rollup(_, _)),
+    "q11_case_agg" -> (Relational.q11CaseAgg(_, _)),
+    "q12_having" -> (Relational.q12Having(_, _)),
+    "q13_events_window" -> (Relational.q13EventsWindow(_, _)),
+    "q14_union" -> (Relational.q14Union(_, _)),
+    "q15_approx_distinct" -> (Relational.q15ApproxDistinct(_, _)),
+    // §2.3 dedup
+    "dedup_exact" -> (Dedup.dedupExact(_, _)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
+    "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
+    // §2.4 similarity
+    "sim_bruteforce_topk" -> ((s, d) => Similarity.simBruteforceTopK(s, d)),
+    "sim_lsh_ann" -> ((s, d) => Similarity.simLshAnn(s, d)),
+    // §2.5 text analysis
+    "text_stats" -> (TextAnalysis.textStats(_, _)),
+    "text_quality" -> (TextAnalysis.textQuality(_, _)),
+    "text_langid" -> (TextAnalysis.textLangId(_, _)),
+    "text_fingerprint" -> (TextAnalysis.textFingerprint(_, _)),
+    // §2.7 multimodal
+    "mm_meta" -> (Multimodal.mmMeta(_, _)),
+    "mm_decode" -> (Multimodal.mmDecode(_, _)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc,
+        | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(avg(l_discount), 6) AS avg_disc,
+        | count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q2_filter" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS cnt
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 25""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT l_orderkey, o_orderdate,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q4_broadcast_join" ->
+      """SELECT r_name, n_name, count(*) AS cnt, round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q5_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS cnt
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q6_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS cnt
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q7_window" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn,
+        | round(sum(l_quantity) OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM lineitem WHERE l_suppkey <= 10
+        |ORDER BY l_suppkey, rn""".stripMargin,
+    "q8_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q9_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+    "q10_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q11_case_agg" ->
+      """SELECT l_linestatus,
+        | count(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 END) AS high_cnt,
+        | count(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 END) AS low_cnt
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q12_having" ->
+      """SELECT l_suppkey, count(*) AS cnt,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem GROUP BY l_suppkey HAVING count(*) > 500
+        |ORDER BY l_suppkey""".stripMargin,
+    "q13_events_window" ->
+      """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS cnt, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q14_union" ->
+      """SELECT o_orderstatus, count(*) AS cnt FROM (
+        | SELECT o_orderstatus FROM orders WHERE o_totalprice > 200000
+        | UNION ALL
+        | SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+        |) GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "sim_bruteforce_topk" ->
+      """WITH ex AS (
+        |  SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY vec_id),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS vec_id, sum(q.x * e.x) AS dot
+        |  FROM ex q JOIN ex e ON q.i = e.i
+        |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+        |  GROUP BY 1, 2),
+        |cos AS (
+        |  SELECT qid, d.vec_id, d.dot / (nq.nrm * ne.nrm) AS c
+        |  FROM dots d JOIN norms nq ON nq.vec_id = d.qid JOIN norms ne ON ne.vec_id = d.vec_id)
+        |SELECT qid, vec_id, round(c, 4) AS cosine, rn AS rank FROM (
+        |  SELECT qid, vec_id, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn FROM cos)
+        |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id,
+        | length(text) AS chars,
+        | len(regexp_extract_all(text, '\S+')) AS words,
+        | len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        | round(len(regexp_extract_all(text, '[A-Za-z]')) / greatest(length(text), 1), 4) AS alpha_ratio,
+        | round(len(regexp_extract_all(text, '[.,;:!?]')) / greatest(length(text), 1), 4) AS punct_ratio,
+        | round(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b'))
+        |   / greatest(len(regexp_extract_all(text, '\S+')), 1), 4) AS stop_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_meta" ->
+      """SELECT doc_id, strlen(text) AS size_bytes, substr(text, 1, 16) AS head
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
 }

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loader for the driver-generated TPC-H-ish test data.
+  *
+  * At cluster scale the same call reads a multi-file parquet directory;
+  * Catalyst handles split planning, predicate pushdown and column
+  * pruning identically, so nothing here is local-mode specific.
+  */
+object Tables {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, dir: String): DataFrame = apply(s, dir, "lineitem")
+  def orders(s: SparkSession, dir: String): DataFrame = apply(s, dir, "orders")
+  def customer(s: SparkSession, dir: String): DataFrame = apply(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = apply(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame = apply(s, dir, "part")
+  def nation(s: SparkSession, dir: String): DataFrame = apply(s, dir, "nation")
+  def region(s: SparkSession, dir: String): DataFrame = apply(s, dir, "region")
+  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark
+    * only reads as a long via `spark.sql.legacy.parquet.nanosAsLong`
+    * (set in Verify/Bench sessions). Normalize back to a timestamp so
+    * downstream operators are type-agnostic about the source session. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val df = apply(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            (org.apache.spark.sql.functions.col("ts") / 1000L)
+              .cast(org.apache.spark.sql.types.LongType)))
+      case _ => df
+    }
+  }
+  def documents(s: SparkSession, dir: String): DataFrame = apply(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = apply(s, dir, "embeddings")
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing (SURVEY.md §2.7): opaque `binary`
+  * payloads + typed metadata, with a batched per-partition
+  * "decode → feature-extract" stage.
+  *
+  * The container has no image/audio codecs, so the decode itself is a
+  * clearly-marked DETERMINISTIC STUB (byte-histogram features); every
+  * Spark-side piece — binary schema, metadata struct, batch shape,
+  * partition-parallel mapPartitions, fixed-width output vector — is
+  * real and is exactly what a libjpeg/ffmpeg-backed decoder would plug
+  * into. At 100 TB this stage is map-only: no shuffle, payload bytes
+  * never leave their partition.
+  */
+object Multimodal {
+
+  val FeatureDim = 16
+
+  /** Synthesizes a binary payload column from document text (the test
+    * corpus has no real media; payload bytes are deterministic), plus
+    * the typed metadata a real media table carries. */
+  def withPayload(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      struct(
+        length(encode(col("text"), "UTF-8")).cast("long").as("size_bytes"),
+        lit("application/octet-stream").as("mime"),
+        xxhash64(col("text")).as("content_hash")).as("meta"))
+
+  /** STUB decoder: a real implementation would hand `bytes` to an
+    * image/audio codec here. The stand-in computes a deterministic
+    * 16-bin byte histogram normalized to [0,1] — same shape, same
+    * batch semantics, zero external deps. */
+  private[operators] def stubDecode(bytes: Array[Byte]): Array[Double] = {
+    val hist = new Array[Double](FeatureDim)
+    if (bytes != null && bytes.nonEmpty) {
+      var i = 0
+      while (i < bytes.length) { hist((bytes(i) & 0xff) % FeatureDim) += 1.0; i += 1 }
+      var j = 0
+      while (j < FeatureDim) { hist(j) /= bytes.length; j += 1 }
+    }
+    hist
+  }
+
+  private val outSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("size_bytes", LongType),
+    StructField("format", StringType),
+    StructField("features", ArrayType(DoubleType))))
+
+  /** Decode + feature-extract over partition-local batches. Magic-byte
+    * sniffing happens before decode (a real pipeline routes JPEG/PNG/
+    * WAV to different codecs from the same dispatch point). */
+  def mmDecode(s: SparkSession, dir: String): DataFrame = {
+    val src = withPayload(Tables.documents(s, dir))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    src.select(col("doc_id"), col("payload"), col("meta.size_bytes").as("size_bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]]("payload")
+          val format = // magic-byte sniff — real dispatch point for codecs
+            if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
+            else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') "png"
+            else "raw"
+          Row(r.getAs[Long]("doc_id"), r.getAs[Long]("size_bytes"), format, stubDecode(bytes).toSeq)
+        }
+      }(enc)
+      .orderBy("doc_id")
+  }
+
+  /** Oracle-checkable metadata projection (`mm_meta`): payload size and
+    * a prefix of the payload re-decoded to string — DuckDB can compute
+    * both from the raw table. */
+  def mmMeta(s: SparkSession, dir: String): DataFrame =
+    withPayload(Tables.documents(s, dir))
+      .select(
+        col("doc_id"),
+        col("meta.size_bytes").as("size_bytes"),
+        substring(decode(col("payload"), "UTF-8"), 1, 16).as("head"))
+      .orderBy("doc_id")
+}

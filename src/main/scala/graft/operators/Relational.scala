@@ -1,0 +1,183 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface (SURVEY.md §2.2), declared with the
+  * DataFrame API so Catalyst owns physical planning.
+  *
+  * Scale notes (100 TB / 1000 executors):
+  *  - every aggregate here gets map-side partial aggregation for free;
+  *  - dimension tables (region, nation, supplier, part, and customer at
+  *    small SF) are joined with an explicit `broadcast()` hint so the
+  *    fact side never shuffles for them;
+  *  - fact-fact joins (orders ⋈ lineitem) shuffle on the join key; AQE
+  *    (enabled in the session) splits skewed partitions at runtime;
+  *  - all doubles surfaced to the correctness oracle are rounded so the
+  *    DuckDB comparison is insensitive to summation order.
+  */
+object Relational {
+
+  /** TPC-H Q1 shape: multi-key aggregate with 8 aggregates. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2)
+          .as("sum_charge"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_extendedprice"), 4).as("avg_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** TPC-H Q6 shape: selective scan; filters reach the parquet reader
+    * as PushedFilters (asserted in PlanSpec). */
+  def q2Filter(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1997-01-01") &&
+        col("l_discount").between(0.03, 0.07) && col("l_quantity") < 25)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("cnt"))
+
+  /** TPC-H Q3 shape: 3-way join, agg, deterministic top-10.
+    * customer is broadcast (small per-segment dim side); orders ⋈
+    * lineitem is the one genuine shuffle. */
+  def q3JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < lit("1998-01-01"))
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > lit("1996-01-01"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Small-dim star join: region ⋈ nation ⋈ customer, both dims broadcast. */
+  def q4BroadcastJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(count(lit(1)).as("cnt"), round(sum("c_acctbal"), 2).as("total_bal"))
+      .orderBy("r_name", "n_name")
+
+  /** EXISTS via left-semi join (no row multiplication, early-out probe). */
+  def q5SemiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir).filter(col("l_quantity") >= 48),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("o_orderpriority")
+
+  /** NOT EXISTS via left-anti join (customers with no urgent order —
+    * non-degenerate at every SF). */
+  def q6AntiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("c_mktsegment")
+
+  /** Partitioned window: row_number + running sum, deterministic order
+    * key (shipdate, orderkey, linenumber is unique). One shuffle on
+    * l_suppkey; the per-partition sort feeds both window functions. */
+  def q7Window(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    Tables.lineitem(s, dir)
+      .filter(col("l_suppkey") <= 10)
+      .select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        row_number().over(w).cast("long").as("rn"),
+        round(sum("l_quantity").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+          .as("running"))
+      .orderBy("l_suppkey", "rn")
+  }
+
+  /** Global top-k: Spark plans TakeOrderedAndProject — per-partition
+    * heap then a single k-row reduce, no full sort at scale. */
+  def q8TopK(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  /** Exact multi-column distinct counts (expand + two-phase agg). */
+  def q9Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** Hierarchical ROLLUP aggregate. */
+  def q10Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** TPC-H Q12 shape: conditional aggregation over a fact-fact join.
+    * count(CASE…) (not sum) so both engines produce int64. */
+  def q11CaseAgg(s: SparkSession, dir: String): DataFrame = {
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        count(when(high, 1)).as("high_cnt"),
+        count(when(!high, 1)).as("low_cnt"))
+      .orderBy("l_linestatus")
+  }
+
+  /** Post-aggregation filter (HAVING). */
+  def q12Having(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .filter(col("cnt") > 500)
+      .orderBy("l_suppkey")
+
+  /** Tumbling-day event aggregation (batch twin of the Structured
+    * Streaming pipeline in graft.streaming). */
+  def q13EventsWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+      .orderBy("day", "event_type")
+
+  /** Union of two filtered branches + re-aggregation. */
+  def q14Union(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    o.filter(col("o_totalprice") > 200000).select("o_orderstatus")
+      .unionAll(o.filter(col("o_orderpriority") === "1-URGENT").select("o_orderstatus"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** HLL approximate distinct vs exact (rows-only: HLL estimates are
+    * engine-specific by design). At 100 TB the approx path avoids the
+    * expand+shuffle that exact distinct needs. */
+  def q15ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+}

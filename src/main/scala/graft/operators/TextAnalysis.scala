@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines
+  * (SURVEY.md §2.5), over the `documents` table.
+  *
+  * Everything is built from codegen'd `functions._` expressions (no
+  * UDFs), so per-document work stays inside whole-stage codegen and
+  * scales embarrassingly parallel — no shuffle at all until an
+  * aggregate is requested downstream.
+  */
+object TextAnalysis {
+
+  /** Word-ish tokens: letter runs, digit runs, single punctuation —
+    * a deterministic BPE-ish pre-tokenizer regex (compatible between
+    * Java regex and RE2 so the DuckDB oracle can mirror it). */
+  val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  val StopwordPattern = "\\b(the|a|an|and|or|of|to|in|is|it)\\b"
+
+  private def nWords(c: Column): Column = size(regexp_extract_all(c, lit("\\S+"), lit(0))).cast("long")
+
+  /** Char/word/token counts per document. */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("chars"),
+        nWords(col("text")).as("words"),
+        size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0))).cast("long").as("tokens"))
+      .orderBy("doc_id")
+
+  /** Quality ratios: alpha, punctuation, stopword density. */
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        round(size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))).cast("double") /
+          greatest(length(col("text")), lit(1)), 4).as("alpha_ratio"),
+        round(size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0))).cast("double") /
+          greatest(length(col("text")), lit(1)), 4).as("punct_ratio"),
+        round(size(regexp_extract_all(lower(col("text")), lit(StopwordPattern), lit(0))).cast("double") /
+          greatest(nWords(col("text")), lit(1)), 4).as("stop_ratio"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic: score each candidate language by the hit
+    * rate of a small profile of characteristic function words /
+    * character patterns, pick the argmax. Map-only; rows-only check
+    * (a heuristic has no SQL oracle). */
+  def textLangId(s: SparkSession, dir: String): DataFrame = {
+    val profiles: Seq[(String, String)] = Seq(
+      "en" -> "\\b(the|and|of|is|was|that|with|for)\\b",
+      "de" -> "\\b(der|die|das|und|ist|nicht|mit|ein)\\b",
+      "fr" -> "\\b(le|la|les|et|est|que|des|une)\\b",
+      "es" -> "\\b(el|la|los|las|es|que|de|una)\\b",
+      "zh" -> "[\\u4e00-\\u9fff]")
+    val scored = profiles.foldLeft(Tables.documents(s, dir)) { case (df, (code, pat)) =>
+      df.withColumn(s"score_$code",
+        size(regexp_extract_all(lower(col("text")), lit(pat), lit(0))).cast("double") /
+          greatest(nWords(col("text")), lit(1)))
+    }
+    val scoreCols = profiles.map { case (code, _) =>
+      struct(col(s"score_$code").as("score"), lit(code).as("code"))
+    }
+    scored
+      .select(col("doc_id"), col("lang").as("lang_true"),
+        array_max(array(scoreCols: _*)).getField("code").as("lang_pred"))
+      .orderBy("doc_id")
+  }
+
+  /** 64-bit document fingerprint: polynomial rolling hash over the
+    * normalized text, expressed as xxhash64 of the collapsed-whitespace
+    * lowercase body (codegen'd, shuffle-free; rows-only check). */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        xxhash64(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"))
+      .orderBy("doc_id")
+}

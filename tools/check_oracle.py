@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check_oracle.py [sf_dir] [verify_out]
+Loads each Spark result parquet from verify_out, runs the matching
+oracle SQL from oracle_sql.json in DuckDB over the sf_dir tables, and
+compares row counts, column names, and (column-name-sorted) values.
+"""
+import json
+import sys
+
+import duckdb
+import pandas as pd
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+fails = []
+for name, sql in sorted(oracle.items()):
+    try:
+        spark_df = pd.read_parquet(f"{OUT}/{name}")
+        duck_df = con.execute(sql).fetchdf()
+    except Exception as e:
+        fails.append(name)
+        print(f"FAIL {name}: load/exec error: {e}")
+        continue
+    s = spark_df.reindex(sorted(spark_df.columns), axis=1)
+    d = duck_df.reindex(sorted(duck_df.columns), axis=1)
+    if list(s.columns) != list(d.columns):
+        fails.append(name)
+        print(f"FAIL {name}: columns spark={list(s.columns)} duck={list(d.columns)}")
+        continue
+    if len(s) != len(d):
+        fails.append(name)
+        print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
+        continue
+    # order-insensitive compare: sort by all columns
+    key = list(s.columns)
+    ss = s.sort_values(key).reset_index(drop=True)
+    dd = d.sort_values(key).reset_index(drop=True)
+    same = True
+    for c in key:
+        a, b = ss[c], dd[c]
+        try:
+            if a.dtype.kind == "f" or b.dtype.kind == "f":
+                import numpy as np
+                eq = np.allclose(a.astype(float), b.astype(float), rtol=0, atol=1e-9, equal_nan=True)
+            else:
+                eq = a.astype(str).equals(b.astype(str))
+        except Exception:
+            eq = a.astype(str).equals(b.astype(str))
+        if not eq:
+            same = False
+            mism = (a.astype(str) != b.astype(str))
+            idx = mism[mism].index[:3]
+            print(f"FAIL {name}: col {c} differs, e.g. rows {list(idx)}: spark={list(a[idx])} duck={list(b[idx])}")
+            break
+    if same:
+        print(f"ok   {name} ({len(s)} rows)")
+    else:
+        fails.append(name)
+
+# rows-only queries (no oracle): check rows > 0
+import glob, os
+for p in sorted(glob.glob(f"{OUT}/*")):
+    name = os.path.basename(p)
+    if name in oracle or name == "oracle_sql.json":
+        continue
+    try:
+        n = len(pd.read_parquet(p))
+        print(f"rows {name}: {n}" + ("" if n > 0 else "  <-- EMPTY (FAIL)"))
+        if n == 0:
+            fails.append(name)
+    except Exception as e:
+        fails.append(name)
+        print(f"FAIL {name}: unreadable: {e}")
+
+print(f"\n{len(fails)} failures" + (f": {fails}" if fails else ""))
+sys.exit(1 if fails else 0)
