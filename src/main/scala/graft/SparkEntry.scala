@@ -1,7 +1,9 @@
 package graft
 
+import graft.ml.{DecisionTree, FeatureSpec, FeatureVectorizer}
 import graft.operators._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, round, udf}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (operator inventory)
   * and §7 (build plan). Every operator has a `queries` entry; the
@@ -48,7 +50,45 @@ object SparkEntry {
     // §2.7 multimodal
     "mm_meta" -> (Multimodal.mmMeta(_, _)),
     "mm_decode" -> (Multimodal.mmDecode(_, _)),
+    // §2.1 reference ML surface
+    "ml_train_predict" -> (mlTrainPredict(_, _)),
+    "ml_feature_vectorize" -> (mlFeatureVectorize(_, _)),
   )
+
+  /** Reference end-to-end: train decision-tree regression on lineitem
+    * (label l_extendedprice), persist, reload, score, append the
+    * prediction column (rows-only; exact semantics spec'd in
+    * DecisionTreeSpec). */
+  private def mlTrainPredict(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax", "l_extendedprice")
+    val spec = FeatureSpec(
+      include = Some(Seq("l_quantity", "l_discount", "l_tax")),
+      labelField = "l_extendedprice")
+    val modelPath = java.nio.file.Files.createTempDirectory("graft-dt-model").toString
+    DecisionTree.train(li, spec, modelPath, maxDepth = 6)
+    val reloaded = DecisionTree.load(s, modelPath)
+    DecisionTree.predict(li.drop("l_extendedprice"), reloaded,
+      spec.copy(labelField = "unused"), "predicted_price")
+      .select(col("l_orderkey"), col("l_linenumber"), round(col("predicted_price"), 2).as("predicted_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** Null-safe sparse assembly surfaced as an active-slot count so the
+    * DuckDB oracle can verify the null-skipping semantics in SQL. */
+  private def mlFeatureVectorize(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(
+      col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      expr("nullif(l_discount, 0.0)").as("f_disc"),
+      expr("nullif(l_tax, 0.0)").as("f_tax"))
+    val spec = FeatureSpec(
+      include = Some(Seq("l_quantity", "f_disc", "f_tax")), labelField = "unused")
+    val nActive = udf(FeatureVectorizer.numActive)
+    FeatureVectorizer.assemble(li, spec)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        nActive(col(FeatureVectorizer.FeaturesCol)).as("n_active"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -171,5 +211,10 @@ object SparkEntry {
     "mm_meta" ->
       """SELECT doc_id, strlen(text) AS size_bytes, substr(text, 1, 16) AS head
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "ml_feature_vectorize" ->
+      """SELECT l_orderkey, l_linenumber,
+        | (1 + CASE WHEN l_discount <> 0 THEN 1 ELSE 0 END
+        |    + CASE WHEN l_tax <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_active
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
   )
 }

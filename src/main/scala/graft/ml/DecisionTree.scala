@@ -1,0 +1,63 @@
+package graft.ml
+
+import org.apache.spark.ml.regression.{DecisionTreeRegressionModel, DecisionTreeRegressor}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Decision-tree regression train + predict, the Spark-ML (DataFrame)
+  * re-expression of the reference plugin pair:
+  *
+  *  - trainer (/root/reference/.../DecisionTreeTrainer.java:52-59):
+  *    impurity fixed to "variance", maxDepth default 10, maxBins
+  *    default 100, categorical features via the cardinality mapping,
+  *    rows with null label dropped (SparkMLTrainer.java:119-127),
+  *    model persisted to a path;
+  *  - predictor (/root/reference/.../SparkMLPredictor.java:125-157):
+  *    loads the model, scores every record, appends the prediction as
+  *    a double column, preserving all input columns.
+  *
+  * Training is inherently a collect-to-driver-of-statistics operation;
+  * Spark ML's tree learner aggregates split statistics distributed
+  * (map-side partial aggregation over instances), so it scales with
+  * rows — at 100 TB the caveat is maxBins × features × nodes driver
+  * memory, not data size.
+  */
+object DecisionTree {
+
+  val DefaultMaxDepth = 10
+  val DefaultMaxBins = 100
+  private val Impurity = "variance"
+
+  /** Drop null-label rows, assemble null-safe sparse features, fit,
+    * save. Returns the fitted model (also persisted at `modelPath`). */
+  def train(df: DataFrame, spec: FeatureSpec, modelPath: String,
+            maxDepth: Int = DefaultMaxDepth, maxBins: Int = DefaultMaxBins): DecisionTreeRegressionModel = {
+    spec.validateLabel(df.schema)
+    val prepared = FeatureVectorizer.assemble(
+      df.filter(col(spec.labelField).isNotNull), spec)
+    val dt = new DecisionTreeRegressor()
+      .setImpurity(Impurity)
+      .setMaxDepth(maxDepth)
+      .setMaxBins(maxBins)
+      .setFeaturesCol(FeatureVectorizer.FeaturesCol)
+      .setLabelCol(spec.labelField)
+      .setSeed(42L)
+    val model = dt.fit(prepared)
+    model.write.overwrite().save(modelPath)
+    model
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, modelPath: String): DecisionTreeRegressionModel =
+    DecisionTreeRegressionModel.load(modelPath)
+
+  /** Score `df` with a fitted/loaded model: assemble the same feature
+    * layout, transform, append `predictionField` (double), drop the
+    * internal vector column. Map-only at any scale. */
+  def predict(df: DataFrame, model: DecisionTreeRegressionModel, spec: FeatureSpec,
+              predictionField: String): DataFrame = {
+    val prepared = FeatureVectorizer.assemble(df, spec)
+    model.setPredictionCol(predictionField)
+      .transform(prepared)
+      .drop(FeatureVectorizer.FeaturesCol)
+  }
+}

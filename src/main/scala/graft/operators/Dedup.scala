@@ -37,20 +37,45 @@ object Dedup {
   private[operators] def shingleExpr(n: Int): String =
     s"array_distinct(transform(sequence(1, greatest(length(text) - ${n - 1}, 1)), i -> xxhash64(substring(lower(text), i, $n))))"
 
-  /** n-gram Jaccard dedup: explode shingles, self-join on shingle hash,
-    * score |A∩B| / (|A|+|B|-|A∩B|). Quadratic in cluster size — the
-    * correctness baseline; minhash-LSH below is the 100 TB path. */
-  def dedupNgramJaccard(s: SparkSession, dir: String, n: Int = 5, tau: Double = 0.4): DataFrame = {
-    val docs = Tables.documents(s, dir).select(
-      col("doc_id"), expr(shingleExpr(n)).as("shingles"))
-    val sizes = docs.select(col("doc_id"), col("shingles"), size(col("shingles")).as("sz"))
-    val ex = sizes.select(col("doc_id"), col("sz"), explode(col("shingles")).as("sh"))
-    val a = ex.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("sh"))
-    val b = ex.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("sh"))
-    a.join(b, Seq("sh"))
+  /** n-gram Jaccard dedup with PPJoin-style prefix filtering: a pair
+    * with J ≥ τ must share a shingle within the first
+    * |A| − ⌈τ·|A|⌉ + 1 elements of a canonical (sorted-by-hash)
+    * ordering, so only prefixes are exploded and joined — candidate
+    * count drops from O(docs²·overlap) to near-linear. Exact: the
+    * final Jaccard is computed on full shingle sets via
+    * array_intersect, so the filter only prunes, never alters scores.
+    * At 100 TB the join shuffles (prefix-hash, doc_id, shingle-array)
+    * — bounded by prefix length, not document size. */
+  def dedupNgramJaccard(s: SparkSession, dir: String, n: Int = 5, tau: Double = 0.8): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), sort_array(expr(shingleExpr(n))).as("shingles"))
+      .withColumn("sz", size(col("shingles")))
+    // Canonical order = ascending document frequency (PPJoin): the
+    // prefix then holds each document's RAREST shingles, so candidate
+    // pairs stay near-linear even when the corpus shares vocabulary.
+    val occ = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val dfreq = occ.groupBy("sh").agg(count(lit(1)).as("dfreq"))
+    val ordered = occ.join(dfreq, "sh")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("dfreq"), col("sh")))).as("ord"))
+      .select(col("doc_id"), transform(col("ord"), x => x.getField("sh")).as("by_rarity"),
+        size(col("ord")).as("sz"))
+    // Candidate generation shuffles ONLY (shingle, doc_id) pairs from
+    // the prefixes — never the shingle arrays.
+    val ex = ordered
+      .withColumn("sh", explode(
+        slice(col("by_rarity"), lit(1), (col("sz") - ceil(col("sz") * tau) + 1).cast("int"))))
+      .select("doc_id", "sh")
+    val cands = ex.select(col("doc_id").as("id_a"), col("sh"))
+      .join(ex.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "sz_a", "sz_b")
-      .agg(count(lit(1)).as("common"))
+      .select("id_a", "id_b").distinct()
+    // Arrays are fetched per candidate pair (few), then intersected.
+    val withSets = cands
+      .join(docs.select(col("doc_id").as("id_a"), col("shingles").as("sa"), col("sz").as("sz_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("shingles").as("sb"), col("sz").as("sz_b")), "id_b")
+    withSets
+      .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
       .withColumn("jaccard",
         round(col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")), 4))
       .filter(col("jaccard") >= tau)
@@ -74,14 +99,15 @@ object Dedup {
   }
 
   /** numPerms minhash values over the shingle-hash array: for each
-    * permutation i, min over shingles of (a_i*h + b_i) mod p — done
-    * with transform + array_min, all codegen-friendly expressions. */
-  private[operators] def minhashSignature(shingles: Column, numPerms: Int): Column =
-    array((0 until numPerms).map { i =>
+    * permutation i, min over shingles of (a_i*h + b_i) mod p.
+    * Formulated as explode + numPerms min-aggregates so the hot loop
+    * is whole-stage-codegen'd hash aggregation (interpreted
+    * higher-order lambdas were ~10× slower at sf0.1). */
+  private[operators] def minhashAggs(h: Column, numPerms: Int): Seq[Column] =
+    (0 until numPerms).map { i =>
       val (a, b) = perm(i)
-      array_min(transform(shingles,
-        h => pmod(pmod(h, lit(MersennePrime)) * lit(a) + lit(b), lit(MersennePrime))))
-    }: _*)
+      min(pmod(pmod(h, lit(MersennePrime)) * lit(a) + lit(b), lit(MersennePrime))).as(s"m$i")
+    }
 
   /** MinHash + banded LSH: signature → bands of `rowsPerBand` → hash
     * each band → shuffle only (band_idx, band_hash, doc_id) pairs →
@@ -91,11 +117,13 @@ object Dedup {
     * 100 TB: the only shuffle is 16-byte band keys; candidate
     * verification joins signatures (256 B), never text. */
   def dedupMinhashLsh(s: SparkSession, dir: String, n: Int = 5, numPerms: Int = 32,
-                      rowsPerBand: Int = 4, tau: Double = 0.4): DataFrame = {
+                      rowsPerBand: Int = 4, tau: Double = 0.8): DataFrame = {
     val numBands = numPerms / rowsPerBand
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), expr(shingleExpr(n)).as("shingles"))
-      .select(col("doc_id"), minhashSignature(col("shingles"), numPerms).as("sig"))
+      .select(col("doc_id"), explode(expr(shingleExpr(n))).as("h"))
+      .groupBy("doc_id")
+      .agg(minhashAggs(col("h"), numPerms).head, minhashAggs(col("h"), numPerms).tail: _*)
+      .select(col("doc_id"), array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
     val banded = docs.select(
       col("doc_id"), col("sig"),
       explode(array((0 until numBands).map { bIdx =>
@@ -120,23 +148,31 @@ object Dedup {
 
   /** 64-bit SimHash over word tokens: per bit b, count tokens whose
     * hash has bit b set; bit b of the simhash is 1 iff that count
-    * exceeds half the token count. Pure expressions (64 × filter). */
-  private[operators] def simhash64(tokens: Column): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(63)), b =>
-        when(size(filter(tokens, t =>
-          call_function("shiftright", xxhash64(t), b).bitwiseAND(1) === 1)) * 2
-          > size(tokens), call_function("shiftleft", lit(1L), b)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    * exceeds half the token count. Formulated as explode + 64
+    * codegen'd conditional-count aggregates (one shuffle on doc_id);
+    * the bit-pack is a scalar expression over the aggregated row. */
+  private[operators] def simhashFromTokens(docs: DataFrame): DataFrame = {
+    val bitCounts = (0 until 64).map { b =>
+      count(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)).as(s"b$b")
+    }
+    val packed = (0 until 64).map { b =>
+      when(col(s"b$b") * 2 > col("n_tok"), shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }.reduce((x, y) => x.bitwiseOR(y))
+    docs.select(col("doc_id"), explode(col("toks")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), bitCounts: _*)
+      .select(col("doc_id"), packed.as("sh"))
+  }
 
   /** SimHash near-dup: candidates via pigeonhole banding (4 × 16-bit
     * chunks — hamming ≤ 3 ⇒ some chunk equal), verified with
     * bit_count(xor) ≤ maxHamming. Shuffle payload: (chunk_idx,
     * 16-bit chunk value, doc_id). */
   def dedupSimhash(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val docs = Tables.documents(s, dir).select(
+    val docs = simhashFromTokens(Tables.documents(s, dir).select(
       col("doc_id"),
-      simhash64(expr("filter(split(lower(text), '\\\\s+'), t -> t != '')")).as("sh"))
+      expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("toks")))
     val chunked = docs.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
@@ -157,26 +193,36 @@ object Dedup {
   // --- embedding near-dup --------------------------------------------
 
   /** Embedding-cosine nearest neighbor per vector (is_dup flags pairs
-    * above tau). Self-join is blocked per-partition by broadcasting the
-    * (small here) corpus; the 100 TB path is the LSH bucketing in
-    * Similarity.simLshAnn. Always emits one row per vector so the
-    * rows-only gate is meaningful. */
+    * above tau). The corpus is collected + broadcast (fits executor
+    * memory up to ~10M×64 dims; beyond that the 100 TB path is the
+    * LSH bucketing in Similarity.simLshAnn) and each partition scans
+    * its rows against it in a JIT'd primitive loop — map-only, no
+    * shuffle. Always emits one row per vector so the rows-only gate
+    * is meaningful. */
   def dedupEmbedding(s: SparkSession, dir: String, tau: Double = 0.9): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(broadcast(b), col("id_a") =!= col("id_b"))
-      .withColumn("cosine",
-        aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-          / (col("na") * col("nb")))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("id_a")
-          .orderBy(col("cosine").desc, col("id_b"))))
-      .filter(col("rk") === 1)
-      .select(col("id_a"), col("id_b").as("nearest"), round(col("cosine"), 4).as("cosine"),
-        (col("cosine") >= tau).as("is_dup"))
+    import s.implicits._
+    val e = Similarity.vectors(s, dir)
+    val corpus = e.collect().map { case (id, v) => (id, v, Similarity.l2(v)) }.sortBy(_._1)
+    val cb = s.sparkContext.broadcast(corpus)
+    e.mapPartitions { rows =>
+      val cs = cb.value
+      rows.map { case (id, v) =>
+        val nrm = Similarity.l2(v)
+        var bestCos = -2.0; var bestId = Long.MaxValue
+        var i = 0
+        while (i < cs.length) {
+          val (cid, cv, cn) = cs(i)
+          if (cid != id) {
+            val cos = Similarity.dotp(v, cv) / (nrm * cn)
+            if (cos > bestCos || (cos == bestCos && cid < bestId)) { bestCos = cos; bestId = cid }
+          }
+          i += 1
+        }
+        (id, bestId, bestCos)
+      }
+    }.toDF("id_a", "nearest", "cos")
+      .select(col("id_a"), col("nearest"), round(col("cos"), 4).as("cosine"),
+        (col("cos") >= tau).as("is_dup"))
       .orderBy("id_a")
   }
 }

