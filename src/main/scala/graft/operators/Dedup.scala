@@ -46,7 +46,7 @@ object Dedup {
     * array_intersect, so the filter only prunes, never alters scores.
     * At 100 TB the join shuffles (prefix-hash, doc_id, shingle-array)
     * — bounded by prefix length, not document size. */
-  def dedupNgramJaccard(s: SparkSession, dir: String, n: Int = 5, tau: Double = 0.8): DataFrame = {
+  def dedupNgramJaccard(s: SparkSession, dir: String, n: Int = 12, tau: Double = 0.8): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), sort_array(expr(shingleExpr(n))).as("shingles"))
       .withColumn("sz", size(col("shingles")))
@@ -116,7 +116,7 @@ object Dedup {
     *
     * 100 TB: the only shuffle is 16-byte band keys; candidate
     * verification joins signatures (256 B), never text. */
-  def dedupMinhashLsh(s: SparkSession, dir: String, n: Int = 5, numPerms: Int = 32,
+  def dedupMinhashLsh(s: SparkSession, dir: String, n: Int = 9, numPerms: Int = 32,
                       rowsPerBand: Int = 4, tau: Double = 0.8): DataFrame = {
     val numBands = numPerms / rowsPerBand
     val docs = Tables.documents(s, dir)
