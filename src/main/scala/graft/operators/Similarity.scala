@@ -21,8 +21,9 @@ object Similarity {
   private def l2norm(v: Column): Column =
     sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Codegen'd native expression — see graft.functions.CosineSimilarity. */
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_similarity(a, b)
 
   // --- primitive kernel ----------------------------------------------
 
@@ -110,12 +111,13 @@ object Similarity {
     Array.fill(numPlanes)(Array.fill(dim)(next()))
   }
 
-  /** Sign-LSH bucket id: one bit per hyperplane (sign of dot product),
-    * packed into a long — a pure expression over the vector column. */
+  /** Sign-LSH bucket id: one bit per hyperplane (sign of the dot
+    * product — equivalently of the cosine), packed into a long — a
+    * pure codegen'd expression over the vector column. */
   private[operators] def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val planeCol = array(p.map(lit): _*)
-      when(dot(v, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      when(cosine(v, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** ANN top-k via random-hyperplane LSH with radius-2 multi-probe
@@ -128,7 +130,6 @@ object Similarity {
     val planes = hyperplanes(numPlanes, dim)
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", l2norm(col("v")))
       .withColumn("bucket", lshBucket(col("v"), planes))
     val flips: Seq[Long] =
       (0 until numPlanes).map(i => 1L << i) ++
@@ -136,11 +137,11 @@ object Similarity {
     val probes: Seq[Column] = col("bucket") +:
       flips.map(m => col("bucket").bitwiseXOR(lit(m)))
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
         explode(array(probes: _*)).as("bucket"))
     e.join(broadcast(q), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
-      .withColumn("cos", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("cos", cosine(col("qv"), col("v")))
       .withColumn("rn", row_number().over(
         Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
       .filter(col("rn") <= k)
