@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for cosine similarity over two
   * array<double> columns, with full whole-stage-codegen support
@@ -77,14 +77,80 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of common elements between two SORTED array<long> columns —
+  * a codegen'd linear merge loop. Replaces `size(array_intersect(…))`
+  * (hash-set build per row) in the dedup verification hot path, where
+  * shingle arrays are already produced by sort_array. Inputs must be
+  * strictly sorted ascending with distinct elements (array_distinct +
+  * sort_array), which the dedup operators guarantee. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var c = 0L
+    val nx = x.numElements(); val ny = y.numElements()
+    while (i < nx && j < ny) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi == yj) { c += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi"); val yj = ctx.freshName("yj")
+      val c = ctx.freshName("c")
+      s"""
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |int $nx = $x.numElements(); int $ny = $y.numElements();
+         |while ($i < $nx && $j < $ny) {
+         |  long $xi = $x.getLong($i); long $yj = $y.getLong($j);
+         |  if ($xi == $yj) { $c++; $i++; $j++; }
+         |  else if ($xi < $yj) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Column API: cosine_similarity(a, b) for array<double> columns. */
   def cosine_similarity(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       CosineSimilarity(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
-  /** Registers `cosine_similarity` for SQL use on a session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Column API: common-element count of two sorted array<long> columns. */
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      SortedIntersectCount(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Registers graft's native functions for SQL use on a session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count", exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+  }
 }

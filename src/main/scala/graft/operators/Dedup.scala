@@ -34,6 +34,7 @@ object Dedup {
   /** Distinct character n-gram shingles of the lowercased text, hashed
     * to 64-bit longs — pure expression (sequence + transform +
     * substring), stays in codegen. */
+  def shingleExprPublic(n: Int): String = shingleExpr(n)
   private[operators] def shingleExpr(n: Int): String =
     s"array_distinct(transform(sequence(1, greatest(length(text) - ${n - 1}, 1)), i -> xxhash64(substring(lower(text), i, $n))))"
 
@@ -47,9 +48,14 @@ object Dedup {
     * At 100 TB the join shuffles (prefix-hash, doc_id, shingle-array)
     * — bounded by prefix length, not document size. */
   def dedupNgramJaccard(s: SparkSession, dir: String, n: Int = 12, tau: Double = 0.8): DataFrame = {
+    // The shingle table and the df-ordered prefixes each feed BOTH
+    // sides of a self-join plus the verification joins; persist them
+    // (memory-and-disk) or the whole upstream recomputes per branch —
+    // the same call a 100 TB run would make, sized by docs not bytes.
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), sort_array(expr(shingleExpr(n))).as("shingles"))
       .withColumn("sz", size(col("shingles")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Canonical order = ascending document frequency (PPJoin): the
     // prefix then holds each document's RAREST shingles, so candidate
     // pairs stay near-linear even when the corpus shares vocabulary.
@@ -60,22 +66,27 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("dfreq"), col("sh")))).as("ord"))
       .select(col("doc_id"), transform(col("ord"), x => x.getField("sh")).as("by_rarity"),
         size(col("ord")).as("sz"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Candidate generation shuffles ONLY (shingle, doc_id) pairs from
     // the prefixes — never the shingle arrays.
     val ex = ordered
       .withColumn("sh", explode(
         slice(col("by_rarity"), lit(1), (col("sz") - ceil(col("sz") * tau) + 1).cast("int"))))
-      .select("doc_id", "sh")
-    val cands = ex.select(col("doc_id").as("id_a"), col("sh"))
-      .join(ex.select(col("doc_id").as("id_b"), col("sh")), Seq("sh"))
-      .filter(col("id_a") < col("id_b"))
+      .select("doc_id", "sz", "sh")
+    // Size filter: J ≥ τ forces τ ≤ |A|/|B| ≤ 1/τ — prune in the join.
+    val cands = ex.select(col("doc_id").as("id_a"), col("sz").as("pa"), col("sh"))
+      .join(ex.select(col("doc_id").as("id_b"), col("sz").as("pb"), col("sh")), Seq("sh"))
+      .filter(col("id_a") < col("id_b") &&
+        col("pa") >= ceil(col("pb") * tau) && col("pb") >= ceil(col("pa") * tau))
       .select("id_a", "id_b").distinct()
-    // Arrays are fetched per candidate pair (few), then intersected.
+    // Arrays are fetched per candidate pair (few); the verification
+    // intersect is graft's codegen'd sorted-merge expression.
     val withSets = cands
       .join(docs.select(col("doc_id").as("id_a"), col("shingles").as("sa"), col("sz").as("sz_a")), "id_a")
       .join(docs.select(col("doc_id").as("id_b"), col("shingles").as("sb"), col("sz").as("sz_b")), "id_b")
     withSets
-      .withColumn("common", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("common",
+        graft.functions.VectorFunctions.sorted_intersect_count(col("sa"), col("sb")))
       .withColumn("jaccard",
         round(col("common").cast("double") / (col("sz_a") + col("sz_b") - col("common")), 4))
       .filter(col("jaccard") >= tau)
@@ -119,11 +130,14 @@ object Dedup {
   def dedupMinhashLsh(s: SparkSession, dir: String, n: Int = 9, numPerms: Int = 32,
                       rowsPerBand: Int = 4, tau: Double = 0.8): DataFrame = {
     val numBands = numPerms / rowsPerBand
+    // Signatures feed the banding explode AND two verification joins;
+    // persist so the explode + 32 min-aggregates run once.
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), explode(expr(shingleExpr(n))).as("h"))
       .groupBy("doc_id")
       .agg(minhashAggs(col("h"), numPerms).head, minhashAggs(col("h"), numPerms).tail: _*)
       .select(col("doc_id"), array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = docs.select(
       col("doc_id"), col("sig"),
       explode(array((0 until numBands).map { bIdx =>
@@ -131,11 +145,17 @@ object Dedup {
           xxhash64(slice(col("sig"), bIdx * rowsPerBand + 1, rowsPerBand)).as("bh"))
       }: _*)).as("bucket"))
       .select(col("doc_id"), col("sig"), col("bucket.band"), col("bucket.bh"))
-    val a = banded.select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("band"), col("bh"))
-    val b = banded.select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("band"), col("bh"))
-    a.join(b, Seq("band", "bh"))
+    val a = banded.select(col("doc_id").as("id_a"), col("band"), col("bh"))
+    val b = banded.select(col("doc_id").as("id_b"), col("band"), col("bh"))
+    // distinct on bare id pairs (16 bytes) BEFORE re-attaching the
+    // 256-byte signatures — the band join's duplicates never carry
+    // payload through the distinct's shuffle.
+    val cands = a.join(b, Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(docs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard", round(
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), c => c))
           .cast("double") / lit(numPerms), 4))
@@ -173,6 +193,7 @@ object Dedup {
     val docs = simhashFromTokens(Tables.documents(s, dir).select(
       col("doc_id"),
       expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("toks")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = docs.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),

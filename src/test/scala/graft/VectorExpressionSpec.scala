@@ -32,6 +32,32 @@ class VectorExpressionSpec extends SparkSpec {
     assert(row.isNullAt(1))
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 9L, 11L)),
+      (Array(1L, 2L), Array(3L, 4L)),
+      (Array.empty[Long], Array(1L))).toDF("a", "b")
+    val got = df.select(
+      VectorFunctions.sorted_intersect_count(col("a"), col("b")).as("merge"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("builtin")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    assert(got.map(_.getLong(0)).toSeq == Seq(2L, 0L, 0L))
+  }
+
+  test("GraftExtensions registers both functions without error") {
+    // spark.sql.extensions is a STATIC conf read from the SparkContext
+    // at first creation, so full-session injection can't be exercised
+    // against the suite's shared context; the SQL resolution path is
+    // covered by the register() test above. Here: the extension class
+    // instantiates reflectively (as Spark would) and populates an
+    // extensions object.
+    val cls = Class.forName("graft.GraftExtensions")
+    val instance = cls.getConstructor().newInstance()
+      .asInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit]
+    instance(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("cosine_similarity participates in whole-stage codegen over a real scan") {
     val df = Tables.embeddings(spark, Sf)
       .select(transform(col("embedding"), _.cast("double")).as("v"))
