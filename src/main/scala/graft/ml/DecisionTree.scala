@@ -60,4 +60,18 @@ object DecisionTree {
       .transform(prepared)
       .drop(FeatureVectorizer.FeaturesCol)
   }
+
+  /** Regression metrics for a scored frame — two distributed
+    * aggregates (label mean, then error sums): RMSE, MAE, R². */
+  def evaluate(scored: DataFrame, labelField: String, predictionField: String): (Double, Double, Double) = {
+    val f = scored.filter(col(labelField).isNotNull)
+    val meanLabel = f.agg(avg(col(labelField))).collect().head.getDouble(0)
+    val row = f.agg(
+      sqrt(avg(pow(col(predictionField) - col(labelField), 2))).as("rmse"),
+      avg(abs(col(predictionField) - col(labelField))).as("mae"),
+      (lit(1.0) - sum(pow(col(predictionField) - col(labelField), 2)) /
+        sum(pow(col(labelField) - lit(meanLabel), 2))).as("r2"))
+      .collect().head
+    (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+  }
 }
