@@ -33,6 +33,12 @@ object SparkEntry {
     "q13_events_window" -> (Relational.q13EventsWindow(_, _)),
     "q14_union" -> (Relational.q14Union(_, _)),
     "q15_approx_distinct" -> (Relational.q15ApproxDistinct(_, _)),
+    "q16_pivot" -> (Relational.q16Pivot(_, _)),
+    "q17_percentile" -> (Relational.q17Percentile(_, _)),
+    "q18_stats" -> (Relational.q18Stats(_, _)),
+    "q19_strings" -> (Relational.q19Strings(_, _)),
+    "q20_cube" -> (Relational.q20Cube(_, _)),
+    "q21_asof_latest" -> (Relational.q21AsofLatest(_, _)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
@@ -176,6 +182,41 @@ object SparkEntry {
         | UNION ALL
         | SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
         |) GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q16_pivot" ->
+      """SELECT o_orderpriority,
+        | count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS F,
+        | count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS O,
+        | count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q17_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+        | round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q18_stats" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 4) AS sd_qty,
+        | round(var_samp(l_discount), 6) AS var_disc,
+        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        | round(covar_samp(l_quantity, l_extendedprice), 2) AS cov_qty_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q19_strings" ->
+      """SELECT doc_id,
+        | upper(substr(text, 1, 10)) AS head10,
+        | lang || '-' || source AS tag,
+        | length(regexp_replace(text, '[aeiou]', '', 'g')) AS consonant_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q20_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q21_asof_latest" ->
+      """SELECT user_id, event_type AS last_type, round(value, 2) AS last_value
+        |FROM (SELECT user_id, event_type, value,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events WHERE ts < TIMESTAMP '2024-01-15')
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "sim_bruteforce_topk" ->
       """WITH ex AS (
         |  SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i

@@ -180,4 +180,72 @@ object Relational {
       .agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+
+  /** Pivot (crosstab): order counts by priority × status. Missing
+    * combinations coalesce to 0 to match SQL conditional counts. */
+  def q16Pivot(s: SparkSession, dir: String): DataFrame = {
+    val statuses = Seq("F", "O", "P")
+    val p = Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", statuses)
+      .agg(count(lit(1)))
+    statuses.foldLeft(p)((df, st) => df.withColumn(st, coalesce(col(st), lit(0L))))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ≡
+    * DuckDB `quantile_cont`). At 100 TB prefer approx_percentile; the
+    * exact form is the correctness baseline. */
+  def q17Percentile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"))
+      .orderBy("l_returnflag")
+
+  /** Statistical aggregates: sample stddev/variance, correlation,
+    * covariance. */
+  def q18Stats(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_discount")), 6).as("var_disc"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("cov_qty_price"))
+      .orderBy("l_returnflag")
+
+  /** String expression surface: case mapping, substring, concat —
+    * codegen'd, map-only. */
+  def q19Strings(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 10)).as("head10"),
+        concat(col("lang"), lit("-"), col("source")).as("tag"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).cast("long").as("consonant_chars"))
+      .orderBy("doc_id")
+
+  /** Full CUBE aggregate (every grouping-set combination). */
+  def q20Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+
+  /** As-of-style lookup: each user's latest event strictly before the
+    * cutoff — one window over the (user, time desc) order, the
+    * Spark-native shape of an as-of join against a constant time. */
+  def q21AsofLatest(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .filter(col("ts") < lit("2024-01-15"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_type"),
+        round(col("value"), 2).as("last_value"))
+      .orderBy("user_id")
+  }
 }
