@@ -34,4 +34,16 @@ object Sources {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
+
+  /** Bucketed managed table: rows are hash-bucketed (and sorted) by
+    * the join key at write time, so later equi-joins between tables
+    * bucketed the same way run WITHOUT a shuffle — the decisive layout
+    * choice for repeatedly-joined 100 TB fact tables.
+    * BucketingSpec asserts the no-Exchange plan. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }
