@@ -48,6 +48,7 @@ object SparkEntry {
     // §2.4 similarity
     "sim_bruteforce_topk" -> ((s, d) => Similarity.simBruteforceTopK(s, d)),
     "sim_lsh_ann" -> ((s, d) => Similarity.simLshAnn(s, d)),
+    "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
     // §2.5 text analysis
     "text_stats" -> (TextAnalysis.textStats(_, _)),
     "text_quality" -> (TextAnalysis.textQuality(_, _)),

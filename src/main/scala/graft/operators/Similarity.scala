@@ -120,6 +120,53 @@ object Similarity {
       when(cosine(v, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** ANN top-k via IVF (inverted-file) coarse quantization: k-means
+    * on L2-normalized vectors partitions the corpus into `nlist`
+    * cells; each query scores only the `nprobe` cells whose centroids
+    * are nearest. The 100 TB shape: one clustering pass (on a sample
+    * in production), one narrow (bucket, id, vec) shuffle to build the
+    * inverted file, then probes touch nprobe/nlist of the corpus.
+    * Approximate by design → rows-only check; spec asserts recall. */
+  def simIvfAnn(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
+                nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      // normalize so L2 k-means approximates cosine cells (spherical k-means)
+      .withColumn("nv", transform(col("v"), x => x / sqrt(aggregate(col("v"), lit(0.0), (a, y) => a + y * y))))
+      .withColumn("fv", array_to_vector(col("nv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("bucket")
+    val model = km.fit(e)
+    val assigned = model.transform(e).select(col("vec_id"), col("v"), col("bucket"))
+    val centroids = model.clusterCenters.map(_.toArray)
+    // per query: the nprobe nearest centroids (tiny driver-side math on
+    // the collected query set — the corpus never moves)
+    val queries = assigned.filter(col("vec_id") < nQueries)
+      .select("vec_id", "v").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val probeRows = queries.flatMap { case (qid, qv) =>
+      val qn = l2(qv)
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, dotp(qv, c) / (qn * l2(c))) }
+        .sortBy(-_._2).take(nprobe)
+        .map { case (bucket, _) => (qid, qv, bucket) }
+    }
+    import s.implicits._
+    val probes = s.createDataset(probeRows.toSeq).toDF("qid", "qv", "bucket")
+    assigned.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cosine"),
+        col("rn").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** ANN top-k via random-hyperplane LSH with radius-2 multi-probe
     * (the query probes its own bucket plus all 1-bit and 2-bit flip
     * neighbors — cheap recall without extra tables). Approximate by

@@ -64,6 +64,15 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN recall vs brute force at k=10") {
+    val exact = Similarity.simBruteforceTopK(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = Similarity.simIvfAnn(spark, Sf, nprobe = 8).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("LSH ANN recall ≥ 0.6 vs brute force at k=10") {
     val exact = Similarity.simBruteforceTopK(spark, Sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet

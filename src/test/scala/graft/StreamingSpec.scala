@@ -35,6 +35,26 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-02 00:00:00.0", "view", 1L, 5.0)))
   }
 
+  test("streaming dedup drops duplicate event ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val deduped = input.toDF().toDF("event_id", "ts", "value")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+    val query = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData((1L, ts("2024-01-01 10:00:00"), 1.0), (2L, ts("2024-01-01 10:00:05"), 2.0))
+    query.processAllAvailable()
+    // replay of id 1 (late duplicate) + a fresh id
+    input.addData((1L, ts("2024-01-01 10:00:30"), 9.9), (3L, ts("2024-01-01 10:01:00"), 3.0))
+    query.processAllAvailable()
+    val ids = spark.table("dedup_stream").collect().map(_.getLong(0)).sorted
+    query.stop()
+    assert(ids.sameElements(Array(1L, 2L, 3L)))
+  }
+
   test("sessionization closes sessions on gap and keeps state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
