@@ -45,6 +45,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     // §2.4 similarity
     "sim_bruteforce_topk" -> ((s, d) => Similarity.simBruteforceTopK(s, d)),
     "sim_lsh_ann" -> ((s, d) => Similarity.simLshAnn(s, d)),

@@ -211,6 +211,56 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  // --- clusters ------------------------------------------------------
+
+  /** Connected components over a near-dup pair list by iterative
+    * min-label propagation: every node adopts the smallest label in
+    * its neighborhood until fixpoint. Converges in O(cluster
+    * diameter) rounds — near-dup clusters are shallow, so a handful
+    * of joins; each round shuffles only (id, label) pairs. The
+    * driver-side loop checks a single count per round (no data
+    * collected). */
+  private[operators] def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // undirected edge list, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nl"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nl")).as("nmin"))
+      val updated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** Full dedup pipeline output: near-dup pairs (n-gram Jaccard) →
+    * connected components → one keeper (min doc_id) per cluster.
+    * Docs with no near-dup are their own singleton cluster. */
+  def dedupClusters(s: SparkSession, dir: String, n: Int = 12, tau: Double = 0.8): DataFrame = {
+    val pairs = dedupNgramJaccard(s, dir, n, tau)
+    val labels = connectedComponents(pairs)
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
   // --- embedding near-dup --------------------------------------------
 
   /** Embedding-cosine nearest neighbor per vector (is_dup flags pairs

@@ -35,6 +35,21 @@ class DedupSimilaritySpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("hamming") <= 3))
   }
 
+  test("dedup clusters: every pair lands in one cluster, keepers are cluster minima") {
+    val pairs = Dedup.dedupNgramJaccard(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val clusters = Dedup.dedupClusters(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // paired docs share a cluster
+    pairs.foreach { case (a, b) => assert(clusters(a) == clusters(b), s"pair ($a,$b) split") }
+    // cluster id is the minimum member id
+    clusters.groupBy(_._2).foreach { case (cid, members) =>
+      assert(cid == members.keys.min, s"cluster $cid min is ${members.keys.min}")
+    }
+    // row count = corpus size (singletons included)
+    assert(clusters.size == Tables.documents(spark, Sf).count())
+  }
+
   test("embedding nearest-neighbor matches a naive scan") {
     val rows = Dedup.dedupEmbedding(spark, Sf).collect()
     val vecs = Tables.embeddings(spark, Sf).collect()
