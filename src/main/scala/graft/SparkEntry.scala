@@ -55,6 +55,8 @@ object SparkEntry {
     "text_quality" -> (TextAnalysis.textQuality(_, _)),
     "text_langid" -> (TextAnalysis.textLangId(_, _)),
     "text_fingerprint" -> (TextAnalysis.textFingerprint(_, _)),
+    "pipe_quality_filter" -> ((s, d) => TextAnalysis.pipeQualityFilter(s, d)),
+    "pipe_corpus_stats" -> (TextAnalysis.pipeCorpusStats(_, _)),
     // §2.7 multimodal
     "mm_meta" -> (Multimodal.mmMeta(_, _)),
     "mm_decode" -> (Multimodal.mmDecode(_, _)),
@@ -251,6 +253,20 @@ object SparkEntry {
         | round(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b'))
         |   / greatest(len(regexp_extract_all(text, '\S+')), 1), 4) AS stop_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "pipe_quality_filter" ->
+      """SELECT doc_id,
+        | len(regexp_extract_all(text, '\S+')) AS words,
+        | round(len(regexp_extract_all(text, '[A-Za-z]')) / greatest(length(text), 1), 4) AS alpha_ratio
+        |FROM documents
+        |WHERE len(regexp_extract_all(text, '\S+')) >= 30
+        |  AND len(regexp_extract_all(text, '[A-Za-z]')) / greatest(length(text), 1) >= 0.6
+        |ORDER BY doc_id""".stripMargin,
+    "pipe_corpus_stats" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        | sum(length(text))::BIGINT AS total_chars,
+        | sum(len(regexp_extract_all(text, '\S+')))::BIGINT AS total_words,
+        | round(avg(length(text)), 4) AS avg_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, strlen(text) AS size_bytes, substr(text, 1, 16) AS head
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -77,6 +77,33 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang").as("lang_true"), col("lang_pred"))
       .orderBy("doc_id")
 
+  /** End-to-end quality filter — the canonical LLM-data pipeline
+    * step: keep documents passing length + alpha-ratio + stopword
+    * gates. Map-only; at 100 TB this is the pre-dedup pass that
+    * discards the bulk of raw crawl. */
+  def pipeQualityFilter(s: SparkSession, dir: String, minWords: Int = 30,
+                        minAlpha: Double = 0.6): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("words", nWords(col("text")))
+      .withColumn("alpha_ratio",
+        size(regexp_extract_all(col("text"), lit("[A-Za-z]"), lit(0))).cast("double") /
+          greatest(length(col("text")), lit(1)))
+      .filter(col("words") >= minWords && col("alpha_ratio") >= minAlpha)
+      .select(col("doc_id"), col("words"), round(col("alpha_ratio"), 4).as("alpha_ratio"))
+      .orderBy("doc_id")
+
+  /** Corpus reporting: per-source document/token/char totals — the
+    * dataset card numbers. One partial-aggregated shuffle on source. */
+  def pipeCorpusStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("lang", "source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"),
+        sum(nWords(col("text"))).as("total_words"),
+        round(avg(length(col("text"))), 4).as("avg_chars"))
+      .orderBy("lang", "source")
+
   /** 64-bit document fingerprint: polynomial rolling hash over the
     * normalized text, expressed as xxhash64 of the collapsed-whitespace
     * lowercase body (codegen'd, shuffle-free; rows-only check). */
