@@ -60,6 +60,7 @@ object SparkEntry {
     // §2.7 multimodal
     "mm_meta" -> (Multimodal.mmMeta(_, _)),
     "mm_decode" -> (Multimodal.mmDecode(_, _)),
+    "mm_frame_sample" -> ((s, d) => Multimodal.mmFrameSample(s, d)),
     // §2.1 reference ML surface
     "ml_train_predict" -> (mlTrainPredict(_, _)),
     "ml_feature_vectorize" -> (mlFeatureVectorize(_, _)),

@@ -74,6 +74,44 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** STUB resize: a real implementation re-rasterizes decoded pixels;
+    * the stand-in folds the feature histogram to `dim` bins — same
+    * contract (fixed input shape → smaller fixed output shape). */
+  private[operators] def stubResize(features: Array[Double], dim: Int): Array[Double] = {
+    val out = new Array[Double](dim)
+    var i = 0
+    while (i < features.length) { out(i % dim) += features(i); i += 1 }
+    out
+  }
+
+  /** Frame sampling for video/audio-shaped payloads: split the binary
+    * payload into fixed-size blocks ("frames"), keep every `stride`-th
+    * block, emit per-frame features. The explode keeps frame rows
+    * partition-local until an aggregate asks for a shuffle — at 100 TB
+    * frames never leave the partition that decoded them. Codec is the
+    * same deterministic stub as mmDecode. */
+  def mmFrameSample(s: SparkSession, dir: String, frameBytes: Int = 64,
+                    stride: Int = 4, resizeDim: Int = 4): DataFrame = {
+    val src = withPayload(Tables.documents(s, dir))
+    val frameSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("frame_idx", LongType),
+      StructField("n_frames", LongType),
+      StructField("features", ArrayType(DoubleType))))
+    val enc = org.apache.spark.sql.Encoders.row(frameSchema)
+    src.select(col("doc_id"), col("payload"))
+      .flatMap { r =>
+        val bytes = r.getAs[Array[Byte]]("payload")
+        val frames = bytes.grouped(frameBytes).toArray
+        val sampled = frames.zipWithIndex.filter(_._2 % stride == 0)
+        sampled.map { case (frame, idx) =>
+          Row(r.getAs[Long]("doc_id"), idx.toLong, sampled.length.toLong,
+            stubResize(stubDecode(frame), resizeDim).toSeq)
+        }
+      }(enc)
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Oracle-checkable metadata projection (`mm_meta`): payload size and
     * a prefix of the payload re-decoded to string — DuckDB can compute
     * both from the raw table. */

@@ -41,6 +41,19 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("mm_frame_sample strides frames and resizes features") {
+    val rows = Multimodal.mmFrameSample(spark, Sf, frameBytes = 64, stride = 4, resizeDim = 4)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, frames) =>
+      val idxs = frames.map(_.getAs[Long]("frame_idx")).sorted
+      // every stride-th frame index, starting at 0
+      assert(idxs.head == 0 && idxs.zip(idxs.tail).forall { case (a, b) => b - a == 4 })
+      assert(frames.forall(_.getAs[Long]("n_frames") == frames.length))
+      assert(frames.forall(_.getAs[scala.collection.Seq[Double]]("features").length == 4))
+    }
+  }
+
   test("mm_decode emits fixed-width normalized features per document") {
     val rows = Multimodal.mmDecode(spark, Sf).collect()
     assert(rows.length == Tables.documents(spark, Sf).count())
