@@ -221,13 +221,21 @@ object Dedup {
     * driver-side loop checks a single count per round (no data
     * collected). */
   private[operators] def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // undirected edge list, both directions
+    // Undirected edge list, both directions. The near-dup edge set is
+    // orders of magnitude smaller than the corpus, so the iterative
+    // loop runs on a handful of partitions — per-iteration task
+    // overhead, not data volume, is the cost driver here.
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .coalesce(4)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Labels only ever decrease, so sum(label) strictly decreases
+    // until fixpoint — a one-aggregate convergence probe instead of a
+    // join + count per round.
+    var prevSum = labels.agg(sum("label")).collect().head.getLong(0)
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -238,13 +246,14 @@ object Dedup {
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = updated.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
+      val newSum = updated.agg(sum("label")).collect().head.getLong(0)
       labels.unpersist()
       labels = updated
-      converged = changed == 0
+      converged = newSum == prevSum
+      prevSum = newSum
       iter += 1
     }
+    edges.unpersist()
     labels
   }
 
