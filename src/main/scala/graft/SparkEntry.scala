@@ -39,6 +39,9 @@ object SparkEntry {
     "q19_strings" -> (Relational.q19Strings(_, _)),
     "q20_cube" -> (Relational.q20Cube(_, _)),
     "q21_asof_latest" -> (Relational.q21AsofLatest(_, _)),
+    "q22_sample" -> (Relational.q22Sample(_, _)),
+    "q23_stratified" -> ((s, d) => Relational.q23Stratified(s, d)),
+    "text_normalize" -> (TextAnalysis.textNormalize(_, _)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
@@ -253,6 +256,21 @@ object SparkEntry {
         | round(len(regexp_extract_all(text, '[.,;:!?]')) / greatest(length(text), 1), 4) AS punct_ratio,
         | round(len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b'))
         |   / greatest(len(regexp_extract_all(text, '\S+')), 1), 4) AS stop_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q22_sample" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey % 37 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q23_stratified" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, rn FROM (
+        | SELECT l_returnflag, l_orderkey, l_linenumber,
+        |   row_number() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber) AS rn
+        | FROM lineitem)
+        |WHERE rn <= 100 ORDER BY l_returnflag, rn""".stripMargin,
+    "text_normalize" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
+        | length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
     "pipe_quality_filter" ->
       """SELECT doc_id,

@@ -235,6 +235,28 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
 
+  /** Deterministic systematic sample: every key ≡ 0 (mod 37) — the
+    * reproducible subset-selection shape (a training-data pipeline
+    * needs samples that are stable across reruns and engines, which
+    * random() is not). Pushes to the scan as a filter. */
+  def q22Sample(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(pmod(col("l_orderkey"), lit(37)) === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Deterministic stratified sample: first `perStratum` rows per
+    * returnflag under a total (unique-key) order — one window shuffle,
+    * bounded output per stratum. */
+  def q23Stratified(s: SparkSession, dir: String, perStratum: Int = 100): DataFrame = {
+    val w = Window.partitionBy("l_returnflag").orderBy("l_orderkey", "l_linenumber")
+    Tables.lineitem(s, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= perStratum)
+      .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"), col("rn"))
+      .orderBy("l_returnflag", "rn")
+  }
+
   /** As-of-style lookup: each user's latest event strictly before the
     * cutoff — one window over the (user, time desc) order, the
     * Spark-native shape of an as-of join against a constant time. */

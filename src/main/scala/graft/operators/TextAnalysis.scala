@@ -92,6 +92,17 @@ object TextAnalysis {
       .select(col("doc_id"), col("words"), round(col("alpha_ratio"), 4).as("alpha_ratio"))
       .orderBy("doc_id")
 
+  /** Text normalization: lowercase, collapse whitespace runs, strip
+    * leading/trailing space — the canonical pre-dedup canonical form.
+    * Pure codegen'd expressions, map-only. */
+  def textNormalize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm_text"))
+      .withColumn("norm_chars", length(col("norm_text")).cast("long"))
+      .orderBy("doc_id")
+
   /** Corpus reporting: per-source document/token/char totals — the
     * dataset card numbers. One partial-aggregated shuffle on source. */
   def pipeCorpusStats(s: SparkSession, dir: String): DataFrame =
