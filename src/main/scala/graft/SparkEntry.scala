@@ -62,8 +62,8 @@ object SparkEntry {
     "pipe_corpus_stats" -> (TextAnalysis.pipeCorpusStats(_, _)),
     // §2.7 multimodal
     "mm_meta" -> (Multimodal.mmMeta(_, _)),
-    "mm_decode" -> (Multimodal.mmDecode(_, _)),
-    "mm_frame_sample" -> ((s, d) => Multimodal.mmFrameSample(s, d)),
+    "mm_decode" -> (Multimodal.mmDecodeChecked(_, _)),
+    "mm_frame_sample" -> ((s, d) => Multimodal.mmFrameSampleChecked(s, d)),
     // §2.1 reference ML surface
     "ml_train_predict" -> (mlTrainPredict(_, _)),
     "ml_feature_vectorize" -> (mlFeatureVectorize(_, _)),
@@ -289,6 +289,44 @@ object SparkEntry {
     "mm_meta" ->
       """SELECT doc_id, strlen(text) AS size_bytes, substr(text, 1, 16) AS head
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Mirrors the stub codec's byte arithmetic: the corpus is pure
+    // ASCII, so DuckDB per-char codepoints ARE the UTF-8 payload bytes.
+    "mm_decode" ->
+      ("""WITH b AS (
+        |  SELECT doc_id, unicode(substr(text, CAST(i AS INT), 1)) % 16 AS bin
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i FROM documents)
+        |),
+        |h AS (
+        |  SELECT doc_id, """.stripMargin
+        + (0 until 16).map(j => s"sum(CASE WHEN bin = $j THEN 1 ELSE 0 END)::BIGINT AS f$j").mkString(", ")
+        + """
+        |  FROM b GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, strlen(d.text)::BIGINT AS size_bytes,
+        |  CASE WHEN strlen(d.text) >= 2 AND unicode(substr(d.text,1,1)) = 255
+        |            AND unicode(substr(d.text,2,1)) = 216 THEN 'jpeg'
+        |       WHEN strlen(d.text) >= 4 AND unicode(substr(d.text,1,1)) = 137
+        |            AND substr(d.text,2,1) = 'P' THEN 'png'
+        |       ELSE 'raw' END AS format,
+        |  """.stripMargin
+        + (0 until 16).map(j => s"h.f$j").mkString(", ")
+        + """
+        |FROM documents d JOIN h USING (doc_id) ORDER BY d.doc_id""".stripMargin),
+    "mm_frame_sample" ->
+      ("""WITH b AS (
+        |  SELECT doc_id, CAST((i-1)//64 AS BIGINT) AS frame_idx,
+        |         unicode(substr(text, CAST(i AS INT), 1)) % 4 AS bin
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i FROM documents)
+        |),
+        |frames AS (
+        |  SELECT doc_id, frame_idx, """.stripMargin
+        + (0 until 4).map(j => s"sum(CASE WHEN bin = $j THEN 1 ELSE 0 END)::BIGINT AS c$j").mkString(", ")
+        + """
+        |  FROM b WHERE frame_idx % 4 = 0 GROUP BY doc_id, frame_idx
+        |)
+        |SELECT doc_id, frame_idx, count(*) OVER (PARTITION BY doc_id)::BIGINT AS n_frames,
+        |       c0, c1, c2, c3
+        |FROM frames ORDER BY doc_id, frame_idx""".stripMargin),
     "ml_feature_vectorize" ->
       """SELECT l_orderkey, l_linenumber,
         | (1 + CASE WHEN l_discount <> 0 THEN 1 ELSE 0 END

@@ -33,26 +33,38 @@ object Multimodal {
         lit("application/octet-stream").as("mime"),
         xxhash64(col("text")).as("content_hash")).as("meta"))
 
-  /** STUB decoder: a real implementation would hand `bytes` to an
-    * image/audio codec here. The stand-in computes a deterministic
-    * 16-bin byte histogram normalized to [0,1] — same shape, same
-    * batch semantics, zero external deps. */
-  private[operators] def stubDecode(bytes: Array[Byte]): Array[Double] = {
-    val hist = new Array[Double](FeatureDim)
-    if (bytes != null && bytes.nonEmpty) {
+  /** STUB decoder (integer form): a real implementation would hand
+    * `bytes` to an image/audio codec here. The stand-in computes a
+    * deterministic 16-bin byte histogram — same shape, same batch
+    * semantics, zero external deps. Counts (not ratios) so the driver
+    * oracle compares exact integers with no float-rounding hazard. */
+  private[operators] def stubHistogram(bytes: Array[Byte]): Array[Long] = {
+    val hist = new Array[Long](FeatureDim)
+    if (bytes != null) {
       var i = 0
-      while (i < bytes.length) { hist((bytes(i) & 0xff) % FeatureDim) += 1.0; i += 1 }
-      var j = 0
-      while (j < FeatureDim) { hist(j) /= bytes.length; j += 1 }
+      while (i < bytes.length) { hist((bytes(i) & 0xff) % FeatureDim) += 1L; i += 1 }
     }
     hist
+  }
+
+  /** Normalized-feature view of the stub histogram (the shape an
+    * embedding-producing codec would emit). */
+  private[operators] def stubDecode(bytes: Array[Byte]): Array[Double] = {
+    val hist = stubHistogram(bytes)
+    val out = new Array[Double](FeatureDim)
+    if (bytes != null && bytes.nonEmpty) {
+      var j = 0
+      while (j < FeatureDim) { out(j) = hist(j).toDouble / bytes.length; j += 1 }
+    }
+    out
   }
 
   private val outSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("size_bytes", LongType),
     StructField("format", StringType),
-    StructField("features", ArrayType(DoubleType))))
+    StructField("features", ArrayType(DoubleType)),
+    StructField("hist", ArrayType(LongType))))
 
   /** Decode + feature-extract over partition-local batches. Magic-byte
     * sniffing happens before decode (a real pipeline routes JPEG/PNG/
@@ -68,9 +80,22 @@ object Multimodal {
             if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
             else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') "png"
             else "raw"
-          Row(r.getAs[Long]("doc_id"), r.getAs[Long]("size_bytes"), format, stubDecode(bytes).toSeq)
+          Row(r.getAs[Long]("doc_id"), r.getAs[Long]("size_bytes"), format,
+            stubDecode(bytes).toSeq, stubHistogram(bytes).toSeq)
         }
       }(enc)
+      .orderBy("doc_id")
+  }
+
+  /** Driver-facing projection of [[mmDecode]]: the histogram widened to
+    * scalar BIGINT columns `f0..f15` (the driver's pandas compare can't
+    * sort/hash array cells; integers also hash exactly). The oracle
+    * mirrors the stub's byte arithmetic — the corpus is pure ASCII, so
+    * DuckDB's per-character codepoints ARE the payload bytes. */
+  def mmDecodeChecked(s: SparkSession, dir: String): DataFrame = {
+    val bins = (0 until FeatureDim).map(j => col("hist")(j).as(s"f$j"))
+    mmDecode(s, dir)
+      .select(col("doc_id") +: col("size_bytes") +: col("format") +: bins: _*)
       .orderBy("doc_id")
   }
 
@@ -81,6 +106,14 @@ object Multimodal {
     val out = new Array[Double](dim)
     var i = 0
     while (i < features.length) { out(i % dim) += features(i); i += 1 }
+    out
+  }
+
+  /** Integer-count twin of [[stubResize]] for the histogram form. */
+  private[operators] def stubResizeCounts(hist: Array[Long], dim: Int): Array[Long] = {
+    val out = new Array[Long](dim)
+    var i = 0
+    while (i < hist.length) { out(i % dim) += hist(i); i += 1 }
     out
   }
 
@@ -97,7 +130,8 @@ object Multimodal {
       StructField("doc_id", LongType),
       StructField("frame_idx", LongType),
       StructField("n_frames", LongType),
-      StructField("features", ArrayType(DoubleType))))
+      StructField("features", ArrayType(DoubleType)),
+      StructField("hist", ArrayType(LongType))))
     val enc = org.apache.spark.sql.Encoders.row(frameSchema)
     src.select(col("doc_id"), col("payload"))
       .flatMap { r =>
@@ -106,9 +140,21 @@ object Multimodal {
         val sampled = frames.zipWithIndex.filter(_._2 % stride == 0)
         sampled.map { case (frame, idx) =>
           Row(r.getAs[Long]("doc_id"), idx.toLong, sampled.length.toLong,
-            stubResize(stubDecode(frame), resizeDim).toSeq)
+            stubResize(stubDecode(frame), resizeDim).toSeq,
+            stubResizeCounts(stubHistogram(frame), resizeDim).toSeq)
         }
       }(enc)
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Driver-facing projection of [[mmFrameSample]]: per-frame resized
+    * histogram counts widened to BIGINT columns `c0..c3`. Folding the
+    * 16 byte-mod bins into 4 means `c_j` counts bytes with
+    * `byte % 4 == j` — exactly what the DuckDB oracle computes. */
+  def mmFrameSampleChecked(s: SparkSession, dir: String, resizeDim: Int = 4): DataFrame = {
+    val bins = (0 until resizeDim).map(j => col("hist")(j).as(s"c$j"))
+    mmFrameSample(s, dir, resizeDim = resizeDim)
+      .select(col("doc_id") +: col("frame_idx") +: col("n_frames") +: bins: _*)
       .orderBy("doc_id", "frame_idx")
   }
 
