@@ -332,5 +332,114 @@ object SparkEntry {
         | (1 + CASE WHEN l_discount <> 0 THEN 1 ELSE 0 END
         |    + CASE WHEN l_tax <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_active
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q15_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_parts, TRUE AS within_2pct
+        |FROM lineitem""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same shingle/threshold math as Dedup.dedupNgramJaccard (n=12,
+    // tau=0.8) over raw substrings instead of xxhash64 shingle hashes:
+    // Jaccard on distinct substring sets equals Jaccard on distinct
+    // hash sets barring a 64-bit collision. DuckDB `/` on BIGINT is
+    // float division, matching Spark's double math; the filter applies
+    // to the ROUNDED score exactly as the Spark plan does.
+    "dedup_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INT), 12) AS g
+        |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 11, 1) + 1)) AS i
+        |        FROM documents)
+        |),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, round(c / (sa.sz + sb.sz - c), 4) AS jaccard
+        |FROM common
+        |JOIN sz sa ON sa.doc_id = id_a
+        |JOIN sz sb ON sb.doc_id = id_b
+        |WHERE round(c / (sa.sz + sb.sz - c), 4) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
+    // Connected components over the same near-dup pair list, via
+    // transitive closure (recursive CTE): cluster label = min doc_id
+    // reachable, exactly the fixpoint Dedup.connectedComponents'
+    // min-label propagation converges to.
+    "dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INT), 12) AS g
+        |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 11, 1) + 1)) AS i
+        |        FROM documents)
+        |),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE round(c / (sa.sz + sb.sz - c), 4) >= 0.8
+        |),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |),
+        |labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src)
+        |SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+        |       d.doc_id = coalesce(l.cluster_id, d.doc_id) AS keep
+        |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+    // Exact nearest neighbor per vector — the unnest/dot-product
+    // pattern proven by the sim_bruteforce_topk oracle, with every
+    // vector as a query and rank-1 kept. Tie-break (equal cosine →
+    // smaller id) mirrors the Spark kernel's comparison.
+    "dedup_embedding" ->
+      """WITH ex AS (
+        |  SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+        |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+        |  GROUP BY 1, 2),
+        |cos AS (
+        |  SELECT id_a, id_b, d.dot / (na.nrm * nb.nrm) AS c
+        |  FROM dots d JOIN norms na ON na.vec_id = d.id_a JOIN norms nb ON nb.vec_id = d.id_b)
+        |SELECT id_a, id_b AS nearest, round(c, 4) AS cosine, round(c, 4) >= 0.9 AS is_dup
+        |FROM (SELECT id_a, id_b, c,
+        |        row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS rn FROM cos)
+        |WHERE rn = 1 ORDER BY id_a""".stripMargin,
+    // Mirrors TextAnalysis.LangProfiles exactly: per-language hit-rate
+    // scores (profile regex count / word count), argmax with Spark's
+    // struct-max tie-break (max score, then max language code).
+    "text_langid" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang AS lang_true,
+        |    greatest(len(regexp_extract_all(text, '\S+')), 1) AS w,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|is|was|that|with|for)\b')) AS h_en,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|mit|ein)\b')) AS h_de,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|que|des|une)\b')) AS h_fr,
+        |    len(regexp_extract_all(lower(text), '\b(el|la|los|las|es|que|de|una)\b')) AS h_es,
+        |    len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) AS h_zh
+        |  FROM documents),
+        |un AS (
+        |  SELECT doc_id, lang_true, code, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, code DESC) AS rn
+        |  FROM (
+        |    SELECT doc_id, lang_true, 'en' AS code, h_en / w AS score FROM sc
+        |    UNION ALL SELECT doc_id, lang_true, 'de', h_de / w FROM sc
+        |    UNION ALL SELECT doc_id, lang_true, 'fr', h_fr / w FROM sc
+        |    UNION ALL SELECT doc_id, lang_true, 'es', h_es / w FROM sc
+        |    UNION ALL SELECT doc_id, lang_true, 'zh', h_zh / w FROM sc))
+        |SELECT doc_id, lang_true, code AS lang_pred FROM un
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
   )
 }

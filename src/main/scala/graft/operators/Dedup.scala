@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.CacheRegistry.Cacheable
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -55,7 +56,7 @@ object Dedup {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), sort_array(expr(shingleExpr(n))).as("shingles"))
       .withColumn("sz", size(col("shingles")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked
     // Canonical order = ascending document frequency (PPJoin): the
     // prefix then holds each document's RAREST shingles, so candidate
     // pairs stay near-linear even when the corpus shares vocabulary.
@@ -66,7 +67,7 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("dfreq"), col("sh")))).as("ord"))
       .select(col("doc_id"), transform(col("ord"), x => x.getField("sh")).as("by_rarity"),
         size(col("ord")).as("sz"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked
     // Candidate generation shuffles ONLY (shingle, doc_id) pairs from
     // the prefixes — never the shingle arrays.
     val ex = ordered
@@ -137,7 +138,7 @@ object Dedup {
       .groupBy("doc_id")
       .agg(minhashAggs(col("h"), numPerms).head, minhashAggs(col("h"), numPerms).tail: _*)
       .select(col("doc_id"), array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked
     val banded = docs.select(
       col("doc_id"), col("sig"),
       explode(array((0 until numBands).map { bIdx =>
@@ -193,7 +194,7 @@ object Dedup {
     val docs = simhashFromTokens(Tables.documents(s, dir).select(
       col("doc_id"),
       expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("toks")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked
     val chunked = docs.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map { c =>
         struct(lit(c).as("chunk"),
@@ -228,10 +229,10 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .coalesce(4)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked
     // Labels only ever decrease, so sum(label) strictly decreases
     // until fixpoint — a one-aggregate convergence probe instead of a
     // join + count per round.
@@ -245,7 +246,7 @@ object Dedup {
         .agg(min(col("nl")).as("nmin"))
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .cacheTracked
       val newSum = updated.agg(sum("label")).collect().head.getLong(0)
       labels.unpersist()
       labels = updated
@@ -273,36 +274,67 @@ object Dedup {
   // --- embedding near-dup --------------------------------------------
 
   /** Embedding-cosine nearest neighbor per vector (is_dup flags pairs
-    * above tau). The corpus is collected + broadcast (fits executor
-    * memory up to ~10M×64 dims; beyond that the 100 TB path is the
-    * LSH bucketing in Similarity.simLshAnn) and each partition scans
-    * its rows against it in a JIT'd primitive loop — map-only, no
-    * shuffle. Always emits one row per vector so the rows-only gate
-    * is meaningful. */
-  def dedupEmbedding(s: SparkSession, dir: String, tau: Double = 0.9): DataFrame = {
-    import s.implicits._
-    val e = Similarity.vectors(s, dir)
-    val corpus = e.collect().map { case (id, v) => (id, v, Similarity.l2(v)) }.sortBy(_._1)
-    val cb = s.sparkContext.broadcast(corpus)
-    e.mapPartitions { rows =>
-      val cs = cb.value
-      rows.map { case (id, v) =>
-        val nrm = Similarity.l2(v)
-        var bestCos = -2.0; var bestId = Long.MaxValue
-        var i = 0
-        while (i < cs.length) {
-          val (cid, cv, cn) = cs(i)
-          if (cid != id) {
-            val cos = Similarity.dotp(v, cv) / (nrm * cn)
-            if (cos > bestCos || (cos == bestCos && cid < bestId)) { bestCos = cos; bestId = cid }
+    * at/above tau). EXACT all-pairs search, distributed as a blocked
+    * self-join: the corpus is grouped into `nBlocks` chunk rows
+    * (block → array<struct<id, v, nrm>>), each query row is
+    * replicated once per block through a shuffled equi-join (never a
+    * driver collect or broadcast of the corpus), and a JIT'd
+    * primitive loop scans each (query, chunk) pair keeping the
+    * per-block argmax; a final window picks the global argmax from
+    * the nBlocks candidates per query. Shuffle volume: corpus once
+    * (chunking) + queries × nBlocks — no O(n²) rows materialize.
+    * Exact NN is inherently quadratic COMPUTE; the sub-quadratic
+    * scale path is the LSH/IVF family in [[Similarity]]. */
+  def dedupEmbedding(s: SparkSession, dir: String, tau: Double = 0.9, nBlocks: Int = 16): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val v = Similarity.vectors(s, dir).toDF("id", "v")
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    val chunks = v.groupBy(pmod(col("id"), lit(nBlocks.toLong)).as("block"))
+      .agg(collect_list(struct(col("id"), col("v"), col("nrm"))).as("chunk"))
+    val q = v.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+      explode(sequence(lit(0L), lit(nBlocks - 1L))).as("block"))
+    val outSchema = StructType(Seq(
+      StructField("id_a", LongType), StructField("nearest", LongType),
+      StructField("cos", DoubleType)))
+    // shuffle_hash keeps the chunk side out of a BroadcastExchange —
+    // chunk rows are corpus-fraction sized, and the join must stay a
+    // partitioned shuffle for the pattern to hold at 100 TB.
+    val perBlock = q.join(chunks.hint("shuffle_hash"), Seq("block"))
+      .select("block", "qid", "qv", "qn", "chunk")
+      .mapPartitions { rows =>
+        // Chunk rows repeat per query within a partition (the join is
+        // hash-partitioned on block) — decode each block's array to
+        // primitive form once, not once per query.
+        val decoded = scala.collection.mutable.LongMap.empty[Array[(Long, Array[Double], Double)]]
+        rows.map { r =>
+          val chunk = decoded.getOrElseUpdate(r.getLong(0),
+            r.getSeq[Row](4).map(c =>
+              (c.getLong(0), c.getSeq[Double](1).toArray, c.getDouble(2))).toArray)
+          val qid = r.getLong(1)
+          val qv = r.getSeq[Double](2).toArray
+          val qn = r.getDouble(3)
+          var bestCos = -2.0
+          var bestId = Long.MaxValue
+          var i = 0
+          while (i < chunk.length) {
+            val (cid, cv, cn) = chunk(i)
+            if (cid != qid) {
+              val cos = Similarity.dotp(qv, cv) / (qn * cn)
+              if (cos > bestCos || (cos == bestCos && cid < bestId)) { bestCos = cos; bestId = cid }
+            }
+            i += 1
           }
-          i += 1
+          Row(qid, bestId, bestCos)
         }
-        (id, bestId, bestCos)
-      }
-    }.toDF("id_a", "nearest", "cos")
+      }(Encoders.row(outSchema))
+    perBlock
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id_a")
+          .orderBy(col("cos").desc, col("nearest"))))
+      .filter(col("rn") === 1)
       .select(col("id_a"), col("nearest"), round(col("cos"), 4).as("cosine"),
-        (col("cos") >= tau).as("is_dup"))
+        (round(col("cos"), 4) >= tau).as("is_dup"))
       .orderBy("id_a")
   }
 }

@@ -172,14 +172,19 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
-  /** HLL approximate distinct vs exact (rows-only: HLL estimates are
-    * engine-specific by design). At 100 TB the approx path avoids the
-    * expand+shuffle that exact distinct needs. */
+  /** HLL approximate distinct vs exact. The HLL estimate itself is
+    * engine-specific, so the hard signal is `within_2pct`: the oracle
+    * checks the exact count AND that the estimate landed within 2% of
+    * it (rsd is configured at 1%). At 100 TB the approx path avoids
+    * the expand+shuffle that exact distinct needs. */
   def q15ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("exact_parts"),
+        (abs(col("approx") - col("exact_parts")).cast("double") <=
+          col("exact_parts").cast("double") * 0.02).as("within_2pct"))
 
   /** Pivot (crosstab): order counts by priority × status. Missing
     * combinations coalesce to 0 to match SQL conditional counts. */

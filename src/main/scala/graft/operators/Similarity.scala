@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.CacheRegistry.Cacheable
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -136,7 +137,7 @@ object Similarity {
       // normalize so L2 k-means approximates cosine cells (spherical k-means)
       .withColumn("nv", transform(col("v"), x => x / sqrt(aggregate(col("v"), lit(0.0), (a, y) => a + y * y))))
       .withColumn("fv", array_to_vector(col("nv")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .cacheTracked
     val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("bucket")
     val model = km.fit(e)

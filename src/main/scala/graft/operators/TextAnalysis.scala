@@ -115,13 +115,20 @@ object TextAnalysis {
         round(avg(length(col("text"))), 4).as("avg_chars"))
       .orderBy("lang", "source")
 
-  /** 64-bit document fingerprint: polynomial rolling hash over the
-    * normalized text, expressed as xxhash64 of the collapsed-whitespace
-    * lowercase body (codegen'd, shuffle-free; rows-only check). */
+  /** 128-bit document fingerprint: MD5 over the collapsed-whitespace
+    * lowercase body (codegen'd, shuffle-free). MD5 rather than
+    * xxhash64 so the DuckDB oracle can mirror it bit-for-bit; a
+    * 64-bit variant for shuffle-key use is `fingerprint64`. */
   def textFingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(
         col("doc_id"),
-        xxhash64(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"))
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"))
       .orderBy("doc_id")
+
+  /** 64-bit fingerprint (xxhash64 of the normalized body) — the form a
+    * dedup shuffle key would use; engine-specific, so spec-checked
+    * rather than oracle-checked. */
+  def fingerprint64(textCol: Column): Column =
+    xxhash64(regexp_replace(lower(textCol), "\\s+", " "))
 }

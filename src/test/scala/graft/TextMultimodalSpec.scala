@@ -31,7 +31,13 @@ class TextMultimodalSpec extends SparkSpec {
   test("fingerprint is deterministic and whitespace-normalized") {
     val a = TextAnalysis.textFingerprint(spark, Sf).collect()
     val b = TextAnalysis.textFingerprint(spark, Sf).collect()
-    assert(a.map(_.getLong(1)).sameElements(b.map(_.getLong(1))))
+    assert(a.map(_.getString(1)).sameElements(b.map(_.getString(1))))
+    // 64-bit variant: equal texts modulo whitespace runs collide
+    import spark.implicits._
+    val fp = Seq("a  b\tc", "a b c", "a b  c ").toDF("text")
+      .select(TextAnalysis.fingerprint64(org.apache.spark.sql.functions.col("text")).as("fp"))
+      .collect().map(_.getLong(0))
+    assert(fp(0) == fp(1) && fp(1) != fp(2)) // trailing space survives collapse
   }
 
   test("text_stats: tokens ≥ words, chars equal source length") {
