@@ -40,7 +40,8 @@ object DecisionTree {
       .setMaxDepth(maxDepth)
       .setMaxBins(maxBins)
       .setFeaturesCol(FeatureVectorizer.FeaturesCol)
-      .setLabelCol(spec.labelField)
+      // `prepared` carries sanitized (hyphen→underscore) column names
+      .setLabelCol(spec.sanitizedLabel)
       .setSeed(42L)
     val model = dt.fit(prepared)
     model.write.overwrite().save(modelPath)

@@ -26,6 +26,16 @@ final case class FeatureSpec(
 
   def sanitizedLabel: String = FeatureSpec.sanitize(labelField)
 
+  /** The spec with every field reference hyphen-sanitized — the form
+    * that matches a frame whose columns have been renamed for MLlib
+    * (reference README "Limitations": hyphens → underscores before
+    * anything reaches the learner). */
+  def sanitized: FeatureSpec = FeatureSpec(
+    include.map(_.map(FeatureSpec.sanitize)),
+    exclude.map(_.map(FeatureSpec.sanitize)),
+    FeatureSpec.sanitize(labelField),
+    cardinality.map { case (k, v) => FeatureSpec.sanitize(k) -> v })
+
   /** Ordered feature columns for `schema`, mirroring the reference's
     * getFeatureList: schema order, label excluded. Throws
     * IllegalArgumentException with reference-equivalent messages. */

@@ -22,9 +22,22 @@ object FeatureVectorizer {
 
   val FeaturesCol = "features"
 
+  /** Hyphenated column names rewritten to underscores, mirroring the
+    * reference's rename-before-MLlib step (README "Limitations",
+    * SparkMLTrainer's field handling): MLlib attribute metadata and
+    * model persistence want identifier-safe names. */
+  private[ml] def sanitizeColumns(df: DataFrame): DataFrame =
+    df.columns.foldLeft(df) { (d, c) =>
+      if (c.indexOf('-') >= 0) d.withColumnRenamed(c, FeatureSpec.sanitize(c)) else d
+    }
+
   /** Adds `features` (sparse ml.linalg vector + ML attribute metadata)
-    * assembled from `spec.featureColumns` in schema order. */
-  def assemble(df: DataFrame, spec: FeatureSpec): DataFrame = {
+    * assembled from `spec.featureColumns` in schema order. Hyphenated
+    * input columns (and the spec's references to them) are sanitized
+    * to underscores first. */
+  def assemble(df0: DataFrame, spec0: FeatureSpec): DataFrame = {
+    val df = sanitizeColumns(df0)
+    val spec = spec0.sanitized
     val cols = spec.featureColumns(df.schema)
     val n = cols.length
     val toVec = udf { xs: Array[java.lang.Double] =>

@@ -130,4 +130,25 @@ class DecisionTreeSpec extends SparkSpec {
   test("hyphenated field names sanitize to underscores") {
     assert(FeatureSpec.sanitize("days-of-week") == "days_of_week")
   }
+
+  test("hyphenated feature and label columns train and predict end-to-end") {
+    // the reference README's documented limitation, wired through:
+    // rename-before-MLlib must happen inside the pipeline, so a user
+    // frame with hyphenated names just works.
+    val hyphenated = flights
+      .withColumnRenamed("dofW", "day-of-week")
+      .withColumnRenamed("delayed", "is-delayed")
+    val spec = FeatureSpec(
+      include = Some(featureList.map(c => if (c == "dofW") "day-of-week" else c)),
+      labelField = "is-delayed",
+      cardinality = FeatureSpec.parseCardinality("day-of-week:7"))
+    val modelPath = java.nio.file.Files.createTempDirectory("graft-dt-hyphen").toString
+    DecisionTree.train(hyphenated, spec, modelPath, maxDepth = 3)
+    val model = DecisionTree.load(spark, modelPath)
+    val scored = DecisionTree.predict(
+      hyphenated.drop("is-delayed"), model, spec.copy(labelField = "unused"), "pred")
+    assert(scored.filter(col("pred").isNotNull).count() == flights.count())
+    // the scored frame keeps the (sanitized) feature column
+    assert(scored.columns.contains("day_of_week"))
+  }
 }
