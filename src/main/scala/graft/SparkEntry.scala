@@ -41,6 +41,8 @@ object SparkEntry {
     "q21_asof_latest" -> (Relational.q21AsofLatest(_, _)),
     "q22_sample" -> (Relational.q22Sample(_, _)),
     "q23_stratified" -> ((s, d) => Relational.q23Stratified(s, d)),
+    "q24_approx_percentile" -> (Relational.q24ApproxPercentile(_, _)),
+    "q25_salted_join" -> (Relational.q25SaltedJoin(_, _)),
     "text_normalize" -> (TextAnalysis.textNormalize(_, _)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
@@ -102,6 +104,48 @@ object SparkEntry {
       .select(col("l_orderkey"), col("l_linenumber"),
         nActive(col(FeatureVectorizer.FeaturesCol)).as("n_active"))
       .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** DuckDB replica of [[Similarity.simLshAnn]]: plane weights and
+    * probe masks inlined as literals so both engines hash vectors into
+    * the same sign-LSH buckets; candidate generation, cosine scoring
+    * and ranking then mirror the Spark plan step for step. */
+  private def lshOracleSql(nQueries: Int, k: Int, numPlanes: Int, dim: Int): String = {
+    val planes = Similarity.lshPlanes(numPlanes, dim)
+    val planeValues = (for (p <- 0 until numPlanes; i <- 0 until dim)
+      yield s"($p, ${i + 1}, ${planes(p)(i)})").mkString(", ")
+    val masks = Similarity.lshProbeMasks(numPlanes).mkString(", ")
+    s"""WITH planes(p, i, w) AS (VALUES $planeValues),
+       |ex AS (
+       |  SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |pdots AS (
+       |  SELECT e.vec_id, pl.p, sum(e.x * pl.w) AS d
+       |  FROM ex e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2),
+       |buckets AS (
+       |  SELECT vec_id, sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+       |  FROM pdots GROUP BY vec_id),
+       |masks(m) AS (SELECT unnest([$masks]::BIGINT[])),
+       |probes AS (
+       |  SELECT b.vec_id AS qid, xor(b.bucket, m.m) AS pb
+       |  FROM buckets b CROSS JOIN masks m WHERE b.vec_id < $nQueries),
+       |cand AS (
+       |  SELECT p.qid, c.vec_id FROM probes p
+       |  JOIN buckets c ON c.bucket = p.pb WHERE c.vec_id <> p.qid),
+       |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY vec_id),
+       |cdots AS (
+       |  SELECT cand.qid, cand.vec_id, sum(q.x * e.x) AS dot
+       |  FROM cand
+       |  JOIN ex q ON q.vec_id = cand.qid
+       |  JOIN ex e ON e.vec_id = cand.vec_id AND e.i = q.i
+       |  GROUP BY 1, 2),
+       |cos AS (
+       |  SELECT qid, cd.vec_id, dot / (nq.nrm * ne.nrm) AS c
+       |  FROM cdots cd JOIN norms nq ON nq.vec_id = qid JOIN norms ne ON ne.vec_id = cd.vec_id)
+       |SELECT qid, vec_id, round(c, 4) AS cosine, rn AS rank
+       |FROM (SELECT qid, vec_id, c,
+       |        row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn FROM cos)
+       |WHERE rn <= $k ORDER BY qid, rank""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -335,6 +379,22 @@ object SparkEntry {
     "q15_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts, TRUE AS within_2pct
         |FROM lineitem""".stripMargin,
+    "q24_approx_percentile" ->
+      """SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+        |  TRUE AS within_1pct
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q25_salted_join" ->
+      """WITH li AS (SELECT CAST(l_quantity AS BIGINT) AS qty, l_extendedprice FROM lineitem),
+        |dim AS (SELECT DISTINCT qty,
+        |          CASE WHEN qty >= 25 THEN 'high' ELSE 'low' END AS qty_tier FROM li)
+        |SELECT qty_tier, count(*) AS cnt, round(sum(l_extendedprice), 2) AS total
+        |FROM li JOIN dim USING (qty)
+        |GROUP BY qty_tier ORDER BY qty_tier""".stripMargin,
+    // Full sign-LSH multi-probe replica: the deterministic hyperplanes
+    // and probe masks are INLINED as literals (Double.toString
+    // round-trips exactly, so DuckDB computes the identical bucket
+    // bits), then candidates/cosine/rank mirror the Spark plan.
+    "sim_lsh_ann" -> lshOracleSql(nQueries = 5, k = 10, numPlanes = 6, dim = 64),
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -275,4 +275,38 @@ object Relational {
         round(col("value"), 2).as("last_value"))
       .orderBy("user_id")
   }
+
+  /** Approx-percentile twin of q17: the mergeable-sketch estimate
+    * next to the exact percentile, with a hard signal for the oracle
+    * (within 1% of the exact value per group). At 100 TB the approx
+    * path is one pass with mergeable per-partition sketches instead
+    * of the exact percentile's per-group full materialization. */
+  def q24ApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx"))
+      .select(col("l_returnflag"), col("p50_price"),
+        (abs(col("approx") - col("p50_price")) <= col("p50_price") * 0.01).as("within_1pct"))
+      .orderBy("l_returnflag")
+
+  /** Join on a deliberately hot key (l_quantity: ~50 distinct values
+    * across the whole fact table, so every key is a hot key) routed
+    * through [[Skew.saltedJoin]], then aggregated. The oracle is the
+    * PLAIN join's result: salting must be invisible in the output.
+    * This is the measurable evidence for the 100-TB skew story —
+    * the hot key fans out over saltFactor reducers instead of
+    * serializing on one. */
+  def q25SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_quantity").cast("long").as("qty"), col("l_extendedprice"))
+    val dim = Tables.lineitem(s, dir)
+      .select(col("l_quantity").cast("long").as("qty")).distinct()
+      .withColumn("qty_tier", when(col("qty") >= 25, "high").otherwise("low"))
+    Skew.saltedJoin(li, dim, "qty", saltFactor = 8)
+      .groupBy("qty_tier")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("total"))
+      .orderBy("qty_tier")
+  }
 }

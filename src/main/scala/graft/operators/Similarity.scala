@@ -112,6 +112,17 @@ object Similarity {
     Array.fill(numPlanes)(Array.fill(dim)(next()))
   }
 
+  /** The deterministic hyperplanes, exposed so the oracle SQL can
+    * inline the exact same constants. */
+  def lshPlanes(numPlanes: Int = 6, dim: Int = 64): Array[Array[Double]] =
+    hyperplanes(numPlanes, dim)
+
+  /** The multi-probe XOR masks (own bucket + all 1-bit and 2-bit
+    * flips), exposed for the same reason. */
+  def lshProbeMasks(numPlanes: Int = 6): Seq[Long] =
+    0L +: ((0 until numPlanes).map(i => 1L << i) ++
+      (for (i <- 0 until numPlanes; j <- (i + 1) until numPlanes) yield (1L << i) | (1L << j)))
+
   /** Sign-LSH bucket id: one bit per hyperplane (sign of the dot
     * product — equivalently of the cosine), packed into a long — a
     * pure codegen'd expression over the vector column. */
