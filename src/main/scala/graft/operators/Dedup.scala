@@ -290,35 +290,35 @@ object Dedup {
     import org.apache.spark.sql.types._
     val v = Similarity.vectors(s, dir).toDF("id", "v")
       .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
-    val chunks = v.groupBy(pmod(col("id"), lit(nBlocks.toLong)).as("block"))
+    val blocked = v.groupBy(pmod(col("id"), lit(nBlocks.toLong)).as("block"))
       .agg(collect_list(struct(col("id"), col("v"), col("nrm"))).as("chunk"))
-    val q = v.select(col("id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+    // Query side = the same chunks, each replicated across all blocks:
+    // the join yields the nBlocks² (query-chunk, corpus-chunk) pairs
+    // of a blocked matrix product, so each row deserializes TWO
+    // corpus-fraction arrays — total decode cost O(n·nBlocks), not the
+    // O(n²) a per-query-row replication would pay.
+    val qrep = blocked.select(col("chunk").as("qchunk"),
       explode(sequence(lit(0L), lit(nBlocks - 1L))).as("block"))
     val outSchema = StructType(Seq(
       StructField("id_a", LongType), StructField("nearest", LongType),
       StructField("cos", DoubleType)))
-    // shuffle_hash keeps the chunk side out of a BroadcastExchange —
-    // chunk rows are corpus-fraction sized, and the join must stay a
-    // partitioned shuffle for the pattern to hold at 100 TB.
-    val perBlock = q.join(chunks.hint("shuffle_hash"), Seq("block"))
-      .select("block", "qid", "qv", "qn", "chunk")
-      .mapPartitions { rows =>
-        // Chunk rows repeat per query within a partition (the join is
-        // hash-partitioned on block) — decode each block's array to
-        // primitive form once, not once per query.
-        val decoded = scala.collection.mutable.LongMap.empty[Array[(Long, Array[Double], Double)]]
-        rows.map { r =>
-          val chunk = decoded.getOrElseUpdate(r.getLong(0),
-            r.getSeq[Row](4).map(c =>
-              (c.getLong(0), c.getSeq[Double](1).toArray, c.getDouble(2))).toArray)
-          val qid = r.getLong(1)
-          val qv = r.getSeq[Double](2).toArray
-          val qn = r.getDouble(3)
+    def decode(r: Row, ord: Int): Array[(Long, Array[Double], Double)] =
+      r.getSeq[Row](ord).map(c =>
+        (c.getLong(0), c.getSeq[Double](1).toArray, c.getDouble(2))).toArray
+    // shuffle_hash keeps the corpus side out of a BroadcastExchange —
+    // the join must stay a partitioned shuffle for the pattern to
+    // hold at 100 TB.
+    val perPair = qrep.join(blocked.hint("shuffle_hash"), Seq("block"))
+      .select("qchunk", "chunk")
+      .flatMap { r =>
+        val qs = decode(r, 0)
+        val cs = decode(r, 1)
+        qs.iterator.map { case (qid, qv, qn) =>
           var bestCos = -2.0
           var bestId = Long.MaxValue
           var i = 0
-          while (i < chunk.length) {
-            val (cid, cv, cn) = chunk(i)
+          while (i < cs.length) {
+            val (cid, cv, cn) = cs(i)
             if (cid != qid) {
               val cos = Similarity.dotp(qv, cv) / (qn * cn)
               if (cos > bestCos || (cos == bestCos && cid < bestId)) { bestCos = cos; bestId = cid }
@@ -328,7 +328,7 @@ object Dedup {
           Row(qid, bestId, bestCos)
         }
       }(Encoders.row(outSchema))
-    perBlock
+    perPair
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("id_a")
           .orderBy(col("cos").desc, col("nearest"))))
