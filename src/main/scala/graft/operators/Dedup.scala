@@ -244,9 +244,13 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nl"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("nl")).as("nmin"))
+      // Lazy local checkpoint: the convergence probe below is the
+      // materializing action, and the lineage is truncated so round
+      // N's plan doesn't re-analyze rounds 1..N-1 (per-round planning
+      // stays flat over the iteration).
       val updated = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .cacheTracked
+        .localCheckpoint(false)
       val newSum = updated.agg(sum("label")).collect().head.getLong(0)
       labels.unpersist()
       labels = updated
