@@ -43,6 +43,9 @@ object SparkEntry {
     "q23_stratified" -> ((s, d) => Relational.q23Stratified(s, d)),
     "q24_approx_percentile" -> (Relational.q24ApproxPercentile(_, _)),
     "q25_salted_join" -> (Relational.q25SaltedJoin(_, _)),
+    "q26_asof_join" -> (Relational.q26AsofJoin(_, _)),
+    "q27_range_join" -> (Relational.q27RangeJoin(_, _)),
+    "q28_sessionize" -> ((s, d) => Relational.q28Sessionize(s, d)),
     "text_normalize" -> (TextAnalysis.textNormalize(_, _)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
@@ -390,6 +393,35 @@ object SparkEntry {
         |SELECT qty_tier, count(*) AS cnt, round(sum(l_extendedprice), 2) AS total
         |FROM li JOIN dim USING (qty)
         |GROUP BY qty_tier ORDER BY qty_tier""".stripMargin,
+    "q26_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id,
+        |  round(p.value, 2) AS purchase_value,
+        |  round(c.value, 2) AS last_click_value,
+        |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_s
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "q27_range_join" ->
+      """WITH bands(band_id, lo, hi) AS (VALUES
+        |  (1, 1.0, 9.0), (2, 10.0, 24.0), (3, 25.0, 39.0), (4, 40.0, 50.0))
+        |SELECT band_id, count(*) AS cnt, round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem JOIN bands ON l_quantity BETWEEN lo AND hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
+    "q28_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_seq
+        |  FROM e)
+        |SELECT user_id, sess_seq, count(*) AS n_events, round(sum(value), 2) AS sess_value,
+        |  CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us
+        |FROM s GROUP BY user_id, sess_seq ORDER BY user_id, sess_seq""".stripMargin,
     // Full sign-LSH multi-probe replica: the deterministic hyperplanes
     // and probe masks are INLINED as literals (Double.toString
     // round-trips exactly, so DuckDB computes the identical bucket

@@ -27,10 +27,11 @@ object Tables {
     val df = apply(s, dir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
+        // Integer `div`, not `/`: double division of ~1.7e18 nanos loses
+        // up to ~256 ns (53-bit mantissa) and shifts some rows ±1 us.
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
-            (org.apache.spark.sql.functions.col("ts") / 1000L)
-              .cast(org.apache.spark.sql.types.LongType)))
+            org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => df
     }
   }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -308,5 +308,82 @@ object Relational {
       .groupBy("qty_tier")
       .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("total"))
       .orderBy("qty_tier")
+  }
+
+  /** As-of join, Spark-first: instead of a per-row lookup join (which
+    * Spark would plan as a range/NL join), tag both sides, UNION, and
+    * run ONE window per user ordered by time — each purchase row picks
+    * up the latest prior click via a running `last(click, ignoreNulls)`.
+    * One shuffle + one sort, no join explosion; at 100 TB this is the
+    * only as-of formulation that scales (cost = sort of the union,
+    * not |left|x|right|). Clicks sort before purchases at equal ts,
+    * matching ASOF's `>=` semantics. */
+  def q26AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val us = unix_micros(col("ts"))
+    val tagged = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), us.as("ts_us"), col("value"), lit(1).as("side"))
+      .unionAll(e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), us.as("ts_us"), col("value"), lit(0).as("side")))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_us"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click",
+        last(when(col("side") === 0, struct(col("ts_us"), col("value"))), ignoreNulls = true).over(w))
+      .filter(col("side") === 1 && col("last_click").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        round(col("value"), 2).as("purchase_value"),
+        round(col("last_click.value"), 2).as("last_click_value"),
+        ((col("ts_us") - col("last_click.ts_us")) / 1000000L).cast("long").as("gap_s"))
+      .orderBy("event_id")
+  }
+
+  /** Generic binned range join: a `value BETWEEN lo AND hi` predicate
+    * re-expressed as an equi-join — the fact side keys on
+    * floor(value/binWidth), each dim range explodes into the bins it
+    * covers, and a residual BETWEEN filter removes bin-edge false
+    * positives. Turns Spark's BroadcastNestedLoop/Cartesian range
+    * plan into a hash join: at 100 TB the fact table hashes on a
+    * fixed-width key instead of probing every range per row. */
+  def rangeJoinBinned(fact: DataFrame, value: Column, dim: DataFrame,
+                      lo: Column, hi: Column, binWidth: Double): DataFrame = {
+    val f = fact.withColumn("__bin", floor(value / binWidth).cast("long"))
+    val d = dim.withColumn("__bin",
+      explode(sequence(floor(lo / binWidth).cast("long"), floor(hi / binWidth).cast("long"))))
+    f.join(broadcast(d), Seq("__bin")).filter(value.between(lo, hi)).drop("__bin")
+  }
+
+  /** Range join demo over unequal-width quantity bands, aggregated per
+    * band; oracle = the plain BETWEEN join. */
+  def q27RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq((1L, 1.0, 9.0), (2L, 10.0, 24.0), (3L, 25.0, 39.0), (4L, 40.0, 50.0))
+      .toDF("band_id", "lo", "hi")
+    rangeJoinBinned(Tables.lineitem(s, dir).select("l_quantity", "l_extendedprice"),
+      col("l_quantity"), bands, col("lo"), col("hi"), binWidth = 8.0)
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("total"))
+      .orderBy("band_id")
+  }
+
+  /** Batch sessionization (gaps-and-islands): a new session starts
+    * after a >30 min silence; one window pass marks boundaries, a
+    * running sum numbers sessions, then a per-session aggregate.
+    * Shuffles once on user_id; the streaming twin lives in
+    * graft.streaming.EventStream. */
+  def q28Sessionize(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("new_sess",
+        when(lag("us", 1).over(w).isNull || col("us") - lag("us", 1).over(w) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_seq",
+        sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_seq")
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 2).as("sess_value"),
+        (max(col("us")) - min(col("us"))).as("duration_us"))
+      .orderBy("user_id", "sess_seq")
   }
 }
