@@ -44,4 +44,60 @@ class RelationalSpec extends SparkSpec {
     assert(grand.length == 1)
     assert(grand.head.getAs[Long]("cnt") == Tables.orders(spark, Sf).count())
   }
+
+  test("q26_asof_join matches a naive latest-click-before-purchase scan") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, Sf)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      .collect()
+    val clicksByUser = ev.filter(_.getAs[String]("event_type") == "click")
+      .groupBy(_.getAs[Long]("user_id"))
+    val expected = ev.filter(_.getAs[String]("event_type") == "purchase").flatMap { p =>
+      clicksByUser.getOrElse(p.getAs[Long]("user_id"), Array.empty)
+        .filter(_.getAs[Long]("us") <= p.getAs[Long]("us"))
+        .sortBy(c => (c.getAs[Long]("us"), c.getAs[Long]("event_id")))
+        .lastOption
+        .map(c => p.getAs[Long]("event_id") ->
+          (p.getAs[Long]("us") - c.getAs[Long]("us")) / 1000000L)
+    }.toMap
+    val got = Relational.q26AsofJoin(spark, Sf).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("gap_s")).toMap
+    assert(got == expected)
+  }
+
+  test("q27_range_join equals the plain BETWEEN join") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val bands = Seq((1L, 1.0, 9.0), (2L, 10.0, 24.0), (3L, 25.0, 39.0), (4L, 40.0, 50.0))
+      .toDF("band_id", "lo", "hi")
+    val naive = Tables.lineitem(spark, Sf)
+      .join(bands, col("l_quantity").between(col("lo"), col("hi")))
+      .groupBy("band_id")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("total"))
+      .orderBy("band_id").collect()
+    val got = Relational.q27RangeJoin(spark, Sf).collect()
+    assert(got.toSeq == naive.toSeq)
+  }
+
+  test("q28_sessionize: session count and totals match a naive per-user walk") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"), col("value"))
+      .collect()
+    val gapUs = 30L * 60 * 1000000
+    var expectedSessions = 0L
+    var expectedEvents = 0L
+    ev.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rows) =>
+      val ts = rows.map(r => (r.getAs[Long]("us"), r.getAs[Long]("event_id"))).sorted
+      expectedEvents += ts.length
+      val t = ts.map(_._1)
+      expectedSessions += 1L + t.zip(t.drop(1)).count { case (a, b) => b - a > gapUs }
+    }
+    val got = Relational.q28Sessionize(spark, Sf).collect()
+    assert(got.length == expectedSessions)
+    assert(got.map(_.getAs[Long]("n_events")).sum == expectedEvents)
+    // every session's duration is consistent with its event count
+    assert(got.forall(r => r.getAs[Long]("n_events") >= 1 && r.getAs[Long]("duration_us") >= 0))
+  }
 }
