@@ -151,7 +151,76 @@ object SparkEntry {
        |WHERE rn <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** DuckDB replica of [[operators.Dedup.dedupMinhashLsh]]: the
+    * splitmix (a,b) permutation constants are inlined so both engines
+    * run the identical permutation family over the identical
+    * md5-derived 60-bit shingle hash. Banding joins on the raw
+    * 4-minhash band tuple — the Spark side xxhash64's that tuple only
+    * to shrink the shuffle key, so the candidate sets are identical
+    * barring a 64-bit band-hash collision. */
+  private def minhashOracleSql(n: Int, numPerms: Int, rowsPerBand: Int, tau: Double): String = {
+    val p = operators.Dedup.MersennePrime
+    val mins = (0 until numPerms).map { i =>
+      val (a, b) = operators.Dedup.perm(i)
+      s"min((h % $p * $a + $b) % $p)"
+    }.mkString(", ")
+    val numBands = numPerms / rowsPerBand
+    s"""WITH shg AS (
+       |  SELECT DISTINCT doc_id,
+       |    ('0x' || substr(md5(substr(lower(text), CAST(i AS INT), $n)), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - ${n - 1}, 1) + 1)) AS i
+       |        FROM documents)),
+       |sig AS (SELECT doc_id, [$mins] AS sig FROM shg GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, sig, band,
+       |    list_slice(sig, CAST($rowsPerBand*band + 1 AS INT), CAST($rowsPerBand*band + $rowsPerBand AS INT)) AS key
+       |  FROM sig, range(0, $numBands) br(band)),
+       |cand AS (
+       |  SELECT DISTINCT ba.doc_id AS id_a, bb.doc_id AS id_b
+       |  FROM banded ba JOIN banded bb
+       |    ON ba.band = bb.band AND ba.key = bb.key AND ba.doc_id < bb.doc_id),
+       |est AS (
+       |  SELECT id_a, id_b,
+       |    round(CAST(list_sum(list_transform(range(1, ${numPerms + 1}),
+       |      i -> CASE WHEN sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)] THEN 1 ELSE 0 END)) AS DOUBLE) / $numPerms, 4) AS est_jaccard
+       |  FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+       |SELECT id_a, id_b, est_jaccard FROM est
+       |WHERE est_jaccard >= $tau ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB replica of [[operators.Dedup.dedupSimhash]]: identical
+    * md5-derived token hash, 64 per-bit majority counts, identical
+    * bit-pack, pigeonhole 16-bit chunk candidates, bit_count(xor)
+    * verification. Generated (64 aggregate columns) like the LSH
+    * oracle. */
+  private def simhashOracleSql(maxHamming: Int): String = {
+    val bitCounts = (0 until 64)
+      .map(b => s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE 0 END) AS b$b").mkString(", ")
+    val packed = (0 until 64)
+      .map(b => s"(CASE WHEN b$b * 2 > n_tok THEN (1::BIGINT << $b) ELSE 0::BIGINT END)")
+      .mkString(" + ")
+    s"""WITH th AS (
+       |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id,
+       |          unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')) AS t
+       |        FROM documents)),
+       |agg AS (SELECT doc_id, count(*) AS n_tok, $bitCounts FROM th GROUP BY doc_id),
+       |shs AS (SELECT doc_id, $packed AS sh FROM agg),
+       |chunked AS (
+       |  SELECT doc_id, sh, chunk, (sh >> CAST(16*chunk AS INT)) & 65535 AS cv
+       |  FROM shs, range(0, 4) cr(chunk)),
+       |cand AS (
+       |  SELECT DISTINCT ca.doc_id AS id_a, cb.doc_id AS id_b,
+       |    CAST(bit_count(xor(ca.sh, cb.sh)) AS BIGINT) AS hamming
+       |  FROM chunked ca JOIN chunked cb
+       |    ON ca.chunk = cb.chunk AND ca.cv = cb.cv AND ca.doc_id < cb.doc_id)
+       |SELECT id_a, id_b, hamming FROM cand
+       |WHERE hamming <= $maxHamming ORDER BY id_a, id_b""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_minhash_lsh" -> minhashOracleSql(n = 9, numPerms = 32, rowsPerBand = 4, tau = 0.8),
+    "dedup_simhash" -> simhashOracleSql(maxHamming = 3),
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

@@ -39,6 +39,18 @@ object Dedup {
   private[operators] def shingleExpr(n: Int): String =
     s"array_distinct(transform(sequence(1, greatest(length(text) - ${n - 1}, 1)), i -> xxhash64(substring(lower(text), i, $n))))"
 
+  /** 60-bit hash from the first 15 hex digits of md5 — chosen over
+    * xxhash64 for the minhash/simhash base hash because the DuckDB
+    * oracle can recompute it exactly (`('0x'||substr(md5(x),1,15))
+    * ::BIGINT`), turning both sketches from rows-only into
+    * hash-verified queries. Always positive, so `pmod` == `%`. */
+  private[graft] def md5Hash60Sql(inner: String): String =
+    s"cast(conv(substring(md5($inner), 1, 15), 16, 10) as bigint)"
+
+  /** Shingle variant on the oracle-reproducible md5 hash. */
+  private[operators] def shingleExprMd5(n: Int): String =
+    s"array_distinct(transform(sequence(1, greatest(length(text) - ${n - 1}, 1)), i -> ${md5Hash60Sql(s"substring(lower(text), i, $n)")}))"
+
   /** n-gram Jaccard dedup with PPJoin-style prefix filtering: a pair
     * with J ≥ τ must share a shingle within the first
     * |A| − ⌈τ·|A|⌉ + 1 elements of a canonical (sorted-by-hash)
@@ -99,9 +111,11 @@ object Dedup {
 
   /** Mersenne31: keeps a*h+b within 62 bits, so the minhash arithmetic
     * never overflows a long inside the expression tree. */
-  private val MersennePrime = (1L << 31) - 1
-  /** Deterministic (a, b) per permutation — splitmix-style constants. */
-  private def perm(i: Int): (Long, Long) = {
+  private[graft] val MersennePrime = (1L << 31) - 1
+  /** Deterministic (a, b) per permutation — splitmix-style constants.
+    * `private[graft]`: the DuckDB oracle generator inlines the same
+    * constants so both engines run the identical permutation family. */
+  private[graft] def perm(i: Int): (Long, Long) = {
     var x = 0x9e3779b97f4a7c15L * (i + 1)
     x ^= x >>> 30; x *= 0xbf58476d1ce4e5b9L
     val a = math.abs(x % (MersennePrime - 1)) + 1
@@ -134,7 +148,7 @@ object Dedup {
     // Signatures feed the banding explode AND two verification joins;
     // persist so the explode + 32 min-aggregates run once.
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(expr(shingleExpr(n))).as("h"))
+      .select(col("doc_id"), explode(expr(shingleExprMd5(n))).as("h"))
       .groupBy("doc_id")
       .agg(minhashAggs(col("h"), numPerms).head, minhashAggs(col("h"), numPerms).tail: _*)
       .select(col("doc_id"), array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
@@ -180,7 +194,7 @@ object Dedup {
       when(col(s"b$b") * 2 > col("n_tok"), shiftleft(lit(1L), b)).otherwise(lit(0L))
     }.reduce((x, y) => x.bitwiseOR(y))
     docs.select(col("doc_id"), explode(col("toks")).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .select(col("doc_id"), expr(md5Hash60Sql("t")).as("h"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tok"), bitCounts: _*)
       .select(col("doc_id"), packed.as("sh"))
