@@ -46,6 +46,9 @@ object SparkEntry {
     "q26_asof_join" -> (Relational.q26AsofJoin(_, _)),
     "q27_range_join" -> (Relational.q27RangeJoin(_, _)),
     "q28_sessionize" -> ((s, d) => Relational.q28Sessionize(s, d)),
+    "q29_json" -> (Relational.q29Json(_, _)),
+    "q30_window_funcs" -> (Relational.q30WindowFuncs(_, _)),
+    "q31_month_trend" -> (Relational.q31MonthTrend(_, _)),
     "text_normalize" -> (TextAnalysis.textNormalize(_, _)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
@@ -58,6 +61,7 @@ object SparkEntry {
     "sim_bruteforce_topk" -> ((s, d) => Similarity.simBruteforceTopK(s, d)),
     "sim_lsh_ann" -> ((s, d) => Similarity.simLshAnn(s, d)),
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
+    "emb_centroids" -> (Similarity.embCentroids(_, _)),
     // §2.5 text analysis
     "text_stats" -> (TextAnalysis.textStats(_, _)),
     "text_quality" -> (TextAnalysis.textQuality(_, _)),
@@ -65,6 +69,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.textFingerprint(_, _)),
     "pipe_quality_filter" -> ((s, d) => TextAnalysis.pipeQualityFilter(s, d)),
     "pipe_corpus_stats" -> (TextAnalysis.pipeCorpusStats(_, _)),
+    "pipe_train_mix" -> ((s, d) => TextAnalysis.pipeTrainMix(s, d)),
     // §2.7 multimodal
     "mm_meta" -> (Multimodal.mmMeta(_, _)),
     "mm_decode" -> (Multimodal.mmDecodeChecked(_, _)),
@@ -221,6 +226,47 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "dedup_minhash_lsh" -> minhashOracleSql(n = 9, numPerms = 32, rowsPerBand = 4, tau = 0.8),
     "dedup_simhash" -> simhashOracleSql(maxHamming = 3),
+    "q29_json" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k,
+        |  min(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        |  max(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q30_window_funcs" ->
+      """SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price,
+        |  lag(o_orderkey) OVER w AS prev_key,
+        |  lead(o_orderkey) OVER w AS next_key,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  round(percent_rank() OVER w, 4) AS pct_rank,
+        |  round(cume_dist() OVER w, 4) AS cume
+        |FROM orders WHERE o_orderstatus = 'F'
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, price, o_orderkey""".stripMargin,
+    "q31_month_trend" ->
+      """WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY 1)
+        |SELECT month, cnt, revenue,
+        |  round(revenue - coalesce(lag(revenue) OVER (ORDER BY month), 0.0), 2) AS mom_delta
+        |FROM m ORDER BY month""".stripMargin,
+    "emb_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
+        |  round(avg(CAST(x AS DOUBLE)), 4) AS c, count(*) AS n
+        |FROM (SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+        |      FROM embeddings)
+        |GROUP BY 1, 2 ORDER BY label, i""".stripMargin,
+    // Same md5-derived hash threshold as TextAnalysis.pipeTrainMix;
+    // the rate table is inlined as VALUES.
+    "pipe_train_mix" ->
+      """WITH rates(lang, rate) AS (VALUES ('en', 0.25), ('de', 0.5), ('fr', 0.5)),
+        |t AS (
+        |  SELECT d.doc_id, d.lang,
+        |    ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || d.lang), 1, 15))::BIGINT % 1000000 AS bucket,
+        |    coalesce(r.rate, 1.0) AS rate
+        |  FROM documents d LEFT JOIN rates r ON d.lang = r.lang)
+        |SELECT doc_id, lang, bucket FROM t
+        |WHERE bucket < rate * 1000000 ORDER BY doc_id""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

@@ -366,6 +366,50 @@ object Relational {
       .orderBy("band_id")
   }
 
+  /** Semi-structured JSON extraction: `get_json_object` stays inside
+    * whole-stage codegen, so at 100 TB this is a map-only scan + one
+    * partial-aggregated shuffle on event_type — the JSON parse never
+    * forces a UDF or a second pass. */
+  def q29Json(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"), round(avg("k"), 4).as("avg_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** Analytic-function surface: lag/lead/ntile/percent_rank/cume_dist
+    * in ONE window spec — Spark plans a single sort per partition for
+    * all five. Deterministic: the window order includes the unique
+    * key. */
+  def q30WindowFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round(col("o_totalprice"), 2).as("price"),
+        lag("o_orderkey", 1).over(w).as("prev_key"),
+        lead("o_orderkey", 1).over(w).as("next_key"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"))
+      .orderBy("o_orderpriority", "price", "o_orderkey")
+  }
+
+  /** Calendar aggregation + month-over-month delta: date_trunc month
+    * rollup, then a lag window over the (tiny) month series. The
+    * single-partition window is safe by construction — its input is
+    * one row per month, not the fact table. */
+  def q31MonthTrend(s: SparkSession, dir: String): DataFrame = {
+    val m = Tables.orders(s, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("cnt"), round(sum("o_totalprice"), 2).as("revenue"))
+    val w = Window.orderBy("month")
+    m.select(col("month").cast("date").as("month"), col("cnt"), col("revenue"))
+      .withColumn("mom_delta",
+        round(col("revenue") - coalesce(lag("revenue", 1).over(w), lit(0.0)), 2))
+      .orderBy("month")
+  }
+
   /** Batch sessionization (gaps-and-islands): a new session starts
     * after a >30 min silence; one window pass marks boundaries, a
     * running sum numbers sessions, then a per-session aggregate.

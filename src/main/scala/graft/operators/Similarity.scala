@@ -208,4 +208,17 @@ object Similarity {
         col("rn").cast("long").as("rank"))
       .orderBy("qid", "rank")
   }
+
+  /** Per-label pooled centroid (the class-centroid / cluster-stats
+    * primitive): posexplode each vector once, then ONE partial-
+    * aggregated shuffle keyed (label, dim) — map-side combine reduces
+    * every partition to ≤ |labels|·dim rows regardless of corpus
+    * size, so this scales to 100 TB with a constant-size shuffle.
+    * Output is scalar (label, i, c, n) rows, driver-comparable. */
+  def embCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label").cast("long").as("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("i"))
+      .agg(round(avg(col("col").cast("double")), 4).as("c"), count(lit(1)).as("n"))
+      .orderBy("label", "i")
 }

@@ -131,4 +131,28 @@ object TextAnalysis {
     * rather than oracle-checked. */
   def fingerprint64(textCol: Column): Column =
     xxhash64(regexp_replace(lower(textCol), "\\s+", " "))
+
+  /** Training-mix sampler: per-language inclusion rates applied via a
+    * deterministic hash threshold — `md5_60(doc_id||lang) % 1e6 <
+    * rate·1e6`. This is the 100 TB formulation: the rate table
+    * broadcasts, selection is map-only (no per-stratum sort or
+    * window), proportions concentrate tightly around the rates, and
+    * membership is reproducible across engines and reruns (the DuckDB
+    * oracle recomputes the same md5-derived hash). Contrast
+    * `q23_stratified`, which takes an exact per-stratum count but
+    * needs a per-group ordering. */
+  def pipeTrainMix(s: SparkSession, dir: String,
+                   rates: Map[String, Double] = Map("en" -> 0.25, "de" -> 0.5, "fr" -> 0.5),
+                   defaultRate: Double = 1.0): DataFrame = {
+    import s.implicits._
+    val rateDf = rates.toSeq.toDF("lang", "rate")
+    Tables.documents(s, dir)
+      .join(broadcast(rateDf), Seq("lang"), "left")
+      .withColumn("rate", coalesce(col("rate"), lit(defaultRate)))
+      .withColumn("bucket",
+        expr(Dedup.md5Hash60Sql("concat(cast(doc_id as string), lang)")) % 1000000L)
+      .filter(col("bucket") < col("rate") * 1000000L)
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+  }
 }
