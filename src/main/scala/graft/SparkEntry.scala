@@ -49,6 +49,7 @@ object SparkEntry {
     "q29_json" -> (Relational.q29Json(_, _)),
     "q30_window_funcs" -> (Relational.q30WindowFuncs(_, _)),
     "q31_month_trend" -> (Relational.q31MonthTrend(_, _)),
+    "q32_grouped_topk" -> ((s, d) => Relational.q32GroupedTopK(s, d)),
     "text_normalize" -> (TextAnalysis.textNormalize(_, _)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
@@ -250,6 +251,14 @@ object SparkEntry {
         |SELECT month, cnt, revenue,
         |  round(revenue - coalesce(lag(revenue) OVER (ORDER BY month), 0.0), 2) AS mom_delta
         |FROM m ORDER BY month""".stripMargin,
+    "q32_grouped_topk" ->
+      """SELECT o_orderpriority, CAST(rn AS BIGINT) AS rank, o_orderkey,
+        |  round(o_totalprice, 2) AS price
+        |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |      FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
     "emb_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
         |  round(avg(CAST(x AS DOUBLE)), 4) AS c, count(*) AS n

@@ -410,6 +410,21 @@ object Relational {
       .orderBy("month")
   }
 
+  /** Grouped top-k via the typed TopK Aggregator (graft.functions):
+    * k-bounded partial buffers shuffle O(k·groups) rows instead of
+    * the fact table — the aggregate-shaped alternative to the
+    * WindowGroupLimit plan q23 uses. */
+  def q32GroupedTopK(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg.TopK(k), graft.functions.TopKAgg.inputEncoder)
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as("o_orderkey"), round(col("col.score"), 2).as("price"))
+      .orderBy("o_orderpriority", "rank")
+  }
+
   /** Batch sessionization (gaps-and-islands): a new session starts
     * after a >30 min silence; one window pass marks boundaries, a
     * running sum numbers sessions, then a per-session aggregate.

@@ -35,6 +35,16 @@ object Sources {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
   }
 
+  /** ORC read/write — second columnar format, same Catalyst pushdown
+    * and pruning path as parquet. */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String, partitionBy: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).orc(path)
+  }
+
   /** Bucketed managed table: rows are hash-bucketed (and sorted) by
     * the join key at write time, so later equi-joins between tables
     * bucketed the same way run WITHOUT a shuffle — the decisive layout

@@ -80,6 +80,17 @@ class RelationalSpec extends SparkSpec {
     assert(got.toSeq == naive.toSeq)
   }
 
+  test("TopK aggregator matches sort-take under arbitrary reduce/merge order") {
+    import graft.functions.TopKAgg
+    val rnd = new scala.util.Random(7)
+    val agg = new TopKAgg.TopK(5)
+    val entries = Seq.fill(200)(TopKAgg.Entry(rnd.nextInt(50).toDouble, rnd.nextLong().abs))
+    val (l, r) = entries.splitAt(120)
+    val b = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    val expected = entries.sortBy(e => (-e.score, e.id)).take(5)
+    assert(agg.finish(b) == expected)
+  }
+
   test("q28_sessionize: session count and totals match a naive per-user walk") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, Sf)

@@ -32,6 +32,17 @@ class SourcesSpec extends SparkSpec {
     assert(rows.count(_.getAs[String]("_corrupt_record") != null) == 1)
   }
 
+  test("orc sink round-trips with pushed filters") {
+    val out = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/t"
+    Sources.writeOrc(Tables.nation(spark, Sf), out)
+    val back = Sources.orc(spark, out)
+    assert(back.count() == 25)
+    val filtered = back.filter(col("n_nationkey") === 3).select("n_name")
+    filtered.collect()
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(n_nationkey), EqualTo(n_nationkey,3)]"), scan)
+  }
+
   test("parquet sink round-trips with partition pruning") {
     val out = java.nio.file.Files.createTempDirectory("graft-pq").toString + "/t"
     Sources.writeParquet(Tables.nation(spark, Sf), out, partitionBy = Seq("n_regionkey"))
