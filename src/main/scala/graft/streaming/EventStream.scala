@@ -26,6 +26,21 @@ object EventStream {
       .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"))
       .select(col("window.start").as("day"), col("event_type"), col("cnt"), col("total"))
 
+  /** Stream-stream interval join: each purchase pairs with the same
+    * user's clicks from the preceding hour. Both sides carry
+    * watermarks and the join condition is time-bounded, so the state
+    * store retains only the watermark-window of each stream — the
+    * unbounded-state pitfall of stream-stream joins is structurally
+    * avoided. The streaming counterpart of the batch q26 as-of join. */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour").alias("p")
+    val c = clicks.withWatermark("ts", "2 hours").alias("c")
+    p.join(c, expr(
+      "p.user_id = c.user_id AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts"))
+      .select(col("p.user_id").as("user_id"), col("p.ts").as("purchase_ts"),
+        col("c.ts").as("click_ts"), col("c.value").as("click_value"))
+  }
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   case class SessionState(startMs: Long, lastMs: Long, nEvents: Int)
   case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)

@@ -55,6 +55,28 @@ class StreamingSpec extends SparkSpec {
     assert(ids.sameElements(Array(1L, 2L, 3L)))
   }
 
+  test("stream-stream interval join pairs purchases with in-window clicks only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = EventStream.purchaseClickJoin(
+      purchases.toDF().toDF("user_id", "ts"),
+      clicks.toDF().toDF("user_id", "ts", "value"))
+    val query = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    clicks.addData((1L, ts("2024-01-01 09:30:00"), 1.0),  // in window
+      (1L, ts("2024-01-01 07:00:00"), 2.0),               // too old
+      (2L, ts("2024-01-01 09:45:00"), 3.0))               // other user
+    purchases.addData((1L, ts("2024-01-01 10:00:00")))
+    query.processAllAvailable()
+    val out = spark.table("ssj").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Double]("click_value")))
+    query.stop()
+    assert(out.toSeq == Seq((1L, 1.0)))
+  }
+
   test("sessionization closes sessions on gap and keeps state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
