@@ -50,6 +50,8 @@ object SparkEntry {
     "q30_window_funcs" -> (Relational.q30WindowFuncs(_, _)),
     "q31_month_trend" -> (Relational.q31MonthTrend(_, _)),
     "q32_grouped_topk" -> ((s, d) => Relational.q32GroupedTopK(s, d)),
+    "q33_sql_join" -> (Relational.q33SqlJoin(_, _)),
+    "q34_exists_subquery" -> (Relational.q34ExistsSubquery(_, _)),
     "text_normalize" -> (TextAnalysis.textNormalize(_, _)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
@@ -259,6 +261,25 @@ object SparkEntry {
         |          ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |      FROM orders)
         |WHERE rn <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
+    "q33_sql_join" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |  JOIN orders   ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |  JOIN nation   ON s_nationkey = n_nationkey
+        |  JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q34_exists_subquery" ->
+      """SELECT c_custkey, c_name,
+        |  (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
     "emb_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
         |  round(avg(CAST(x AS DOUBLE)), 4) AS c, count(*) AS n

@@ -271,6 +271,7 @@ object Dedup {
       converged = newSum == prevSum
       prevSum = newSum
       iter += 1
+      if (sys.env.contains("GRAFT_CC_VERBOSE")) println(s"[cc] round $iter sum=$newSum")
     }
     edges.unpersist()
     labels

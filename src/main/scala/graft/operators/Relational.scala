@@ -425,6 +425,41 @@ object Relational {
       .orderBy("o_orderpriority", "rank")
   }
 
+  /** Pure-SQL surface (TPC-H Q5 shape): users can hand graft ANSI SQL
+    * over registered views and get the same Catalyst plan the
+    * DataFrame API produces — 6-way join with dim broadcasts and one
+    * partial-aggregated shuffle. */
+  def q33SqlJoin(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+      .foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+    s.sql("""
+      SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""")
+  }
+
+  /** Correlated-subquery surface: EXISTS decorrelates to a left-semi
+    * join, the scalar COUNT subquery to a left-outer aggregate join —
+    * both rewrites are Catalyst's, no manual denormalization. */
+  def q34ExistsSubquery(s: SparkSession, dir: String): DataFrame = {
+    Seq("customer", "orders").foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+    s.sql("""
+      SELECT c_custkey, c_name,
+        (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+      FROM customer c
+      WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      ORDER BY c_custkey""")
+  }
+
   /** Batch sessionization (gaps-and-islands): a new session starts
     * after a >30 min silence; one window pass marks boundaries, a
     * running sum numbers sessions, then a per-session aggregate.
