@@ -50,4 +50,38 @@ class PlanSpec extends SparkSpec {
     // one Exchange for the final orderBy is expected; nothing else
     assert("Exchange".r.findAllIn(plan).length <= 1, s"unexpected shuffles:\n$plan")
   }
+
+  test("q26_asof_join plans as one union-window pass, not a range join") {
+    val df = Relational.q26AsofJoin(spark, Sf)
+    df.collect()
+    // AQE's toString appends the pre-adaptive "Initial Plan" — only
+    // the final plan's operators count
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"as-of degenerated to a range/NL join:\n$plan")
+    assert(plan.contains("Window"), s"no window operator:\n$plan")
+    // every data shuffle is the user_id repartition for the window
+    // (AQE materializes one Exchange node per union branch) plus the
+    // single range partition for the output ordering — nothing else
+    val hashEx = "Exchange hashpartitioning\\(([a-z_]+)".r.findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(hashEx == Set("user_id"), s"unexpected hash shuffles on $hashEx:\n$plan")
+    assert("Exchange rangepartitioning".r.findAllIn(plan).length == 1, s"extra range shuffles:\n$plan")
+  }
+
+  test("q27_range_join plans a hash join, not a nested loop") {
+    val df = Relational.q27RangeJoin(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join not binned into an equi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"no hash join:\n$plan")
+  }
+
+  test("q32_grouped_topk partially aggregates the bounded buffers map-side") {
+    val df = Relational.q32GroupedTopK(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk") || plan.contains("ObjectHashAggregate"),
+      s"no partial aggregation of top-k buffers:\n$plan")
+  }
 }
