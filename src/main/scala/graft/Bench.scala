@@ -25,17 +25,24 @@ object Bench {
     // parquet footers, persisted-subtree build), one timed invocation
     // (steady-state cost, as a resident pipeline would run), then a
     // cache release so entries never stack across queries.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    // noop sink, not count(): count() lets Spark prune the final
+    // sort/projection, so the timed run must materialize every output
+    // column end-to-end the way a real consumer would.
+    def run(name: String): Unit =
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+    val results = SparkEntry.queries.keys.toSeq.map { name =>
+      run(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      run(name)
       val dt = (System.nanoTime() - t0) / 1e9
       CacheRegistry.releaseAll()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // sbt prefixes forked stdout with [info], which defeats line-level

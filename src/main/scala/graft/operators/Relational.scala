@@ -177,14 +177,19 @@ object Relational {
     * checks the exact count AND that the estimate landed within 2% of
     * it (rsd is configured at 1%). At 100 TB the approx path avoids
     * the expand+shuffle that exact distinct needs. */
-  def q15ApproxDistinct(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
+  def q15ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    // Two separate aggregations, not one: mixing a distinct and a
+    // non-distinct aggregate makes Spark plan an Expand (2x the scan
+    // rows through the shuffle). Split, each path partial-aggregates
+    // cleanly, and the join is two single-row frames.
+    val li = Tables.lineitem(s, dir)
+    val approx = li.agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx"))
+    val exact = li.agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    exact.crossJoin(approx)
       .select(col("exact_parts"),
         (abs(col("approx") - col("exact_parts")).cast("double") <=
           col("exact_parts").cast("double") * 0.02).as("within_2pct"))
+  }
 
   /** Pivot (crosstab): order counts by priority × status. Missing
     * combinations coalesce to 0 to match SQL conditional counts. */
