@@ -52,6 +52,8 @@ object SparkEntry {
     "q32_grouped_topk" -> ((s, d) => Relational.q32GroupedTopK(s, d)),
     "q33_sql_join" -> (Relational.q33SqlJoin(_, _)),
     "q34_exists_subquery" -> (Relational.q34ExistsSubquery(_, _)),
+    "q35_intersect_except" -> (Relational.q35IntersectExcept(_, _)),
+    "q36_grouping_sets" -> (Relational.q36GroupingSets(_, _)),
     "text_normalize" -> (TextAnalysis.textNormalize(_, _)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
@@ -280,6 +282,22 @@ object SparkEntry {
         |  SELECT 1 FROM orders o
         |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin,
+    "q35_intersect_except" ->
+      """WITH u AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |h AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'),
+        |b AS (SELECT count(*) AS n FROM (SELECT * FROM u INTERSECT SELECT * FROM h)),
+        |ou AS (SELECT count(*) AS n FROM (SELECT * FROM u EXCEPT SELECT * FROM h))
+        |SELECT 'both' AS set_op, n FROM b
+        |UNION ALL SELECT 'only_urgent' AS set_op, n FROM ou
+        |ORDER BY set_op""".stripMargin,
+    "q36_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        |  count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin,
     "emb_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
         |  round(avg(CAST(x AS DOUBLE)), 4) AS c, count(*) AS n

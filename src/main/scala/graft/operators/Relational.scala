@@ -465,6 +465,35 @@ object Relational {
       ORDER BY c_custkey""")
   }
 
+  /** Set-operation surface: INTERSECT and EXCEPT (both DISTINCT
+    * semantics) between the customer sets of two order priorities —
+    * planned as left-semi/anti aggregates, one shuffle each. */
+  def q35IntersectExcept(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def custs(prio: String) =
+      o.filter(col("o_orderpriority") === prio).select("o_custkey")
+    val both = custs("1-URGENT").intersect(custs("2-HIGH"))
+      .agg(count(lit(1)).as("n")).select(lit("both").as("set_op"), col("n"))
+    val onlyUrgent = custs("1-URGENT").except(custs("2-HIGH"))
+      .agg(count(lit(1)).as("n")).select(lit("only_urgent").as("set_op"), col("n"))
+    both.unionAll(onlyUrgent).orderBy("set_op")
+  }
+
+  /** Explicit GROUPING SETS (not the rollup/cube specializations):
+    * two independent groupings in one pass over the fact table, with
+    * grouping_id disambiguating the output rows. */
+  def q36GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio,
+        count(*) AS cnt, round(sum(o_totalprice), 2) AS revenue
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+      ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""")
+  }
+
   /** Batch sessionization (gaps-and-islands): a new session starts
     * after a >30 min silence; one window pass marks boundaries, a
     * running sum numbers sessions, then a per-session aggregate.
