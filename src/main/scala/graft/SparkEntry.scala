@@ -75,6 +75,7 @@ object SparkEntry {
     "pipe_quality_filter" -> ((s, d) => TextAnalysis.pipeQualityFilter(s, d)),
     "pipe_corpus_stats" -> (TextAnalysis.pipeCorpusStats(_, _)),
     "pipe_train_mix" -> ((s, d) => TextAnalysis.pipeTrainMix(s, d)),
+    "pipe_lm_score" -> (TextAnalysis.pipeLmScore(_, _)),
     // §2.7 multimodal
     "mm_meta" -> (Multimodal.mmMeta(_, _)),
     "mm_decode" -> (Multimodal.mmDecodeChecked(_, _)),
@@ -304,6 +305,17 @@ object SparkEntry {
         |FROM (SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
         |      FROM embeddings)
         |GROUP BY 1, 2 ORDER BY label, i""".stripMargin,
+    "pipe_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')) AS t
+        |  FROM documents),
+        |freqs AS (SELECT t, count(*) AS tf FROM toks GROUP BY t),
+        |tot AS (SELECT count(*) AS total FROM toks)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  round(sum(log10(tf)) / count(*) - log10(total), 4) AS lm_score
+        |FROM toks JOIN freqs USING (t), tot
+        |GROUP BY doc_id, total ORDER BY doc_id""".stripMargin,
     // Same md5-derived hash threshold as TextAnalysis.pipeTrainMix;
     // the rate table is inlined as VALUES.
     "pipe_train_mix" ->
