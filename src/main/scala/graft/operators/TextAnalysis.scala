@@ -20,7 +20,9 @@ object TextAnalysis {
   val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   val StopwordPattern = "\\b(the|a|an|and|or|of|to|in|is|it)\\b"
 
-  private def nWords(c: Column): Column = size(regexp_extract_all(c, lit("\\S+"), lit(0))).cast("long")
+  // regexp_count, not size(regexp_extract_all(...)): counting matches
+  // must not allocate a per-match array
+  private def nWords(c: Column): Column = regexp_count(c, lit("\\S+")).cast("long")
 
   /** Char/word/token counts per document. */
   def textStats(s: SparkSession, dir: String): DataFrame =
@@ -29,7 +31,7 @@ object TextAnalysis {
         col("doc_id"),
         length(col("text")).cast("long").as("chars"),
         nWords(col("text")).as("words"),
-        size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0))).cast("long").as("tokens"))
+        regexp_count(col("text"), lit(TokenPattern)).cast("long").as("tokens"))
       .orderBy("doc_id")
 
   /** Count of characters matching a single-char class, via delete +
@@ -48,7 +50,7 @@ object TextAnalysis {
           greatest(length(col("text")), lit(1)), 4).as("alpha_ratio"),
         round(charCount(col("text"), "[.,;:!?]") /
           greatest(length(col("text")), lit(1)), 4).as("punct_ratio"),
-        round(size(regexp_extract_all(lower(col("text")), lit(StopwordPattern), lit(0))).cast("double") /
+        round(regexp_count(lower(col("text")), lit(StopwordPattern)).cast("double") /
           greatest(nWords(col("text")), lit(1)), 4).as("stop_ratio"))
       .orderBy("doc_id")
 
@@ -68,7 +70,7 @@ object TextAnalysis {
   def withLangPred(df: DataFrame): DataFrame = {
     val scored = LangProfiles.foldLeft(df) { case (d, (code, pat)) =>
       d.withColumn(s"score_$code",
-        size(regexp_extract_all(lower(col("text")), lit(pat), lit(0))).cast("double") /
+        regexp_count(lower(col("text")), lit(pat)).cast("double") /
           greatest(nWords(col("text")), lit(1)))
     }
     val scoreCols = LangProfiles.map { case (code, _) =>
