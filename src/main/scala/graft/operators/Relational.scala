@@ -178,14 +178,14 @@ object Relational {
     * it (rsd is configured at 1%). At 100 TB the approx path avoids
     * the expand+shuffle that exact distinct needs. */
   def q15ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
-    // Two separate aggregations, not one: mixing a distinct and a
-    // non-distinct aggregate makes Spark plan an Expand (2x the scan
-    // rows through the shuffle). Split, each path partial-aggregates
-    // cleanly, and the join is two single-row frames.
-    val li = Tables.lineitem(s, dir)
-    val approx = li.agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx"))
-    val exact = li.agg(countDistinct(col("l_partkey")).as("exact_parts"))
-    exact.crossJoin(approx)
+    // distinct() first, then BOTH aggregates over the distinct frame:
+    // HLL is duplicate-insensitive, so the estimate is unchanged, the
+    // exact count becomes a plain count (no Expand plan from mixing
+    // distinct and non-distinct aggregates), and no scalar join is
+    // needed. One shuffle on l_partkey with map-side partial distinct.
+    Tables.lineitem(s, dir).select("l_partkey").distinct()
+      .agg(count(lit(1)).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx"))
       .select(col("exact_parts"),
         (abs(col("approx") - col("exact_parts")).cast("double") <=
           col("exact_parts").cast("double") * 0.02).as("within_2pct"))
