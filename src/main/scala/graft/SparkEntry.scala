@@ -12,9 +12,21 @@ import org.apache.spark.sql.functions.{col, expr, round, udf}
   */
 object SparkEntry {
 
-  /** Flagship query on sf0.001: the TPC-H Q1-shaped aggregate. */
-  def entry(spark: SparkSession): DataFrame =
-    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+  /** Flagship query on sf0.001: the head of the LLM training-data
+    * pipeline — quality gate, then exact dedup, reported as
+    * per-language corpus stats. Composes three operator families in
+    * one plan (text analysis, dedup, relational aggregate). */
+  def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions.{count, length, lit, sum}
+    val dir = "/root/testdata/sf0.001"
+    val kept = TextAnalysis.pipeQualityFilter(spark, dir).select("doc_id")
+    val keepers = Dedup.dedupExact(spark, dir).select(col("keep_id").as("doc_id"))
+    Tables.documents(spark, dir)
+      .join(kept, "doc_id").join(keepers, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(length(col("text")).cast("long")).as("chars"))
+      .orderBy("lang")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.2 relational core
