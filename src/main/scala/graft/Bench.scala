@@ -32,11 +32,16 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
+    // warmup once, then min of two timed runs — single-run totals
+    // swung ~25% from GC/JIT noise at this scale, min-of-2 tracks the
+    // steady-state cost the round-over-round comparison needs.
     val results = SparkEntry.queries.keys.toSeq.map { name =>
       run(name)
-      val t0 = System.nanoTime()
-      run(name)
-      val dt = (System.nanoTime() - t0) / 1e9
+      val dt = Seq.fill(2) {
+        val t0 = System.nanoTime()
+        run(name)
+        (System.nanoTime() - t0) / 1e9
+      }.min
       CacheRegistry.releaseAll()
       name -> dt
     }
