@@ -88,6 +88,7 @@ object SparkEntry {
     "pipe_corpus_stats" -> (TextAnalysis.pipeCorpusStats(_, _)),
     "pipe_train_mix" -> ((s, d) => TextAnalysis.pipeTrainMix(s, d)),
     "pipe_lm_score" -> (TextAnalysis.pipeLmScore(_, _)),
+    "pipe_decontaminate" -> ((s, d) => TextAnalysis.pipeDecontaminate(s, d)),
     // §2.7 multimodal
     "mm_meta" -> (Multimodal.mmMeta(_, _)),
     "mm_decode" -> (Multimodal.mmDecodeChecked(_, _)),
@@ -317,6 +318,20 @@ object SparkEntry {
         |FROM (SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
         |      FROM embeddings)
         |GROUP BY 1, 2 ORDER BY label, i""".stripMargin,
+    // Hash-invariant twin (same argument as dedup_ngram_jaccard): a
+    // shared xxhash64'd 20-gram == a shared raw 20-gram substring.
+    "pipe_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INT), 20) AS g
+        |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 19, 1) + 1)) AS i
+        |        FROM documents)),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < 10),
+        |cont AS (
+        |  SELECT DISTINCT doc_id FROM sh
+        |  WHERE doc_id >= 10 AND g IN (SELECT g FROM ev))
+        |SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+        |FROM documents d LEFT JOIN cont c USING (doc_id)
+        |WHERE d.doc_id >= 10 ORDER BY d.doc_id""".stripMargin,
     "pipe_lm_score" ->
       """WITH toks AS (
         |  SELECT doc_id,

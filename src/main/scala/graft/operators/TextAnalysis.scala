@@ -162,6 +162,34 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: flag corpus documents that share any
+    * character n-gram (default 20) with an eval/benchmark set — the standard
+    * n-gram-collision contamination check run before training. The
+    * eval set's shingle hashes are tiny (it's a benchmark, not a
+    * corpus), so Spark broadcasts them and the check is a map-side
+    * left-semi join over the corpus: 100 TB scans once, shuffles
+    * nothing. Here the eval set is the first `nEval` documents,
+    * standing in for an external benchmark table. */
+  def pipeDecontaminate(s: SparkSession, dir: String, n: Int = 20,
+                        nEval: Long = 10): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // No per-doc array_distinct on the corpus side: the semi-join
+    // doesn't care about duplicate shingles, and the per-row distinct
+    // cost more than the extra probes it saved.
+    def shingles(df: DataFrame) = df.select(
+      col("doc_id"),
+      explode(expr(
+        s"transform(sequence(1, greatest(length(text) - ${n - 1}, 1)), i -> xxhash64(substring(lower(text), i, $n)))")).as("sh"))
+    val evalSh = shingles(docs.filter(col("doc_id") < nEval)).select("sh").distinct()
+    val contaminated = shingles(docs.filter(col("doc_id") >= nEval))
+      .join(broadcast(evalSh), Seq("sh"), "left_semi")
+      .select("doc_id").distinct()
+    docs.filter(col("doc_id") >= nEval)
+      .join(contaminated.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Training-mix sampler: per-language inclusion rates applied via a
     * deterministic hash threshold — `md5_60(doc_id||lang) % 1e6 <
     * rate·1e6`. This is the 100 TB formulation: the rate table
