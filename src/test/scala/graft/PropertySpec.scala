@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.{TopKAgg, VectorFunctions}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks (scalacheck generators, fixed seeds for
+  * reproducibility): the custom kernels and the optimizer rule must
+  * hold for arbitrary inputs, not just the fixtures. */
+class PropertySpec extends SparkSpec {
+
+  private def samples[T](g: Gen[T], n: Int, seed: Long): Seq[T] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  test("sorted_intersect_count equals Set.intersect on random sorted arrays") {
+    import spark.implicits._
+    val gArr = Gen.listOf(Gen.chooseNum(-50L, 50L)).map(_.distinct.sorted)
+    val pairs = samples(Gen.zip(gArr, gArr), 200, 7L)
+    val got = pairs.toDF("a", "b")
+      .select(VectorFunctions.sorted_intersect_count(col("a"), col("b")).as("c"))
+      .collect().map(_.getLong(0)).toSeq
+    val want = pairs.map { case (a, b) => (a.toSet & b.toSet).size.toLong }
+    assert(got == want)
+  }
+
+  test("cosine_similarity equals the naive formula on random vectors") {
+    import spark.implicits._
+    val gVec = Gen.listOfN(16, Gen.chooseNum(-5.0, 5.0))
+    val pairs = samples(Gen.zip(gVec, gVec), 100, 11L)
+      .filter { case (a, b) => a.exists(_ != 0.0) && b.exists(_ != 0.0) }
+    val got = pairs.toDF("a", "b")
+      .select(VectorFunctions.cosine_similarity(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0)).toSeq
+    val want = pairs.map { case (a, b) =>
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9, s"$g vs $w") }
+  }
+
+  test("TopK aggregator is exact under random data and random merge splits") {
+    val gEntry = Gen.zip(Gen.chooseNum(0.0, 20.0), Gen.chooseNum(0L, 1000L))
+      .map { case (s, i) => TopKAgg.Entry(s, i) }
+    val gCase = for {
+      n <- Gen.chooseNum(0, 60)
+      entries <- Gen.listOfN(n, gEntry)
+      k <- Gen.chooseNum(1, 8)
+      split <- Gen.chooseNum(0, n)
+    } yield (entries, k, split)
+    samples(gCase, 300, 13L).foreach { case (entries, k, split) =>
+      val agg = new TopKAgg.TopK(k)
+      val (l, r) = entries.splitAt(split)
+      val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      val want = entries.sortBy(e => (-e.score, e.id)).take(k)
+      assert(agg.finish(merged) == want, s"k=$k split=$split entries=$entries")
+    }
+  }
+
+  test("BinnedRangeJoinRule matches the naive join on random band tables") {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, Sf).select("l_quantity", "l_extendedprice")
+    val gBand = for {
+      lo <- Gen.chooseNum(0.0, 55.0)
+      w <- Gen.chooseNum(0.0, 30.0)
+    } yield (lo, lo + w)
+    val gBands = Gen.chooseNum(1, 6).flatMap(n => Gen.listOfN(n, gBand))
+    samples(gBands, 5, 17L).foreach { bands =>
+      val bandsDf = bands.zipWithIndex
+        .map { case ((lo, hi), i) => (i.toLong, lo, hi) }.toDF("band_id", "lo", "hi")
+      def q = li.join(bandsDf,
+          col("l_quantity") >= col("lo") && col("l_quantity") <= col("hi"))
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("cnt"), round(sum("l_extendedprice"), 2).as("total"))
+        .orderBy("band_id")
+      val naive = q.collect().toSeq
+      spark.experimental.extraOptimizations = Seq(graft.plans.BinnedRangeJoinRule)
+      val rewritten = try q.collect().toSeq
+      finally spark.experimental.extraOptimizations = Nil
+      assert(rewritten == naive, s"bands=$bands")
+    }
+  }
+}
