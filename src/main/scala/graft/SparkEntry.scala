@@ -79,6 +79,7 @@ object SparkEntry {
     "sim_lsh_ann" -> ((s, d) => Similarity.simLshAnn(s, d)),
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
     "emb_centroids" -> (Similarity.embCentroids(_, _)),
+    "emb_quantize" -> (Similarity.embQuantize(_, _)),
     // §2.5 text analysis
     "text_stats" -> (TextAnalysis.textStats(_, _)),
     "text_quality" -> (TextAnalysis.textQuality(_, _)),
@@ -312,6 +313,16 @@ object SparkEntry {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
         |ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""".stripMargin,
+    "emb_quantize" ->
+      """WITH ex AS (
+        |  SELECT vec_id, CAST(x AS DOUBLE) AS x
+        |  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)),
+        |sc AS (SELECT vec_id, max(abs(x)) / 127 AS scale FROM ex GROUP BY vec_id)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  round(max(abs(x - round(x / scale) * scale)), 6) AS max_err,
+        |  round(avg(abs(x - round(x / scale) * scale)), 6) AS mean_err
+        |FROM ex JOIN sc USING (vec_id)
+        |GROUP BY vec_id, scale ORDER BY vec_id""".stripMargin,
     "emb_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS i,
         |  round(avg(CAST(x AS DOUBLE)), 4) AS c, count(*) AS n

@@ -209,6 +209,22 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Per-vector symmetric int8 quantization (the embedding-storage
+    * reduction step): scale = max|x|/127, q = round(x/scale), reported
+    * as the scale plus max/mean reconstruction error. Pure map-only
+    * higher-order expressions over the 64-dim arrays — no shuffle, no
+    * UDF; at 100 TB this is a single scan. */
+  def embQuantize(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("scale", expr("array_max(transform(v, x -> abs(x))) / 127"))
+      .withColumn("errs", expr("transform(v, x -> abs(x - round(x / scale) * scale))"))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        round(expr("array_max(errs)"), 6).as("max_err"),
+        round(expr("aggregate(errs, cast(0.0 as double), (a, x) -> a + x) / size(errs)"), 6)
+          .as("mean_err"))
+      .orderBy("vec_id")
+
   /** Per-label pooled centroid (the class-centroid / cluster-stats
     * primitive): posexplode each vector once, then ONE partial-
     * aggregated shuffle keyed (label, dim) — map-side combine reduces
