@@ -90,6 +90,8 @@ object SparkEntry {
     "pipe_train_mix" -> ((s, d) => TextAnalysis.pipeTrainMix(s, d)),
     "pipe_lm_score" -> (TextAnalysis.pipeLmScore(_, _)),
     "pipe_decontaminate" -> ((s, d) => TextAnalysis.pipeDecontaminate(s, d)),
+    "text_top_bigrams" -> ((s, d) => TextAnalysis.textTopBigrams(s, d)),
+    "pipe_length_histogram" -> ((s, d) => TextAnalysis.pipeLengthHistogram(s, d)),
     // §2.7 multimodal
     "mm_meta" -> (Multimodal.mmMeta(_, _)),
     "mm_decode" -> (Multimodal.mmDecodeChecked(_, _)),
@@ -343,6 +345,25 @@ object SparkEntry {
         |SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
         |FROM documents d LEFT JOIN cont c USING (doc_id)
         |WHERE d.doc_id >= 10 ORDER BY d.doc_id""".stripMargin,
+    "text_top_bigrams" ->
+      """WITH wl AS (
+        |  SELECT lang, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT lang, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS bigram
+        |  FROM wl, unnest(range(1, greatest(len(w), 1))) t(i)),
+        |counts AS (SELECT lang, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT lang, bigram, cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC,
+        |      ('0x' || substr(md5(bigram), 1, 15))::BIGINT) AS rank
+        |  FROM counts)
+        |SELECT lang, CAST(rank AS BIGINT) AS rank, bigram, cnt
+        |FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+    "pipe_length_histogram" ->
+      """SELECT CAST(floor(length(text) / 100) * 100 AS BIGINT) AS bucket_lo,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY bucket_lo""".stripMargin,
     "pipe_lm_score" ->
       """WITH toks AS (
         |  SELECT doc_id,

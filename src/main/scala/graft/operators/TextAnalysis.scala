@@ -162,6 +162,42 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus-wide top-k bigrams per language — the n-gram LM /
+    * vocabulary-report building block. Bigram counts partial-aggregate
+    * map-side; the per-language top-k runs through the typed TopK
+    * Aggregator, so only k rows per (partition, lang) reach the final
+    * shuffle. */
+  def textTopBigrams(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg.TopK(k), graft.functions.TopKAgg.inputEncoder)
+    val bigrams = Tables.documents(s, dir)
+      .select(col("lang"),
+        expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("w"))
+      .select(col("lang"), explode(expr(
+        "if(size(w) >= 2, transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1])), array())")).as("bigram"))
+    // Ties in counts are broken by a deterministic md5-derived
+    // surrogate id — the same 60-bit hash the DuckDB oracle computes,
+    // so both engines rank identically. TopK orders (score desc, id
+    // asc).
+    val counts = bigrams.groupBy("lang", "bigram").agg(count(lit(1)).as("cnt"))
+      .withColumn("bid", expr(Dedup.md5Hash60Sql("bigram")))
+    counts.groupBy("lang")
+      .agg(topk(col("cnt").cast("double"), col("bid")).as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.score").cast("long").as("cnt"), col("col.id").as("bid"))
+      .join(counts.select(col("lang"), col("bigram"), col("bid")), Seq("lang", "bid"))
+      .select("lang", "rank", "bigram", "cnt")
+      .orderBy("lang", "rank")
+  }
+
+  /** Document-length histogram (dataset-card numbers): fixed 100-char
+    * buckets, one partial-aggregated shuffle. */
+  def pipeLengthHistogram(s: SparkSession, dir: String, bucketChars: Int = 100): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy((floor(length(col("text")) / bucketChars) * bucketChars).cast("long").as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("bucket_lo")
+
   /** Benchmark decontamination: flag corpus documents that share any
     * character n-gram (default 20) with an eval/benchmark set — the standard
     * n-gram-collision contamination check run before training. The
