@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, SortedIntersectCount}
+import graft.functions.{CosineSimilarity, NgramHashes, SortedIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -25,5 +25,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("ngram_hashes"),
+      new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
+      (children: Seq[Expression]) => NgramHashes(children(0), children(1))))
   }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 
 /** Native Catalyst expression for cosine similarity over two
   * array<double> columns, with full whole-stage-codegen support
@@ -135,6 +135,97 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All byte-window n-gram hashes of a string in ONE O(len) pass — a
+  * polynomial rolling hash (base 1000003, natural 2^64 wrap) instead
+  * of the O(len·n) `transform(sequence(...), i -> xxhash64(substring
+  * (text, i, n)))` chain, which re-slices and re-hashes n bytes per
+  * position. Used by shingle-equality operators (decontamination)
+  * where ANY deterministic hash works; byte windows equal char
+  * windows on ASCII corpora (normalize multibyte text first).
+  * Emits `len <= n` → one hash of the whole string, else
+  * `len - n + 1` window hashes, mirroring the substring-based
+  * formulation's position count. */
+case class NgramHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int), got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val bytes = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val n = b.asInstanceOf[Int]
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(NgramHashes.hashes(bytes, n))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, nn) => {
+      val bytes = ctx.freshName("bytes"); val len = ctx.freshName("len")
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val pow = ctx.freshName("pow"); val h = ctx.freshName("h")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      s"""
+         |byte[] $bytes = $s.getBytes();
+         |int $len = $bytes.length;
+         |int $n = $nn;
+         |long[] $out;
+         |if ($len <= $n) {
+         |  long $h = 0L;
+         |  for (int $j = 0; $j < $len; $j++) { $h = $h * 1000003L + ($bytes[$j] & 0xff); }
+         |  $out = new long[]{$h};
+         |} else {
+         |  $out = new long[$len - $n + 1];
+         |  long $pow = 1L;
+         |  for (int $j = 0; $j < $n - 1; $j++) { $pow *= 1000003L; }
+         |  long $h = 0L;
+         |  for (int $j = 0; $j < $n; $j++) { $h = $h * 1000003L + ($bytes[$j] & 0xff); }
+         |  $out[0] = $h;
+         |  for (int $i = 1; $i <= $len - $n; $i++) {
+         |    $h = ($h - ($bytes[$i - 1] & 0xff) * $pow) * 1000003L + ($bytes[$i + $n - 1] & 0xff);
+         |    $out[$i] = $h;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object NgramHashes {
+  private[functions] def hashes(bytes: Array[Byte], n: Int): Array[Long] = {
+    val len = bytes.length
+    val B = 1000003L
+    if (len <= n) {
+      var h = 0L; var j = 0
+      while (j < len) { h = h * B + (bytes(j) & 0xff); j += 1 }
+      Array(h)
+    } else {
+      val out = new Array[Long](len - n + 1)
+      var pow = 1L; var j = 0
+      while (j < n - 1) { pow *= B; j += 1 }
+      var h = 0L; j = 0
+      while (j < n) { h = h * B + (bytes(j) & 0xff); j += 1 }
+      out(0) = h
+      var i = 1
+      while (i <= len - n) {
+        h = (h - (bytes(i - 1) & 0xff) * pow) * B + (bytes(i + n - 1) & 0xff)
+        out(i) = h
+        i += 1
+      }
+      out
+    }
+  }
+}
+
 object VectorFunctions {
   /** Column API: cosine_similarity(a, b) for array<double> columns. */
   def cosine_similarity(a: Column, b: Column): Column =
@@ -146,11 +237,19 @@ object VectorFunctions {
     GraftColumnBridge.column(
       SortedIntersectCount(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
+  /** Column API: all n-gram rolling hashes of a string column. */
+  def ngram_hashes(c: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      NgramHashes(GraftColumnBridge.expression(c),
+        org.apache.spark.sql.catalyst.expressions.Literal(n)))
+
   /** Registers graft's native functions for SQL use on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_intersect_count", exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "ngram_hashes", exprs => NgramHashes(exprs(0), exprs(1)), "built-in")
   }
 }
