@@ -66,6 +66,7 @@ object SparkEntry {
     "q34_exists_subquery" -> (Relational.q34ExistsSubquery(_, _)),
     "q35_intersect_except" -> (Relational.q35IntersectExcept(_, _)),
     "q36_grouping_sets" -> (Relational.q36GroupingSets(_, _)),
+    "q37_outer_join" -> (Relational.q37OuterJoin(_, _)),
     "text_normalize" -> (TextAnalysis.textNormalize(_, _)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
@@ -345,6 +346,15 @@ object SparkEntry {
         |SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
         |FROM documents d LEFT JOIN cont c USING (doc_id)
         |WHERE d.doc_id >= 10 ORDER BY d.doc_id""".stripMargin,
+    "q37_outer_join" ->
+      """WITH u AS (SELECT o_custkey, count(*) AS n_urgent FROM orders
+        |  WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |l AS (SELECT o_custkey, count(*) AS n_low FROM orders
+        |  WHERE o_orderpriority = '5-LOW' GROUP BY 1)
+        |SELECT coalesce(u.o_custkey, l.o_custkey) AS o_custkey,
+        |  coalesce(n_urgent, 0) AS n_urgent, coalesce(n_low, 0) AS n_low
+        |FROM u FULL OUTER JOIN l ON u.o_custkey = l.o_custkey
+        |ORDER BY o_custkey""".stripMargin,
     "text_top_bigrams" ->
       """WITH wl AS (
         |  SELECT lang, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS w

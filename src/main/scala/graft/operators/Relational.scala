@@ -494,6 +494,23 @@ object Relational {
       ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority""")
   }
 
+  /** Full-outer join surface: per-customer order counts in two
+    * priority classes, keeping customers present in either side —
+    * the reconciliation-report shape. One shuffle per side on the
+    * join key. */
+  def q37OuterJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def cnts(prio: String, out: String) =
+      o.filter(col("o_orderpriority") === prio)
+        .groupBy("o_custkey").agg(count(lit(1)).as(out))
+    cnts("1-URGENT", "n_urgent")
+      .join(cnts("5-LOW", "n_low"), Seq("o_custkey"), "full_outer")
+      .select(col("o_custkey"),
+        coalesce(col("n_urgent"), lit(0L)).as("n_urgent"),
+        coalesce(col("n_low"), lit(0L)).as("n_low"))
+      .orderBy("o_custkey")
+  }
+
   /** Batch sessionization (gaps-and-islands): a new session starts
     * after a >30 min silence; one window pass marks boundaries, a
     * running sum numbers sessions, then a per-session aggregate.
