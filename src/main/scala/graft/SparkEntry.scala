@@ -67,6 +67,7 @@ object SparkEntry {
     "q35_intersect_except" -> (Relational.q35IntersectExcept(_, _)),
     "q36_grouping_sets" -> (Relational.q36GroupingSets(_, _)),
     "q37_outer_join" -> (Relational.q37OuterJoin(_, _)),
+    "q38_rolling_window" -> (Relational.q38RollingWindow(_, _)),
     "text_normalize" -> (TextAnalysis.textNormalize(_, _)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
@@ -355,6 +356,15 @@ object SparkEntry {
         |  coalesce(n_urgent, 0) AS n_urgent, coalesce(n_low, 0) AS n_low
         |FROM u FULL OUTER JOIN l ON u.o_custkey = l.o_custkey
         |ORDER BY o_custkey""".stripMargin,
+    "q38_rolling_window" ->
+      """WITH d AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day, round(sum(o_totalprice), 2) AS revenue
+        |  FROM orders GROUP BY 1),
+        |n AS (SELECT day, revenue, datediff('day', DATE '1970-01-01', day) AS day_num FROM d)
+        |SELECT day, revenue,
+        |  round(sum(revenue) OVER (ORDER BY day_num
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS rev_7d
+        |FROM n ORDER BY day""".stripMargin,
     "text_top_bigrams" ->
       """WITH wl AS (
         |  SELECT lang, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS w

@@ -511,6 +511,23 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** Time-range rolling aggregate: 7-day trailing revenue via a RANGE
+    * window over day numbers — the range frame includes absent days
+    * correctly (unlike a ROWS frame). The window input is the tiny
+    * per-day aggregate, not the fact table, so the global ordering is
+    * safe by construction. */
+  def q38RollingWindow(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(s, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      .withColumn("day_num", datediff(col("day"), to_date(lit("1970-01-01"))))
+    val w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    daily
+      .withColumn("rev_7d", round(sum("revenue").over(w), 2))
+      .select("day", "revenue", "rev_7d")
+      .orderBy("day")
+  }
+
   /** Batch sessionization (gaps-and-islands): a new session starts
     * after a >30 min silence; one window pass marks boundaries, a
     * running sum numbers sessions, then a per-session aggregate.
