@@ -2,6 +2,8 @@ package graft
 
 import graft.operators.Relational
 
+case class OrderRow(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
+
 class RelationalSpec extends SparkSpec {
 
   test("q1_agg groups on the 6 returnflag×linestatus combinations") {
@@ -78,6 +80,17 @@ class RelationalSpec extends SparkSpec {
       .orderBy("band_id").collect()
     val got = Relational.q27RangeJoin(spark, Sf).collect()
     assert(got.toSeq == naive.toSeq)
+  }
+
+  test("typed Dataset API: case-class encoder round-trip agrees with the DataFrame path") {
+    import spark.implicits._
+    val ds = Tables.orders(spark, Sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice").as[OrderRow]
+    val typed = ds.filter(_.o_totalprice > 300000.0).map(_.o_custkey).distinct().count()
+    val untyped = Tables.orders(spark, Sf)
+      .filter(org.apache.spark.sql.functions.col("o_totalprice") > 300000.0)
+      .select("o_custkey").distinct().count()
+    assert(typed == untyped && typed > 0)
   }
 
   test("TopK aggregator matches sort-take under arbitrary reduce/merge order") {
