@@ -647,14 +647,20 @@ object SparkEntry {
         |SELECT qty_tier, count(*) AS cnt, round(sum(l_extendedprice), 2) AS total
         |FROM li JOIN dim USING (qty)
         |GROUP BY qty_tier ORDER BY qty_tier""".stripMargin,
+    // Explicit QUALIFY instead of DuckDB's ASOF JOIN: ASOF leaves the
+    // tie among equal-timestamp clicks unspecified, while the Spark
+    // window deterministically takes the max-event_id click — the
+    // oracle must encode the same tie-break.
     "q26_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
-        |c AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+        |c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click')
         |SELECT p.event_id, p.user_id,
         |  round(p.value, 2) AS purchase_value,
         |  round(c.value, 2) AS last_click_value,
         |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_s
-        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+        |QUALIFY row_number() OVER (PARTITION BY p.event_id
+        |  ORDER BY c.ts DESC, c.event_id DESC) = 1
         |ORDER BY p.event_id""".stripMargin,
     "q27_range_join" ->
       """WITH bands(band_id, lo, hi) AS (VALUES

@@ -150,7 +150,14 @@ case class NgramHashes(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case (StringType, IntegerType) =>
+        if (!right.foldable)
+          TypeCheckResult.TypeCheckFailure(s"$prettyName requires a literal window size")
+        else right.eval() match {
+          case n: Integer if n >= 1 => TypeCheckResult.TypeCheckSuccess
+          case other => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires window size >= 1, got $other")
+        }
       case _ => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (string, int), got " +
           s"${left.dataType.simpleString} and ${right.dataType.simpleString}")

@@ -26,10 +26,20 @@ object FeatureVectorizer {
     * reference's rename-before-MLlib step (README "Limitations",
     * SparkMLTrainer's field handling): MLlib attribute metadata and
     * model persistence want identifier-safe names. */
-  private[ml] def sanitizeColumns(df: DataFrame): DataFrame =
+  private[ml] def sanitizeColumns(df: DataFrame): DataFrame = {
+    // fail with the user's original names, not a downstream
+    // AMBIGUOUS_REFERENCE that only mentions the sanitized form
+    val clash = df.columns.filter(c => c.indexOf('-') >= 0)
+      .map(c => c -> FeatureSpec.sanitize(c))
+      .collectFirst { case (orig, san) if df.columns.contains(san) => (orig, san) }
+    clash.foreach { case (orig, san) =>
+      throw new IllegalArgumentException(
+        s"Cannot sanitize column '$orig' to '$san': a column named '$san' already exists.")
+    }
     df.columns.foldLeft(df) { (d, c) =>
       if (c.indexOf('-') >= 0) d.withColumnRenamed(c, FeatureSpec.sanitize(c)) else d
     }
+  }
 
   /** Adds `features` (sparse ml.linalg vector + ML attribute metadata)
     * assembled from `spec.featureColumns` in schema order. Hyphenated

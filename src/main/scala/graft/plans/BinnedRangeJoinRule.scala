@@ -59,8 +59,11 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     // the FixedPoint optimizer batch can't re-fire on its own output.
     val hasEquiLink = conjuncts.exists {
       case EqualTo(a, b) =>
-        (a.references.subsetOf(j.left.outputSet) && b.references.subsetOf(j.right.outputSet)) ||
-          (b.references.subsetOf(j.left.outputSet) && a.references.subsetOf(j.right.outputSet))
+        // both sides must actually REFERENCE a side — a literal's
+        // empty reference set is vacuously a subset of anything
+        a.references.nonEmpty && b.references.nonEmpty &&
+          ((a.references.subsetOf(j.left.outputSet) && b.references.subsetOf(j.right.outputSet)) ||
+            (b.references.subsetOf(j.left.outputSet) && a.references.subsetOf(j.right.outputSet)))
       case _ => false
     }
     if (hasEquiLink) return None
@@ -92,16 +95,43 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
             case DoubleType  => Some(row.getDouble(i))
             case _           => None
           }
-        val widths = local.data.flatMap(r =>
-          for (l <- num(r, loIdx); h <- num(r, hiIdx) if h >= l) yield h - l)
-        if (widths.isEmpty) None
+        val bounds = local.data.map(r => (num(r, loIdx), num(r, hiIdx)))
+        // Every band must carry finite lo <= hi: a reversed or NaN
+        // band would make the Generate-side sequence descend (default
+        // step -1 → unbounded array) where BETWEEN was simply false,
+        // so bail to the original plan instead.
+        val valid = bounds.forall {
+          case (Some(l), Some(h)) =>
+            !l.isNaN && !h.isNaN && !l.isInfinite && !h.isInfinite && h >= l
+          case _ => false
+        }
+        val widths = bounds.collect { case (Some(l), Some(h)) => h - l }
+        if (!valid || widths.isEmpty) None
         else {
           val binW = math.max(widths.sum / widths.size, 1e-9)
-          if (widths.max / binW + 1 > MaxBinsPerRange) None
+          val loMin = bounds.map(_._1.get).min
+          val hiMax = bounds.map(_._2.get).max
+          // bin indices must stay far inside Long range even for the
+          // clamped extremes (tiny binW + huge band magnitudes)
+          val maxAbsBin = (math.abs(loMin) + math.abs(hiMax)) / binW + 4
+          if (widths.max / binW + 1 > MaxBinsPerRange || maxAbsBin > (Long.MaxValue / 4).toDouble) None
           else {
             def bin(e: Expression): Expression =
               Cast(Floor(Divide(Cast(e, DoubleType), Literal(binW))), LongType)
-            val leftBin = Alias(bin(v), "__bin")()
+            // The fact-side bin input is NaN-mapped and clamped to
+            // just outside the band hull: under ANSI mode a raw
+            // cast(floor(NaN or 1e300 / w) as long) would THROW where
+            // the original BETWEEN was simply false. Out-of-hull
+            // values land in a sentinel bin no band explodes into, so
+            // they drop exactly as the predicate dropped them.
+            def safeBin(e: Expression): Expression = {
+              val sentinel = Literal(loMin - 2 * binW)
+              val guarded = Least(Seq(
+                Greatest(Seq(NaNvl(Cast(e, DoubleType), sentinel), sentinel)),
+                Literal(hiMax + binW)))
+              Cast(Floor(Divide(guarded, Literal(binW))), LongType)
+            }
+            val leftBin = Alias(safeBin(v), "__bin")()
             val newLeft = Project(j.left.output :+ leftBin, j.left)
             val binAttr = AttributeReference("__bin", LongType, nullable = false)()
             // Sequence is TimeZoneAware — it resolves only with an

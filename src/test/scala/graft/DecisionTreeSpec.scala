@@ -131,6 +131,18 @@ class DecisionTreeSpec extends SparkSpec {
     assert(FeatureSpec.sanitize("days-of-week") == "days_of_week")
   }
 
+  test("sanitization rejects a frame where the underscore name already exists") {
+    import org.apache.spark.sql.functions.lit
+    val clashing = flights
+      .withColumnRenamed("dofW", "day-of-week")
+      .withColumn("day_of_week", lit(0.0))
+    val spec = FeatureSpec(include = Some(Seq("day-of-week")), labelField = "delayed")
+    val e = intercept[IllegalArgumentException] {
+      graft.ml.FeatureVectorizer.assemble(clashing, spec)
+    }
+    assert(e.getMessage.contains("day-of-week") && e.getMessage.contains("day_of_week"))
+  }
+
   test("hyphenated feature and label columns train and predict end-to-end") {
     // the reference README's documented limitation, wired through:
     // rename-before-MLlib must happen inside the pipeline, so a user

@@ -57,25 +57,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("ngram_hashes: equal windows hash equal, shifted windows roll correctly") {
+  test("ngram_hashes: equal windows hash equal, shifted windows roll, all n") {
     import spark.implicits._
-    val gStr = Gen.chooseNum(0, 40).flatMap(n =>
-      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
-    val gCase = Gen.zip(gStr, Gen.chooseNum(1, 8))
-    val cases = samples(gCase, 150, 23L)
-    val got = cases.toDF("s", "n")
-      .select(VectorFunctions.ngram_hashes(col("s"), 5).as("h"))
-      .collect().map(_.getSeq[Long](0).toSeq)
-    cases.map(_._1).zip(got).foreach { case (s, hs) =>
-      val want =
-        if (s.length <= 5) Seq(s)
-        else (0 to s.length - 5).map(i => s.substring(i, i + 5))
-      assert(hs.length == want.length, s"'$s'")
-      // equal substrings must produce equal hashes at every position
-      want.zipWithIndex.foreach { case (sub, i) =>
-        want.zipWithIndex.foreach { case (sub2, j) =>
-          if (sub == sub2) assert(hs(i) == hs(j), s"'$s' pos $i/$j")
-          else assert(hs(i) != hs(j), s"rolling-hash collision in '$s' pos $i/$j")
+    val gStr = Gen.chooseNum(0, 40).flatMap(m =>
+      Gen.listOfN(m, Gen.alphaLowerChar).map(_.mkString))
+    (1 to 8).foreach { n =>
+      val strs = samples(gStr, 40, 23L + n)
+      val got = strs.toDF("s")
+        .select(VectorFunctions.ngram_hashes(col("s"), n).as("h"))
+        .collect().map(_.getSeq[Long](0).toSeq)
+      strs.zip(got).foreach { case (s, hs) =>
+        val want =
+          if (s.length <= n) Seq(s)
+          else (0 to s.length - n).map(i => s.substring(i, i + n))
+        assert(hs.length == want.length, s"'$s' n=$n")
+        // equal substrings must hash equal; distinct ones distinct
+        for { (sub, i) <- want.zipWithIndex; (sub2, j) <- want.zipWithIndex } {
+          if (sub == sub2) assert(hs(i) == hs(j), s"'$s' n=$n pos $i/$j")
+          else assert(hs(i) != hs(j), s"rolling-hash collision in '$s' n=$n pos $i/$j")
         }
       }
     }

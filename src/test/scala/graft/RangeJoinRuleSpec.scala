@@ -36,6 +36,31 @@ class RangeJoinRuleSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("rule bails on reversed bands and survives NaN fact values") {
+    import spark.implicits._
+    spark.experimental.extraOptimizations = Seq(BinnedRangeJoinRule)
+    try {
+      // reversed band (typo'd lo > hi): rewrite must bail, result = naive
+      val reversed = Seq((1L, 1.0, 9.0), (2L, 1e9, 0.0)).toDF("band_id", "lo", "hi")
+      val facts = Seq(1.0, 5.0, Double.NaN, 42.0).toDF("v")
+      val q = facts.join(reversed, col("v") >= col("lo") && col("v") <= col("hi"))
+        .groupBy("band_id").agg(count(lit(1)).as("cnt"))
+      assert(q.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))) == Seq((1L, 2L)))
+
+      // well-formed bands + NaN/extreme fact values: rewrite fires and
+      // must not throw under ANSI (NaN is mapped to a sentinel bin)
+      val bands = Seq((1L, 1.0, 9.0), (2L, 10.0, 20.0)).toDF("band_id", "lo", "hi")
+      val hardFacts = Seq(1.0, 15.0, Double.NaN, Double.PositiveInfinity, -1e308, 1e308)
+        .toDF("v")
+      val q2 = hardFacts.join(bands, col("v") >= col("lo") && col("v") <= col("hi"))
+        .groupBy("band_id").agg(count(lit(1)).as("cnt")).orderBy("band_id")
+      val plan2 = { q2.collect(); q2.queryExecution.executedPlan.toString }
+      assert(!plan2.contains("BroadcastNestedLoopJoin"), s"rule did not fire:\n$plan2")
+      assert(q2.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))) ==
+        Seq((1L, 1L), (2L, 1L)))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("rule leaves non-literal band tables untouched") {
     spark.experimental.extraOptimizations = Seq(BinnedRangeJoinRule)
     try {
