@@ -77,6 +77,45 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1.0)))
   }
 
+  test("windowed agg state survives a query restart via checkpoint (file source)") {
+    import org.apache.spark.sql.types._
+    val base = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    def writeBatch(name: String, rows: Seq[(String, String, Double)]): Unit = {
+      import spark.implicits._
+      rows.map { case (t, e, v) => (java.sql.Timestamp.valueOf(t), e, v) }
+        .toDF("ts", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    def startQuery() = EventStream.windowedCounts(
+      spark.readStream.schema(schema).parquet(srcDir))
+      .writeStream.format("memory").queryName("ckpt_windowed")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+
+    writeBatch("b1", Seq(("2024-01-01 10:00:00", "click", 1.0)))
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop()
+    // new data lands while the query is DOWN; the restarted query must
+    // resume from the checkpoint and fold it into existing state
+    writeBatch("b2", Seq(("2024-01-01 11:00:00", "click", 2.0),
+      ("2024-01-02 09:00:00", "view", 5.0)))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    val out = spark.table("ckpt_windowed").collect()
+      .map(r => (r.getAs[java.sql.Timestamp]("day").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("cnt"), r.getAs[Double]("total"))).toSet
+    q2.stop()
+    assert(out == Set(
+      ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+      ("2024-01-02 00:00:00.0", "view", 1L, 5.0)))
+  }
+
   test("sessionization closes sessions on gap and keeps state across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
