@@ -68,6 +68,8 @@ object SparkEntry {
     "q36_grouping_sets" -> (Relational.q36GroupingSets(_, _)),
     "q37_outer_join" -> (Relational.q37OuterJoin(_, _)),
     "q38_rolling_window" -> (Relational.q38RollingWindow(_, _)),
+    "q39_daily_active" -> (Relational.q39DailyActive(_, _)),
+    "q40_retention" -> (Relational.q40Retention(_, _)),
     "text_normalize" -> (TextAnalysis.textNormalize(_, _)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
@@ -356,6 +358,20 @@ object SparkEntry {
         |  coalesce(n_urgent, 0) AS n_urgent, coalesce(n_low, 0) AS n_low
         |FROM u FULL OUTER JOIN l ON u.o_custkey = l.o_custkey
         |ORDER BY o_custkey""".stripMargin,
+    "q39_daily_active" ->
+      """SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS dau,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q40_retention" ->
+      """WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM daily GROUP BY 1),
+        |ret AS (
+        |  SELECT a.day, count(*) AS retained
+        |  FROM daily a JOIN daily b ON a.user_id = b.user_id AND b.day = a.day + 1
+        |  GROUP BY 1)
+        |SELECT d.day, d.dau, coalesce(r.retained, 0) AS retained,
+        |  round(coalesce(r.retained, 0) / d.dau, 4) AS retention_rate
+        |FROM dau d LEFT JOIN ret r USING (day) ORDER BY day""".stripMargin,
     "q38_rolling_window" ->
       """WITH d AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day, round(sum(o_totalprice), 2) AS revenue

@@ -528,6 +528,34 @@ object Relational {
       .orderBy("day")
   }
 
+  /** Daily active users + event volume — the product-analytics
+    * heartbeat query. One shuffle; countDistinct partial-aggregates
+    * per partition. */
+  def q39DailyActive(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct("user_id").as("dau"), count(lit(1)).as("n_events"))
+      .orderBy("day")
+
+  /** Next-day retention: of the users active on day d, the fraction
+    * also active on d+1. The (day, user) set self-joins on user_id —
+    * the join shuffles the deduplicated activity set, not raw
+    * events. */
+  def q40Retention(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+    val ret = daily.alias("a")
+      .join(daily.alias("b"),
+        col("a.user_id") === col("b.user_id") && col("b.day") === date_add(col("a.day"), 1))
+      .groupBy(col("a.day").as("day")).agg(count(lit(1)).as("retained"))
+    daily.groupBy("day").agg(count(lit(1)).as("dau"))
+      .join(ret, Seq("day"), "left")
+      .select(col("day"), col("dau"),
+        coalesce(col("retained"), lit(0L)).as("retained"),
+        round(coalesce(col("retained"), lit(0L)) / col("dau"), 4).as("retention_rate"))
+      .orderBy("day")
+  }
+
   /** Batch sessionization (gaps-and-islands): a new session starts
     * after a >30 min silence; one window pass marks boundaries, a
     * running sum numbers sessions, then a per-session aggregate.
