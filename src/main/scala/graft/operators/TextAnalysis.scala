@@ -140,6 +140,20 @@ object TextAnalysis {
   def fingerprint64(textCol: Column): Column =
     xxhash64(regexp_replace(lower(textCol), "\\s+", " "))
 
+  /** Winnowing fingerprints (the MOSS scheme): the minimum rolling
+    * n-gram hash inside each window of `w` consecutive positions,
+    * deduplicated — guarantees any shared substring of length
+    * >= n + w - 1 contributes a shared fingerprint, with density
+    * ~2/(w+1). Built on the codegen'd `ngram_hashes`; pure map-side
+    * array expressions (hash-valued output → spec-checked, not
+    * oracle-checked). */
+  def winnowFingerprints(textCol: Column, n: Int = 8, w: Int = 4): Column = {
+    val hs = graft.functions.VectorFunctions.ngram_hashes(lower(textCol), n)
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(hs) - w, lit(0))),
+      i => array_min(slice(hs, i + lit(1), lit(w)))))
+  }
+
   /** Unigram-LM quality score: mean log10 unigram probability of each
     * document under the corpus's own unigram distribution — the
     * classic LM-filter signal (low score = gibberish / boilerplate).

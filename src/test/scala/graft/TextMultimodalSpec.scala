@@ -40,6 +40,24 @@ class TextMultimodalSpec extends SparkSpec {
     assert(fp(0) == fp(1) && fp(1) != fp(2)) // trailing space survives collapse
   }
 
+  test("winnowing fingerprints: shared long substrings share a fingerprint") {
+    import spark.implicits._
+    val common = "the quick brown fox jumps over the lazy dog near the river bank"
+    val docs = Seq(
+      s"AAAA $common BBBB",       // shares `common` with doc 2
+      s"XXXX $common YYYY",
+      "completely different text with no overlap at all in any window")
+      .toDF("text")
+    val fps = docs
+      .select(TextAnalysis.winnowFingerprints(org.apache.spark.sql.functions.col("text")).as("fp"))
+      .collect().map(_.getSeq[Long](0).toSet)
+    // winnowing guarantee: shared substring >= n + w - 1 chars ⇒ shared fingerprint
+    assert((fps(0) & fps(1)).nonEmpty)
+    assert((fps(0) & fps(2)).isEmpty)
+    // density: selected fingerprints are a small fraction of all positions
+    assert(fps(0).size < docs.head.getString(0).length / 2)
+  }
+
   test("text_stats: tokens ≥ words, chars equal source length") {
     val rows = TextAnalysis.textStats(spark, Sf).collect()
     rows.foreach { r =>
