@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Pin the JVM default too: java.sql.Timestamp literals in specs and
+  // window-start rendering go through user.timezone, not the session
+  // conf — on a non-UTC host they would shift cross-day groupings.
+  "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -666,7 +666,10 @@ object SparkEntry {
     // Explicit QUALIFY instead of DuckDB's ASOF JOIN: ASOF leaves the
     // tie among equal-timestamp clicks unspecified, while the Spark
     // window deterministically takes the max-event_id click — the
-    // oracle must encode the same tie-break.
+    // oracle must encode the same tie-break. All time comparisons go
+    // through epoch_us: DuckDB sees nanosecond timestamps, Spark sees
+    // microsecond-truncated ones, so ranking at raw precision could
+    // order same-microsecond clicks differently.
     "q26_asof_join" ->
       """WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click')
@@ -674,9 +677,9 @@ object SparkEntry {
         |  round(p.value, 2) AS purchase_value,
         |  round(c.value, 2) AS last_click_value,
         |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS gap_s
-        |FROM p JOIN c ON p.user_id = c.user_id AND c.ts <= p.ts
+        |FROM p JOIN c ON p.user_id = c.user_id AND epoch_us(c.ts) <= epoch_us(p.ts)
         |QUALIFY row_number() OVER (PARTITION BY p.event_id
-        |  ORDER BY c.ts DESC, c.event_id DESC) = 1
+        |  ORDER BY epoch_us(c.ts) DESC, c.event_id DESC) = 1
         |ORDER BY p.event_id""".stripMargin,
     "q27_range_join" ->
       """WITH bands(band_id, lo, hi) AS (VALUES

@@ -28,13 +28,16 @@ object FeatureVectorizer {
     * model persistence want identifier-safe names. */
   private[ml] def sanitizeColumns(df: DataFrame): DataFrame = {
     // fail with the user's original names, not a downstream
-    // AMBIGUOUS_REFERENCE that only mentions the sanitized form
-    val clash = df.columns.filter(c => c.indexOf('-') >= 0)
-      .map(c => c -> FeatureSpec.sanitize(c))
-      .collectFirst { case (orig, san) if df.columns.contains(san) => (orig, san) }
-    clash.foreach { case (orig, san) =>
+    // AMBIGUOUS_REFERENCE that only mentions the sanitized form. The
+    // check runs over the FULL post-rename name multiset (two
+    // hyphenated columns can sanitize to the same target) and
+    // case-insensitively (Spark resolution default).
+    val dup = df.columns.groupBy(c => FeatureSpec.sanitize(c).toLowerCase).values
+      .find(g => g.length > 1 && g.exists(_.indexOf('-') >= 0))
+    dup.foreach { origs =>
       throw new IllegalArgumentException(
-        s"Cannot sanitize column '$orig' to '$san': a column named '$san' already exists.")
+        s"Cannot sanitize columns ${origs.mkString("'", "', '", "'")}: " +
+          s"they would all resolve to '${FeatureSpec.sanitize(origs.head)}'.")
     }
     df.columns.foldLeft(df) { (d, c) =>
       if (c.indexOf('-') >= 0) d.withColumnRenamed(c, FeatureSpec.sanitize(c)) else d

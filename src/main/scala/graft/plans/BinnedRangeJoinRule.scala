@@ -106,15 +106,19 @@ object BinnedRangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
           case _ => false
         }
         val widths = bounds.collect { case (Some(l), Some(h)) => h - l }
-        if (!valid || widths.isEmpty) None
+        if (!valid || widths.isEmpty || widths.exists(_.isInfinite)) None
         else {
           val binW = math.max(widths.sum / widths.size, 1e-9)
           val loMin = bounds.map(_._1.get).min
           val hiMax = bounds.map(_._2.get).max
           // bin indices must stay far inside Long range even for the
-          // clamped extremes (tiny binW + huge band magnitudes)
+          // clamped extremes (tiny binW + huge band magnitudes); the
+          // !isFinite check also catches binW overflowing to Infinity
+          // (width sum past Double.MaxValue), where the comparisons
+          // below would be vacuous NaNs
           val maxAbsBin = (math.abs(loMin) + math.abs(hiMax)) / binW + 4
-          if (widths.max / binW + 1 > MaxBinsPerRange || maxAbsBin > (Long.MaxValue / 4).toDouble) None
+          if (!binW.isFinite || !maxAbsBin.isFinite ||
+            widths.max / binW + 1 > MaxBinsPerRange || maxAbsBin > (Long.MaxValue / 4).toDouble) None
           else {
             def bin(e: Expression): Expression =
               Cast(Floor(Divide(Cast(e, DoubleType), Literal(binW))), LongType)

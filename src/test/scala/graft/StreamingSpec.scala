@@ -85,7 +85,7 @@ class StreamingSpec extends SparkSpec {
     val schema = StructType(Seq(
       StructField("ts", TimestampType), StructField("event_type", StringType),
       StructField("value", DoubleType)))
-    def writeBatch(name: String, rows: Seq[(String, String, Double)]): Unit = {
+    def writeBatch(rows: Seq[(String, String, Double)]): Unit = {
       import spark.implicits._
       rows.map { case (t, e, v) => (java.sql.Timestamp.valueOf(t), e, v) }
         .toDF("ts", "event_type", "value")
@@ -97,13 +97,13 @@ class StreamingSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .outputMode("complete").start()
 
-    writeBatch("b1", Seq(("2024-01-01 10:00:00", "click", 1.0)))
+    writeBatch(Seq(("2024-01-01 10:00:00", "click", 1.0)))
     val q1 = startQuery()
     q1.processAllAvailable()
     q1.stop()
     // new data lands while the query is DOWN; the restarted query must
     // resume from the checkpoint and fold it into existing state
-    writeBatch("b2", Seq(("2024-01-01 11:00:00", "click", 2.0),
+    writeBatch(Seq(("2024-01-01 11:00:00", "click", 2.0),
       ("2024-01-02 09:00:00", "view", 5.0)))
     val q2 = startQuery()
     q2.processAllAvailable()
