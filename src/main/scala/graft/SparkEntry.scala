@@ -70,6 +70,7 @@ object SparkEntry {
     "q38_rolling_window" -> (Relational.q38RollingWindow(_, _)),
     "q39_daily_active" -> (Relational.q39DailyActive(_, _)),
     "q40_retention" -> (Relational.q40Retention(_, _)),
+    "q41_cross_modal" -> (Relational.q41CrossModal(_, _)),
     "text_normalize" -> (TextAnalysis.textNormalize(_, _)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
@@ -358,6 +359,17 @@ object SparkEntry {
         |  coalesce(n_urgent, 0) AS n_urgent, coalesce(n_low, 0) AS n_low
         |FROM u FULL OUTER JOIN l ON u.o_custkey = l.o_custkey
         |ORDER BY o_custkey""".stripMargin,
+    "q41_cross_modal" ->
+      """WITH nr AS (
+        |  SELECT vec_id, label,
+        |    sqrt(list_sum(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM embeddings)
+        |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_docs,
+        |  round(avg(length(d.text)), 4) AS avg_chars,
+        |  round(avg(nrm), 4) AS avg_norm
+        |FROM documents d JOIN nr ON d.doc_id = nr.vec_id
+        |GROUP BY 1 ORDER BY label""".stripMargin,
     "q39_daily_active" ->
       """SELECT CAST(ts AS DATE) AS day, count(DISTINCT user_id) AS dau,
         |  count(*) AS n_events

@@ -559,6 +559,23 @@ object Relational {
       .orderBy("day")
   }
 
+  /** Cross-modal join: text table ⋈ embedding table on document id,
+    * aggregated per embedding label — the "join modalities" shape a
+    * training pipeline runs to correlate text statistics with
+    * embedding clusters. Equi-join on the id; the norm is a map-side
+    * higher-order expression. */
+  def q41CrossModal(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+      .withColumn("nrm", sqrt(aggregate(
+        expr("transform(embedding, x -> cast(x as double))"),
+        lit(0.0), (a, x) => a + x * x)))
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(length(col("text"))), 4).as("avg_chars"),
+        round(avg(col("nrm")), 4).as("avg_norm"))
+      .orderBy("label")
+
   /** Batch sessionization (gaps-and-islands): a new session starts
     * after a >30 min silence; one window pass marks boundaries, a
     * running sum numbers sessions, then a per-session aggregate.
