@@ -71,6 +71,7 @@ object SparkEntry {
     "q39_daily_active" -> (Relational.q39DailyActive(_, _)),
     "q40_retention" -> (Relational.q40Retention(_, _)),
     "q41_cross_modal" -> (Relational.q41CrossModal(_, _)),
+    "q42_funnel" -> (Relational.q42Funnel(_, _)),
     "text_normalize" -> (TextAnalysis.textNormalize(_, _)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
@@ -359,6 +360,19 @@ object SparkEntry {
         |  coalesce(n_urgent, 0) AS n_urgent, coalesce(n_low, 0) AS n_low
         |FROM u FULL OUTER JOIN l ON u.o_custkey = l.o_custkey
         |ORDER BY o_custkey""".stripMargin,
+    "q42_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(us) AS c_us FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND us > v_us GROUP BY 1),
+        |p AS (SELECT e.user_id, min(us) AS p_us FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND us > c_us GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS name,
+        |    (SELECT count(*) FROM v) AS users
+        |  UNION ALL SELECT CAST(2 AS BIGINT), 'view_click', (SELECT count(*) FROM c)
+        |  UNION ALL SELECT CAST(3 AS BIGINT), 'view_click_purchase', (SELECT count(*) FROM p))
+        |ORDER BY stage""".stripMargin,
     "q41_cross_modal" ->
       """WITH nr AS (
         |  SELECT vec_id, label,

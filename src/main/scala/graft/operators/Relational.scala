@@ -576,6 +576,31 @@ object Relational {
         round(avg(col("nrm")), 4).as("avg_norm"))
       .orderBy("label")
 
+  /** Ordered conversion funnel (view → later click → later purchase):
+    * per-stage first-event times chain through min-aggregates +
+    * equi-joins on user_id, so each stage shuffles only (user, ts)
+    * pairs — never raw events twice. The classic event-analytics
+    * funnel shape. */
+  def q42Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("v_us"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("us") > col("v_us"))
+      .groupBy("user_id").agg(min("us").as("c_us"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("us") > col("c_us"))
+      .groupBy("user_id").agg(min("us").as("p_us"))
+    def stage(df: DataFrame, n: Long, name: String) =
+      df.agg(count(lit(1)).as("users"))
+        .select(lit(n).as("stage"), lit(name).as("name"), col("users"))
+    stage(v, 1, "view")
+      .unionAll(stage(c, 2, "view_click"))
+      .unionAll(stage(p, 3, "view_click_purchase"))
+      .orderBy("stage")
+  }
+
   /** Batch sessionization (gaps-and-islands): a new session starts
     * after a >30 min silence; one window pass marks boundaries, a
     * running sum numbers sessions, then a per-session aggregate.
