@@ -72,6 +72,7 @@ object SparkEntry {
     "q40_retention" -> (Relational.q40Retention(_, _)),
     "q41_cross_modal" -> (Relational.q41CrossModal(_, _)),
     "q42_funnel" -> (Relational.q42Funnel(_, _)),
+    "q43_null_agg" -> (Relational.q43NullAgg(_, _)),
     "text_normalize" -> (TextAnalysis.textNormalize(_, _)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
@@ -360,6 +361,12 @@ object SparkEntry {
         |  coalesce(n_urgent, 0) AS n_urgent, coalesce(n_low, 0) AS n_low
         |FROM u FULL OUTER JOIN l ON u.o_custkey = l.o_custkey
         |ORDER BY o_custkey""".stripMargin,
+    "q43_null_agg" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  count(nullif(l_discount, 0.0)) AS n_nonnull,
+        |  sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |  round(avg(nullif(l_discount, 0.0)), 4) AS avg_nonnull
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q42_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |v AS (SELECT user_id, min(us) AS v_us FROM e WHERE event_type = 'view' GROUP BY 1),

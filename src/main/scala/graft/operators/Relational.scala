@@ -601,6 +601,19 @@ object Relational {
       .orderBy("stage")
   }
 
+  /** Null-semantics surface: count(col) vs count(*), null-skipping
+    * avg, and explicit null tallies over a synthesized nullable
+    * column — the SQL null contract an engine must honor exactly. */
+  def q43NullAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .withColumn("d", expr("nullif(l_discount, 0.0)"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("d")).as("n_nonnull"),
+        sum(when(col("d").isNull, 1L).otherwise(0L)).as("n_null"),
+        round(avg("d"), 4).as("avg_nonnull"))
+      .orderBy("l_returnflag")
+
   /** Batch sessionization (gaps-and-islands): a new session starts
     * after a >30 min silence; one window pass marks boundaries, a
     * running sum numbers sessions, then a per-session aggregate.
