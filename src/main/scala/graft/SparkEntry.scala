@@ -73,6 +73,7 @@ object SparkEntry {
     "q41_cross_modal" -> (Relational.q41CrossModal(_, _)),
     "q42_funnel" -> (Relational.q42Funnel(_, _)),
     "q43_null_agg" -> (Relational.q43NullAgg(_, _)),
+    "q44_string_agg" -> (Relational.q44StringAgg(_, _)),
     "text_normalize" -> (TextAnalysis.textNormalize(_, _)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
@@ -361,6 +362,11 @@ object SparkEntry {
         |  coalesce(n_urgent, 0) AS n_urgent, coalesce(n_low, 0) AS n_low
         |FROM u FULL OUTER JOIN l ON u.o_custkey = l.o_custkey
         |ORDER BY o_custkey""".stripMargin,
+    "q44_string_agg" ->
+      """SELECT r_name, count(*) AS n_nations,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY r_name""".stripMargin,
     "q43_null_agg" ->
       """SELECT l_returnflag, count(*) AS n_rows,
         |  count(nullif(l_discount, 0.0)) AS n_nonnull,

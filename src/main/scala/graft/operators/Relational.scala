@@ -614,6 +614,18 @@ object Relational {
         round(avg("d"), 4).as("avg_nonnull"))
       .orderBy("l_returnflag")
 
+  /** Ordered string aggregation (LISTAGG): collect_list + sort_array
+    * + concat_ws gives a deterministic per-group concatenation —
+    * collect_list alone is partition-order-dependent, so the sort is
+    * what makes the result reproducible across engines and runs. */
+  def q44StringAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.nation(s, dir)
+      .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_nations"),
+        concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"))
+      .orderBy("r_name")
+
   /** Batch sessionization (gaps-and-islands): a new session starts
     * after a >30 min silence; one window pass marks boundaries, a
     * running sum numbers sessions, then a per-session aggregate.
