@@ -100,6 +100,7 @@ object SparkEntry {
     "pipe_decontaminate" -> ((s, d) => TextAnalysis.pipeDecontaminate(s, d)),
     "text_top_bigrams" -> ((s, d) => TextAnalysis.textTopBigrams(s, d)),
     "pipe_length_histogram" -> ((s, d) => TextAnalysis.pipeLengthHistogram(s, d)),
+    "pipe_e2e" -> (TextAnalysis.pipeEndToEnd(_, _)),
     // §2.7 multimodal
     "mm_meta" -> (Multimodal.mmMeta(_, _)),
     "mm_decode" -> (Multimodal.mmDecodeChecked(_, _)),
@@ -628,6 +629,17 @@ object SparkEntry {
         | trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm_text,
         | length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS norm_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Composes the pipe_quality_filter predicate with the dedup_exact
+    // keeper set (min doc_id per identical text).
+    "pipe_e2e" ->
+      """WITH kept AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE len(regexp_extract_all(text, '\S+')) >= 30
+        |    AND len(regexp_extract_all(text, '[A-Za-z]')) / greatest(length(text), 1) >= 0.6),
+        |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
+        |SELECT lang, source, count(*) AS n_docs, sum(length(text)) AS total_chars
+        |FROM documents JOIN kept USING (doc_id) JOIN keepers USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
     "pipe_quality_filter" ->
       """SELECT doc_id,
         | len(regexp_extract_all(text, '\S+')) AS words,

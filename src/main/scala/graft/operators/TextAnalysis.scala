@@ -212,6 +212,23 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy("bucket_lo")
 
+  /** End-to-end pipeline head as ONE query: quality gate → exact
+    * dedup → per-(lang, source) corpus stats. Composes three operator
+    * families in a single Catalyst plan (two semi-join-shaped filters
+    * on doc_id, one partial-aggregated shuffle) — the oracle-checked
+    * proof that the stages compose without materialization between
+    * them. */
+  def pipeEndToEnd(s: SparkSession, dir: String): DataFrame = {
+    val kept = pipeQualityFilter(s, dir).select("doc_id")
+    val keepers = Dedup.dedupExact(s, dir).select(col("keep_id").as("doc_id"))
+    Tables.documents(s, dir)
+      .join(kept, "doc_id").join(keepers, "doc_id")
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text")).cast("long")).as("total_chars"))
+      .orderBy("lang", "source")
+  }
+
   /** Benchmark decontamination: flag corpus documents that share any
     * character n-gram (default 20) with an eval/benchmark set — the standard
     * n-gram-collision contamination check run before training. The
