@@ -187,6 +187,54 @@ object SparkEntry {
        |WHERE rn <= $k ORDER BY qid, rank""".stripMargin
   }
 
+  /** DuckDB replica of [[Similarity.simIvfAnn]]: the frozen
+    * [[operators.IvfCodebook]] centroids are inlined as literals so
+    * both engines assign every vector to the same IVF cell (argmax
+    * centroid cosine, ties → lowest cell), probe the same `nprobe`
+    * cells per query, and rank the same candidates. */
+  private def ivfOracleSql(nQueries: Int, k: Int, nprobe: Int): String = {
+    val cb = operators.IvfCodebook.centroids
+    val centValues = (for (ci <- cb.indices; i <- cb(ci).indices)
+      yield s"($ci, ${i + 1}, ${cb(ci)(i)})").mkString(", ")
+    s"""WITH cents(cidx, i, w) AS (VALUES $centValues),
+       |ex AS (
+       |  SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY vec_id),
+       |cnorms AS (SELECT cidx, sqrt(sum(w*w)) AS cnrm FROM cents GROUP BY cidx),
+       |cdot AS (
+       |  SELECT e.vec_id, c.cidx, sum(e.x * c.w) AS dot
+       |  FROM ex e JOIN cents c ON e.i = c.i GROUP BY 1, 2),
+       |ccos AS (
+       |  SELECT cd.vec_id, cd.cidx, cd.dot / (n.nrm * cn.cnrm) AS c
+       |  FROM cdot cd JOIN norms n ON n.vec_id = cd.vec_id
+       |  JOIN cnorms cn ON cn.cidx = cd.cidx),
+       |ranked AS (
+       |  SELECT vec_id, cidx,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cidx) AS rn
+       |  FROM ccos),
+       |assign AS (SELECT vec_id, cidx AS bucket FROM ranked WHERE rn = 1),
+       |probes AS (
+       |  SELECT vec_id AS qid, cidx AS bucket FROM ranked
+       |  WHERE vec_id < $nQueries AND rn <= $nprobe),
+       |cand AS (
+       |  SELECT p.qid, a.vec_id FROM probes p
+       |  JOIN assign a ON a.bucket = p.bucket WHERE a.vec_id <> p.qid),
+       |cdots AS (
+       |  SELECT cand.qid, cand.vec_id, sum(q.x * e.x) AS dot
+       |  FROM cand
+       |  JOIN ex q ON q.vec_id = cand.qid
+       |  JOIN ex e ON e.vec_id = cand.vec_id AND e.i = q.i
+       |  GROUP BY 1, 2),
+       |cos AS (
+       |  SELECT qid, cd.vec_id, dot / (nq.nrm * ne.nrm) AS c
+       |  FROM cdots cd JOIN norms nq ON nq.vec_id = qid JOIN norms ne ON ne.vec_id = cd.vec_id)
+       |SELECT qid, vec_id, round(c, 4) AS cosine, rn AS rank
+       |FROM (SELECT qid, vec_id, c,
+       |        row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn FROM cos)
+       |WHERE rn <= $k ORDER BY qid, rank""".stripMargin
+  }
+
   /** DuckDB replica of [[operators.Dedup.dedupMinhashLsh]]: the
     * splitmix (a,b) permutation constants are inlined so both engines
     * run the identical permutation family over the identical
@@ -371,7 +419,7 @@ object SparkEntry {
     "q43_null_agg" ->
       """SELECT l_returnflag, count(*) AS n_rows,
         |  count(nullif(l_discount, 0.0)) AS n_nonnull,
-        |  sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |  sum(CASE WHEN nullif(l_discount, 0.0) IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
         |  round(avg(nullif(l_discount, 0.0)), 4) AS avg_nonnull
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
     "q42_funnel" ->
@@ -637,7 +685,7 @@ object SparkEntry {
         |  WHERE len(regexp_extract_all(text, '\S+')) >= 30
         |    AND len(regexp_extract_all(text, '[A-Za-z]')) / greatest(length(text), 1) >= 0.6),
         |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text)
-        |SELECT lang, source, count(*) AS n_docs, sum(length(text)) AS total_chars
+        |SELECT lang, source, count(*) AS n_docs, sum(length(text))::BIGINT AS total_chars
         |FROM documents JOIN kept USING (doc_id) JOIN keepers USING (doc_id)
         |GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
     "pipe_quality_filter" ->
@@ -757,6 +805,7 @@ object SparkEntry {
     // round-trips exactly, so DuckDB computes the identical bucket
     // bits), then candidates/cosine/rank mirror the Spark plan.
     "sim_lsh_ann" -> lshOracleSql(nQueries = 5, k = 10, numPlanes = 6, dim = 64),
+    "sim_ivf_ann" -> ivfOracleSql(nQueries = 5, k = 10, nprobe = 4),
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.Tables
-import graft.CacheRegistry.Cacheable
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -132,42 +131,32 @@ object Similarity {
       when(cosine(v, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** ANN top-k via IVF (inverted-file) coarse quantization: k-means
-    * on L2-normalized vectors partitions the corpus into `nlist`
-    * cells; each query scores only the `nprobe` cells whose centroids
-    * are nearest. The 100 TB shape: one clustering pass (on a sample
-    * in production), one narrow (bucket, id, vec) shuffle to build the
-    * inverted file, then probes touch nprobe/nlist of the corpus.
-    * Approximate by design → rows-only check; spec asserts recall. */
+  /** ANN top-k via IVF (inverted-file) coarse quantization against the
+    * frozen [[IvfCodebook]] (spherical k-means trained offline on a
+    * sample by [[graft.tools.FitIvfCodebook]] — the production IVF
+    * pattern: the quantizer ships as constants, so assignment is a
+    * pure codegen'd expression and the oracle can replicate it
+    * bit-for-bit). Each corpus vector lands in the cell with the
+    * highest centroid cosine (ties → lowest cell index); each query
+    * scores only the `nprobe` nearest cells. The 100 TB shape: one
+    * map-only assignment scan, then the broadcast query set probes
+    * nprobe/nlist of the corpus — the corpus itself never shuffles. */
   def simIvfAnn(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
-                nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+                nprobe: Int = 4,
+                codebook: Array[Array[Double]] = IvfCodebook.centroids): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      // normalize so L2 k-means approximates cosine cells (spherical k-means)
-      .withColumn("nv", transform(col("v"), x => x / sqrt(aggregate(col("v"), lit(0.0), (a, y) => a + y * y))))
-      .withColumn("fv", array_to_vector(col("nv")))
-      .cacheTracked
-    val km = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("bucket")
-    val model = km.fit(e)
-    val assigned = model.transform(e).select(col("vec_id"), col("v"), col("bucket"))
-    val centroids = model.clusterCenters.map(_.toArray)
-    // per query: the nprobe nearest centroids (tiny driver-side math on
-    // the collected query set — the corpus never moves)
-    val queries = assigned.filter(col("vec_id") < nQueries)
-      .select("vec_id", "v").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val probeRows = queries.flatMap { case (qid, qv) =>
-      val qn = l2(qv)
-      centroids.zipWithIndex
-        .map { case (c, i) => (i, dotp(qv, c) / (qn * l2(c))) }
-        .sortBy(-_._2).take(nprobe)
-        .map { case (bucket, _) => (qid, qv, bucket) }
-    }
-    import s.implicits._
-    val probes = s.createDataset(probeRows.toSeq).toDF("qid", "qv", "bucket")
+    // (cosine, -cell) structs: array_max picks the max cosine, ties → lowest cell
+    val cells = array(codebook.zipWithIndex.map { case (c, i) =>
+      struct(cosine(col("v"), array(c.map(lit): _*)).as("ccos"), lit(-i).as("negidx"))
+    }: _*)
+    val assigned = e.withColumn("bucket", (-array_max(cells).getField("negidx")).cast("int"))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), explode(cells).as("p"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("p.ccos").desc, col("p.negidx").desc)))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), (-col("p.negidx")).cast("int").as("bucket"))
     assigned.join(broadcast(probes), Seq("bucket"))
       .filter(col("vec_id") =!= col("qid"))
       .withColumn("cos", cosine(col("qv"), col("v")))

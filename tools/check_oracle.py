@@ -40,6 +40,16 @@ for name, sql in sorted(oracle.items()):
         fails.append(name)
         print(f"FAIL {name}: rows spark={len(s)} duck={len(d)}")
         continue
+    # driver's hash compare is dtype-sensitive (int64 "1" != float64 "1.0"):
+    # DuckDB sum(int)->HUGEINT surfaces as float64 — flag kind mismatches hard
+    kind_mism = [(c, s[c].dtype.kind, d[c].dtype.kind) for c in s.columns
+                 if s[c].dtype.kind != d[c].dtype.kind
+                 and s[c].dtype.kind in "fiu" and d[c].dtype.kind in "fiu"
+                 and "f" in (s[c].dtype.kind, d[c].dtype.kind)]
+    if kind_mism:
+        fails.append(name)
+        print(f"FAIL {name}: int/float dtype mismatch (spark_kind, duck_kind): {kind_mism}")
+        continue
     # order-insensitive compare: sort by all columns
     key = list(s.columns)
     ss = s.sort_values(key).reset_index(drop=True)
