@@ -45,11 +45,13 @@ object Bench {
       CacheRegistry.releaseAll()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal timings keep the whole line inside a tail-capture
+    // window (~40% shorter than raw doubles)
+    def f3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // sbt prefixes forked stdout with [info], which defeats line-level
     // JSON parsing — also write the bare line where a harness can read
     // it directly.
@@ -60,6 +62,15 @@ object Bench {
         java.nio.file.Files.writeString(path, line + "\n")
       } catch { case _: Throwable => () }
     }
+    // Quiesce everything, stop Spark, THEN print: the metrics line must
+    // be the LAST stdout line so a tail-capture of the run still holds
+    // the complete JSON.
+    spark.sparkContext.setLogLevel("OFF")
+    try org.apache.logging.log4j.core.config.Configurator.setRootLevel(
+      org.apache.logging.log4j.Level.OFF)
+    catch { case _: Throwable => () }
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }
