@@ -18,7 +18,7 @@ object SparkEntry {
     * one plan (text analysis, dedup, relational aggregate). */
   def entry(spark: SparkSession): DataFrame = {
     import org.apache.spark.sql.functions.{count, length, lit, sum}
-    val dir = "/root/testdata/sf0.001"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val kept = TextAnalysis.pipeQualityFilter(spark, dir).select("doc_id")
     val keepers = Dedup.dedupExact(spark, dir).select(col("keep_id").as("doc_id"))
     Tables.documents(spark, dir)
@@ -112,9 +112,19 @@ object SparkEntry {
 
   /** Reference end-to-end: train decision-tree regression on lineitem
     * (label l_extendedprice), persist, reload, score, append the
-    * prediction column (rows-only; exact semantics spec'd in
-    * DecisionTreeSpec). */
+    * prediction column. Tree internals are engine-specific, so the
+    * oracle-checkable contract is partial (the q15/q24 pattern): the
+    * exact key set, a per-row prediction-present flag, and a
+    * Spark-computed fit-invariant flag the DuckDB oracle asserts
+    * TRUE: a variance-impurity tree predicts leaf means, so its train
+    * RMSE can never exceed the label's population stddev — a scored
+    * frame that violates it means corrupted persistence or a feature
+    * mismatch. (The synthetic lineitem gives these features ~no
+    * predictive signal, so a tighter relative bound would be
+    * dishonest; exact prediction semantics are pinned by the
+    * flight-delay spec in DecisionTreeSpec.) */
   private def mlTrainPredict(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{avg, pow, sqrt, stddev_pop}
     val li = Tables.lineitem(s, dir)
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax", "l_extendedprice")
     val spec = FeatureSpec(
@@ -123,9 +133,16 @@ object SparkEntry {
     val modelPath = java.nio.file.Files.createTempDirectory("graft-dt-model").toString
     DecisionTree.train(li, spec, modelPath, maxDepth = 6)
     val reloaded = DecisionTree.load(s, modelPath)
-    DecisionTree.predict(li.drop("l_extendedprice"), reloaded,
+    val scored = DecisionTree.predict(li, reloaded,
       spec.copy(labelField = "unused"), "predicted_price")
-      .select(col("l_orderkey"), col("l_linenumber"), round(col("predicted_price"), 2).as("predicted_price"))
+    // one-row aggregate crossJoin: the documented scalar-attach shape
+    val fit = scored.agg(
+      (sqrt(avg(pow(col("predicted_price") - col("l_extendedprice"), 2))) <=
+        stddev_pop(col("l_extendedprice"))).as("rmse_ok"))
+    scored
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("predicted_price").isNotNull.as("has_prediction"))
+      .crossJoin(fit)
       .orderBy("l_orderkey", "l_linenumber")
   }
 
@@ -747,6 +764,12 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
         | (1 + CASE WHEN l_discount <> 0 THEN 1 ELSE 0 END
         |    + CASE WHEN l_tax <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_active
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // Partial contract (q15/q24 pattern): exact key set + the two
+    // Spark-computed flags asserted TRUE; exact tree semantics pinned
+    // by the flight-delay spec.
+    "ml_train_predict" ->
+      """SELECT l_orderkey, l_linenumber, TRUE AS has_prediction, TRUE AS rmse_ok
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q15_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS exact_parts, TRUE AS within_2pct

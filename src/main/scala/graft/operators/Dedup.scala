@@ -72,20 +72,24 @@ object Dedup {
     // Canonical order = ascending document frequency (PPJoin): the
     // prefix then holds each document's RAREST shingles, so candidate
     // pairs stay near-linear even when the corpus shares vocabulary.
+    // (dfreq asc, sh) is a global total order, so every document ranks
+    // its shingles consistently — the PPJoin prefix guarantee needs
+    // exactly that. One windowed pass replaces the former
+    // collect_list + struct re-sort + slice + re-explode: no full
+    // per-document arrays are ever materialized, and the per-doc sort
+    // is a spillable window sort.
+    import org.apache.spark.sql.expressions.Window
     val occ = docs.select(col("doc_id"), explode(col("shingles")).as("sh"))
     val dfreq = occ.groupBy("sh").agg(count(lit(1)).as("dfreq"))
-    val ordered = occ.join(dfreq, "sh")
-      .groupBy("doc_id")
-      .agg(sort_array(collect_list(struct(col("dfreq"), col("sh")))).as("ord"))
-      .select(col("doc_id"), transform(col("ord"), x => x.getField("sh")).as("by_rarity"),
-        size(col("ord")).as("sz"))
-      .cacheTracked
+    val byDoc = Window.partitionBy("doc_id")
     // Candidate generation shuffles ONLY (shingle, doc_id) pairs from
     // the prefixes — never the shingle arrays.
-    val ex = ordered
-      .withColumn("sh", explode(
-        slice(col("by_rarity"), lit(1), (col("sz") - ceil(col("sz") * tau) + 1).cast("int"))))
+    val ex = occ.join(dfreq, "sh")
+      .withColumn("rk", row_number().over(byDoc.orderBy(col("dfreq"), col("sh"))))
+      .withColumn("sz", count(lit(1)).over(byDoc))
+      .filter(col("rk") <= (col("sz") - ceil(col("sz") * tau) + 1).cast("int"))
       .select("doc_id", "sz", "sh")
+      .cacheTracked
     // Size filter: J ≥ τ forces τ ≤ |A|/|B| ≤ 1/τ — prune in the join.
     val cands = ex.select(col("doc_id").as("id_a"), col("sz").as("pa"), col("sh"))
       .join(ex.select(col("doc_id").as("id_b"), col("sz").as("pb"), col("sh")), Seq("sh"))

@@ -203,17 +203,61 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
-  /** Exact interpolated percentiles per group (Spark `percentile` ≡
-    * DuckDB `quantile_cont`). At 100 TB prefer approx_percentile; the
-    * exact form is the correctness baseline. */
-  def q17Percentile(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"))
-      .orderBy("l_returnflag")
+  /** Exact interpolated percentiles per group (≡ Spark `percentile` /
+    * DuckDB `quantile_cont`), computed by distributed rank instead of
+    * the `percentile` aggregate: that aggregate buffers EVERY value of
+    * a group in one executor's memory (OOM at 100 TB), and a plain
+    * per-group window sort serializes each group into a single task.
+    * Here each value column is range-partitioned on (group, value) so
+    * a group spans many ordered partitions, ranked locally
+    * (row_number per (partition, group) — sort is spillable), and
+    * offset by broadcast per-partition prefix counts; the boundary
+    * ranks lo/hi = interpolation neighbors of 1+(n-1)p are picked by
+    * an ordinary partial-aggregating groupBy. No stage holds more
+    * than a partition in memory and parallelism stays at the
+    * partition count regardless of group cardinality. Columns are
+    * assumed non-null (TPC-H); `percentile` ignores nulls, so a
+    * nullable input would need a filter first. */
+  def q17Percentile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val grp = "l_returnflag"
+    def pctl(valueCol: String, ps: Seq[(Double, String)]): DataFrame = {
+      val nPart = li.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      val ranked = li
+        .select(col(grp), col(valueCol).cast("double").as("v"))
+        .repartitionByRange(nPart, col(grp), col("v"))
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrn", row_number().over(
+          Window.partitionBy("pid", grp).orderBy("v")))
+      // per-(partition, group) counts are tiny (≤ nPart × |groups| rows):
+      // exclusive prefix sum over pid gives each partition's global offset
+      val offs = ranked.groupBy("pid", grp).agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum("c").over(
+          Window.partitionBy(grp).orderBy("pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum("c").over(Window.partitionBy(grp)))
+        .select("pid", grp, "off", "n")
+      val global = ranked.join(broadcast(offs), Seq("pid", grp))
+        .withColumn("rn", col("lrn") + col("off"))
+      val aggs = ps.flatMap { case (p, name) =>
+        val pos = lit(1.0) + (col("n") - 1).cast("double") * lit(p)
+        Seq(
+          max(when(col("rn") === floor(pos).cast("long"), col("v"))).as(s"${name}_lo"),
+          max(when(col("rn") === ceil(pos).cast("long"), col("v"))).as(s"${name}_hi"))
+      } :+ max(col("n")).as("n_rows")
+      val g = global.groupBy(grp).agg(aggs.head, aggs.tail: _*)
+      ps.foldLeft(g) { case (df, (p, name)) =>
+        val pos = lit(1.0) + (col("n_rows") - 1).cast("double") * lit(p)
+        val frac = pos - floor(pos)
+        df.withColumn(name,
+            round(col(s"${name}_lo") + frac * (col(s"${name}_hi") - col(s"${name}_lo")), 4))
+          .drop(s"${name}_lo", s"${name}_hi")
+      }.drop("n_rows")
+    }
+    pctl("l_quantity", Seq((0.5, "p50_qty")))
+      .join(pctl("l_extendedprice", Seq((0.25, "p25_price"), (0.95, "p95_price"))), grp)
+      .orderBy(grp)
+  }
 
   /** Statistical aggregates: sample stddev/variance, correlation,
     * covariance. */

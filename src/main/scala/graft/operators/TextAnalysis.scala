@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.CacheRegistry.Cacheable
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -192,8 +193,11 @@ object TextAnalysis {
     // surrogate id — the same 60-bit hash the DuckDB oracle computes,
     // so both engines rank identically. TopK orders (score desc, id
     // asc).
+    // cached: feeds both the TopK aggregate and the string join-back —
+    // without it the bigram explode + count shuffle runs twice
     val counts = bigrams.groupBy("lang", "bigram").agg(count(lit(1)).as("cnt"))
       .withColumn("bid", expr(Dedup.md5Hash60Sql("bigram")))
+      .cacheTracked
     counts.groupBy("lang")
       .agg(topk(col("cnt").cast("double"), col("bid")).as("top"))
       .select(col("lang"), posexplode(col("top")))

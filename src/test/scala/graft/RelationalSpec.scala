@@ -124,4 +124,29 @@ class RelationalSpec extends SparkSpec {
     // every session's duration is consistent with its event count
     assert(got.forall(r => r.getAs[Long]("n_events") >= 1 && r.getAs[Long]("duration_us") >= 0))
   }
+
+  test("q17_percentile distributed rank equals the percentile aggregate, without its unbounded buffer") {
+    import org.apache.spark.sql.functions._
+    val expected = Tables.lineitem(spark, Sf)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"))
+      .orderBy("l_returnflag").collect()
+    val df = Relational.q17Percentile(spark, Sf)
+    val got = df.collect()
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) =>
+      assert(g.getAs[String]("l_returnflag") == e.getAs[String]("l_returnflag"))
+      for (c <- Seq("p50_qty", "p25_price", "p95_price"))
+        assert(math.abs(g.getAs[Double](c) - e.getAs[Double](c)) < 1e-9, s"$c differs")
+    }
+    // scale shape: no Percentile aggregate (per-group value buffer) in
+    // the plan; ranks come from range partitioning + bounded windows
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("percentile"), s"percentile aggregate planned:\n$plan")
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"),
+      s"no range partitioning:\n$plan")
+  }
 }
