@@ -21,6 +21,35 @@ class SkewEvalSpec extends SparkSpec {
     assert(h.map(_.getAs[Long]("rows")).sliding(2).forall(p => p.head >= p.last))
   }
 
+  test("AQE splits the hot partition of a skewed shuffle join (skew=true in final plan)") {
+    // runtime confs: lower the skew thresholds so the synthetic hot key
+    // qualifies at test scale, restore after
+    val keys = Seq("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1MB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val left = spark.range(2000000).select(
+        when(col("id") % 100 < 99, lit(0L)).otherwise(col("id") % 1000).as("k"),
+        (col("id") * 3).as("a"))
+      val right = spark.range(1000).select(col("id").as("k"), (col("id") * 7).as("b"))
+      val j = left.join(right, "k").select(col("k"), (col("a") + col("b")).as("v"))
+      // materialize THIS QueryExecution (a write plans its own) so
+      // executedPlan is the AQE final plan
+      j.queryExecution.toRdd.foreachPartition(_ => ())
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in final plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("evaluate computes sane train-set metrics for the flight model") {
     val li = Tables.lineitem(spark, Sf)
       .select("l_quantity", "l_discount", "l_tax", "l_extendedprice")
