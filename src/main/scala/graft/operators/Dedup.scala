@@ -238,8 +238,43 @@ object Dedup {
     * diameter) rounds — near-dup clusters are shallow, so a handful
     * of joins; each round shuffles only (id, label) pairs. The
     * driver-side loop checks a single count per round (no data
-    * collected). */
-  private[operators] def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * collected).
+    *
+    * Small-graph fast path: the near-dup edge set is O(duplicates),
+    * not O(corpus) — usually a vanishing fraction. At or below
+    * `driverEdgeCap` edges (~1.6 MB of longs at the default) the
+    * components are computed driver-local by min-rooted union-find —
+    * the same bounded-collect class as the convergence probe — which
+    * replaces ~4 iterative join jobs with one collect. Above the cap
+    * the distributed min-label loop below runs unchanged; both paths
+    * produce the identical (id, label = component min) frame. */
+  private[graft] def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                                         driverEdgeCap: Long = 100000): DataFrame = {
+    val s = pairs.sparkSession
+    val pairEdges = pairs.select(col("id_a"), col("id_b")).cacheTracked
+    if (pairEdges.count() <= driverEdgeCap) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      val rows = pairEdges.collect()
+      rows.foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      import s.implicits._
+      return rows.flatMap(r => Seq(r.getLong(0), r.getLong(1))).distinct.toSeq
+        .map(id => (id, find(id))).toDF("id", "label")
+    }
+    connectedComponentsLoop(pairEdges, maxIter)
+  }
+
+  /** Distributed min-label propagation — the >driverEdgeCap path. */
+  private[graft] def connectedComponentsLoop(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     // Undirected edge list, both directions. The near-dup edge set is
     // orders of magnitude smaller than the corpus, so the iterative
     // loop runs on a handful of partitions — per-iteration task

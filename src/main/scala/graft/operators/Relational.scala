@@ -221,42 +221,50 @@ object Relational {
   def q17Percentile(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val grp = "l_returnflag"
-    def pctl(valueCol: String, ps: Seq[(Double, String)]): DataFrame = {
-      val nPart = li.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-      val ranked = li
-        .select(col(grp), col(valueCol).cast("double").as("v"))
-        .repartitionByRange(nPart, col(grp), col("v"))
-        .withColumn("pid", spark_partition_id())
-        .withColumn("lrn", row_number().over(
-          Window.partitionBy("pid", grp).orderBy("v")))
-      // per-(partition, group) counts are tiny (≤ nPart × |groups| rows):
-      // exclusive prefix sum over pid gives each partition's global offset
-      val offs = ranked.groupBy("pid", grp).agg(count(lit(1)).as("c"))
-        .withColumn("off", coalesce(sum("c").over(
-          Window.partitionBy(grp).orderBy("pid")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("n", sum("c").over(Window.partitionBy(grp)))
-        .select("pid", grp, "off", "n")
-      val global = ranked.join(broadcast(offs), Seq("pid", grp))
-        .withColumn("rn", col("lrn") + col("off"))
-      val aggs = ps.flatMap { case (p, name) =>
-        val pos = lit(1.0) + (col("n") - 1).cast("double") * lit(p)
-        Seq(
-          max(when(col("rn") === floor(pos).cast("long"), col("v"))).as(s"${name}_lo"),
-          max(when(col("rn") === ceil(pos).cast("long"), col("v"))).as(s"${name}_hi"))
-      } :+ max(col("n")).as("n_rows")
-      val g = global.groupBy(grp).agg(aggs.head, aggs.tail: _*)
-      ps.foldLeft(g) { case (df, (p, name)) =>
-        val pos = lit(1.0) + (col("n_rows") - 1).cast("double") * lit(p)
-        val frac = pos - floor(pos)
-        df.withColumn(name,
-            round(col(s"${name}_lo") + frac * (col(s"${name}_hi") - col(s"${name}_lo")), 4))
-          .drop(s"${name}_lo", s"${name}_hi")
-      }.drop("n_rows")
-    }
-    pctl("l_quantity", Seq((0.5, "p50_qty")))
-      .join(pctl("l_extendedprice", Seq((0.25, "p25_price"), (0.95, "p95_price"))), grp)
+    exactPercentiles(li, grp, "l_quantity", Seq((0.5, "p50_qty")))
+      .join(exactPercentiles(li, grp, "l_extendedprice",
+        Seq((0.25, "p25_price"), (0.95, "p95_price"))), grp)
       .orderBy(grp)
+  }
+
+  /** Exact interpolated per-group percentiles (≡ `percentile` /
+    * `quantile_cont`) by distributed rank — the scale-safe kernel
+    * behind q17/q24, see the q17 scaladoc for the mechanics. Returns
+    * one row per group with a `round(…, 4)` column per requested
+    * (p, name). */
+  private[operators] def exactPercentiles(df: DataFrame, grp: String, valueCol: String,
+                                          ps: Seq[(Double, String)]): DataFrame = {
+    val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranked = df
+      .select(col(grp), col(valueCol).cast("double").as("v"))
+      .repartitionByRange(nPart, col(grp), col("v"))
+      .withColumn("pid", spark_partition_id())
+      .withColumn("lrn", row_number().over(
+        Window.partitionBy("pid", grp).orderBy("v")))
+    // per-(partition, group) counts are tiny (≤ nPart × |groups| rows):
+    // exclusive prefix sum over pid gives each partition's global offset
+    val offs = ranked.groupBy("pid", grp).agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum("c").over(
+        Window.partitionBy(grp).orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum("c").over(Window.partitionBy(grp)))
+      .select("pid", grp, "off", "n")
+    val global = ranked.join(broadcast(offs), Seq("pid", grp))
+      .withColumn("rn", col("lrn") + col("off"))
+    val aggs = ps.flatMap { case (p, name) =>
+      val pos = lit(1.0) + (col("n") - 1).cast("double") * lit(p)
+      Seq(
+        max(when(col("rn") === floor(pos).cast("long"), col("v"))).as(s"${name}_lo"),
+        max(when(col("rn") === ceil(pos).cast("long"), col("v"))).as(s"${name}_hi"))
+    } :+ max(col("n")).as("n_rows")
+    val g = global.groupBy(grp).agg(aggs.head, aggs.tail: _*)
+    ps.foldLeft(g) { case (df2, (p, name)) =>
+      val pos = lit(1.0) + (col("n_rows") - 1).cast("double") * lit(p)
+      val frac = pos - floor(pos)
+      df2.withColumn(name,
+          round(col(s"${name}_lo") + frac * (col(s"${name}_hi") - col(s"${name}_lo")), 4))
+        .drop(s"${name}_lo", s"${name}_hi")
+    }.drop("n_rows")
   }
 
   /** Statistical aggregates: sample stddev/variance, correlation,
@@ -330,15 +338,19 @@ object Relational {
     * (within 1% of the exact value per group). At 100 TB the approx
     * path is one pass with mergeable per-partition sketches instead
     * of the exact percentile's per-group full materialization. */
-  def q24ApproxPercentile(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
-        expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx"))
+  def q24ApproxPercentile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    // exact reference via the distributed-rank kernel (the sketch's
+    // companion must not reintroduce the unbounded per-group buffer)
+    val exact = exactPercentiles(li, "l_returnflag", "l_extendedprice",
+      Seq((0.5, "p50_price")))
+    val approx = li.groupBy("l_returnflag")
+      .agg(expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("approx"))
+    exact.join(approx, "l_returnflag")
       .select(col("l_returnflag"), col("p50_price"),
         (abs(col("approx") - col("p50_price")) <= col("p50_price") * 0.01).as("within_1pct"))
       .orderBy("l_returnflag")
+  }
 
   /** Join on a deliberately hot key (l_quantity: ~50 distinct values
     * across the whole fact table, so every key is a hot key) routed

@@ -50,6 +50,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(clusters.size == Tables.documents(spark, Sf).count())
   }
 
+  test("connected components: driver union-find and distributed loop agree") {
+    import spark.implicits._
+    // random-ish multi-component graph incl. a chain (worst case for
+    // label propagation rounds) and isolated pairs
+    val edges = (Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L), (20L, 21L), (21L, 20L)) ++
+      (0 until 50).map(i => (100L + i, 100L + (i * 7) % 50))).toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loop = Dedup.connectedComponentsLoop(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == loop, s"paths disagree: fast=$fast loop=$loop")
+    // the chain collapses to its minimum
+    assert(fast(5L) == 1L)
+  }
+
   test("embedding nearest-neighbor matches a naive scan") {
     val rows = Dedup.dedupEmbedding(spark, Sf).collect()
     val vecs = Tables.embeddings(spark, Sf).collect()
