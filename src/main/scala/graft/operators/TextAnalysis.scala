@@ -177,6 +177,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Per-document repetition signals — the Gopher/C4-style repetition
+    * filter inputs: duplicate-word fraction and the fraction of word
+    * bigrams taken by the single most frequent bigram (boilerplate and
+    * degenerate generations score high on both). Word-level numbers
+    * are map-only array expressions; the bigram mode needs true
+    * per-(doc, bigram) counts, one partial-aggregated shuffle keyed by
+    * (doc_id, bigram) — per-doc state never exceeds its distinct
+    * bigram count, so this scales like any word-count. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("w"))
+    val wordStats = toks.select(col("doc_id"),
+      size(col("w")).cast("long").as("n_words"),
+      size(array_distinct(col("w"))).cast("long").as("n_distinct_words"))
+    val bigrams = toks.select(col("doc_id"), explode(expr(
+      "if(size(w) >= 2, transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1])), array())")).as("bigram"))
+    val bigramStats = bigrams.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"), max("c").as("max_c"))
+    wordStats.join(bigramStats, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        round(lit(1.0) - col("n_distinct_words").cast("double") /
+          greatest(col("n_words"), lit(1L)).cast("double"), 4).as("dup_word_frac"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(coalesce(col("max_c").cast("double") / col("n_bigrams").cast("double"),
+          lit(0.0)), 4).as("top_bigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language corpus vocabulary stats (dataset-card numbers):
+    * token count, type (distinct-token) count, hapax legomena count,
+    * type/token ratio. One shuffle keyed (lang, token) with map-side
+    * combine; the final per-language rollup is |vocabulary|-sized. */
+  def textVocabStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        explode(expr("filter(split(lower(text), '\\\\s+'), t -> t != '')")).as("t"))
+      .groupBy("lang", "t").agg(count(lit(1)).as("c"))
+      .groupBy("lang")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("lang"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        round(col("n_types").cast("double") / col("n_tokens").cast("double"), 4)
+          .as("type_token_ratio"))
+      .orderBy("lang")
+
   /** Corpus-wide top-k bigrams per language — the n-gram LM /
     * vocabulary-report building block. Bigram counts partial-aggregate
     * map-side; the per-language top-k runs through the typed TopK

@@ -88,4 +88,37 @@ class TextMultimodalSpec extends SparkSpec {
       assert(r.getAs[String]("format") == "raw") // text payloads sniff as raw
     }
   }
+
+  test("text_repetition invariants and a hand-checked document") {
+    val rows = TextAnalysis.textRepetition(spark, Sf).collect()
+    assert(rows.length == Tables.documents(spark, Sf).count())
+    rows.foreach { r =>
+      val (nw, ndw) = (r.getAs[Long]("n_words"), r.getAs[Long]("n_distinct_words"))
+      assert(ndw <= nw)
+      assert(r.getAs[Double]("dup_word_frac") >= 0.0 && r.getAs[Double]("dup_word_frac") <= 1.0)
+      assert(r.getAs[Double]("top_bigram_frac") >= 0.0 && r.getAs[Double]("top_bigram_frac") <= 1.0)
+      assert(r.getAs[Long]("n_bigrams") == math.max(nw - 1, 0))
+    }
+    // naive recompute on one document
+    val doc = Tables.documents(spark, Sf).orderBy("doc_id").select("text").head.getString(0)
+    val words = doc.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val bgs = words.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSeq
+    val expected = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(expected.getAs[Long]("n_words") == words.length)
+    assert(expected.getAs[Long]("n_distinct_words") == words.distinct.length)
+    if (bgs.nonEmpty) {
+      val top = bgs.groupBy(identity).values.map(_.size).max
+      assert(math.abs(expected.getAs[Double]("top_bigram_frac") -
+        BigDecimal(top.toDouble / bgs.size).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
+  test("text_vocab_stats: hapax ≤ types ≤ tokens, ttr consistent") {
+    TextAnalysis.textVocabStats(spark, Sf).collect().foreach { r =>
+      val (tok, ty, hap) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"), r.getAs[Long]("n_hapax"))
+      assert(hap <= ty && ty <= tok)
+      assert(math.abs(r.getAs[Double]("type_token_ratio") -
+        BigDecimal(ty.toDouble / tok).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
 }
