@@ -69,7 +69,8 @@ object Bench {
     try org.apache.logging.log4j.core.config.Configurator.setRootLevel(
       org.apache.logging.log4j.Level.OFF)
     catch { case _: Throwable => () }
-    spark.stop()
+    // stop() is guarded: a shutdown exception must not eat the line
+    try spark.stop() catch { case _: Throwable => () }
     println(line)
     System.out.flush()
   }

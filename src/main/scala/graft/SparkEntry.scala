@@ -135,12 +135,19 @@ object SparkEntry {
     val modelPath = java.nio.file.Files.createTempDirectory("graft-dt-model").toString
     DecisionTree.train(li, spec, modelPath, maxDepth = 6)
     val reloaded = DecisionTree.load(s, modelPath)
+    // cached: the fit aggregate and the output projection both consume
+    // the scored frame — without it assembly + tree transform run twice
+    import graft.CacheRegistry.Cacheable
     val scored = DecisionTree.predict(li, reloaded,
-      spec.copy(labelField = "unused"), "predicted_price")
-    // one-row aggregate crossJoin: the documented scalar-attach shape
+      spec.copy(labelField = "unused"), "predicted_price").cacheTracked
+    // one-row aggregate crossJoin: the documented scalar-attach shape.
+    // 1e-9 relative slack: with zero-gain splits RMSE == stddev exactly
+    // in math, and the two sides aggregate in different orders — strict
+    // <= could flake at the boundary while real corruption blows the
+    // bound by orders of magnitude.
     val fit = scored.agg(
       (sqrt(avg(pow(col("predicted_price") - col("l_extendedprice"), 2))) <=
-        stddev_pop(col("l_extendedprice"))).as("rmse_ok"))
+        stddev_pop(col("l_extendedprice")) * (1.0 + 1e-9)).as("rmse_ok"))
     scored
       .select(col("l_orderkey"), col("l_linenumber"),
         col("predicted_price").isNotNull.as("has_prediction"))
@@ -164,6 +171,33 @@ object SparkEntry {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Shared CTEs for the ANN oracles: `ex` explodes embeddings to
+    * (vec_id, i, x) and `norms` holds per-vector L2 norms. */
+  private val annExNormsSql: String =
+    """ex AS (
+      |  SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY vec_id)""".stripMargin
+
+  /** Shared ANN-oracle tail: scores a `cand(qid, vec_id)` CTE by
+    * cosine over `ex`/`norms` and emits the per-query top-k ranking —
+    * the ONE place the scoring/tie-break/rounding contract lives for
+    * both the LSH and IVF oracles. */
+  private def annScoringTailSql(k: Int): String =
+    s"""cdots AS (
+       |  SELECT cand.qid, cand.vec_id, sum(q.x * e.x) AS dot
+       |  FROM cand
+       |  JOIN ex q ON q.vec_id = cand.qid
+       |  JOIN ex e ON e.vec_id = cand.vec_id AND e.i = q.i
+       |  GROUP BY 1, 2),
+       |cos AS (
+       |  SELECT qid, cd.vec_id, dot / (nq.nrm * ne.nrm) AS c
+       |  FROM cdots cd JOIN norms nq ON nq.vec_id = qid JOIN norms ne ON ne.vec_id = cd.vec_id)
+       |SELECT qid, vec_id, round(c, 4) AS cosine, rn AS rank
+       |FROM (SELECT qid, vec_id, c,
+       |        row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn FROM cos)
+       |WHERE rn <= $k ORDER BY qid, rank""".stripMargin
+
   /** DuckDB replica of [[Similarity.simLshAnn]]: plane weights and
     * probe masks inlined as literals so both engines hash vectors into
     * the same sign-LSH buckets; candidate generation, cosine scoring
@@ -174,9 +208,7 @@ object SparkEntry {
       yield s"($p, ${i + 1}, ${planes(p)(i)})").mkString(", ")
     val masks = Similarity.lshProbeMasks(numPlanes).mkString(", ")
     s"""WITH planes(p, i, w) AS (VALUES $planeValues),
-       |ex AS (
-       |  SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
-       |  FROM embeddings),
+       |$annExNormsSql,
        |pdots AS (
        |  SELECT e.vec_id, pl.p, sum(e.x * pl.w) AS d
        |  FROM ex e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2),
@@ -190,20 +222,7 @@ object SparkEntry {
        |cand AS (
        |  SELECT p.qid, c.vec_id FROM probes p
        |  JOIN buckets c ON c.bucket = p.pb WHERE c.vec_id <> p.qid),
-       |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY vec_id),
-       |cdots AS (
-       |  SELECT cand.qid, cand.vec_id, sum(q.x * e.x) AS dot
-       |  FROM cand
-       |  JOIN ex q ON q.vec_id = cand.qid
-       |  JOIN ex e ON e.vec_id = cand.vec_id AND e.i = q.i
-       |  GROUP BY 1, 2),
-       |cos AS (
-       |  SELECT qid, cd.vec_id, dot / (nq.nrm * ne.nrm) AS c
-       |  FROM cdots cd JOIN norms nq ON nq.vec_id = qid JOIN norms ne ON ne.vec_id = cd.vec_id)
-       |SELECT qid, vec_id, round(c, 4) AS cosine, rn AS rank
-       |FROM (SELECT qid, vec_id, c,
-       |        row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn FROM cos)
-       |WHERE rn <= $k ORDER BY qid, rank""".stripMargin
+       |${annScoringTailSql(k)}""".stripMargin
   }
 
   /** DuckDB replica of [[Similarity.simIvfAnn]]: the frozen
@@ -216,10 +235,7 @@ object SparkEntry {
     val centValues = (for (ci <- cb.indices; i <- cb(ci).indices)
       yield s"($ci, ${i + 1}, ${cb(ci)(i)})").mkString(", ")
     s"""WITH cents(cidx, i, w) AS (VALUES $centValues),
-       |ex AS (
-       |  SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
-       |  FROM embeddings),
-       |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY vec_id),
+       |$annExNormsSql,
        |cnorms AS (SELECT cidx, sqrt(sum(w*w)) AS cnrm FROM cents GROUP BY cidx),
        |cdot AS (
        |  SELECT e.vec_id, c.cidx, sum(e.x * c.w) AS dot
@@ -239,19 +255,7 @@ object SparkEntry {
        |cand AS (
        |  SELECT p.qid, a.vec_id FROM probes p
        |  JOIN assign a ON a.bucket = p.bucket WHERE a.vec_id <> p.qid),
-       |cdots AS (
-       |  SELECT cand.qid, cand.vec_id, sum(q.x * e.x) AS dot
-       |  FROM cand
-       |  JOIN ex q ON q.vec_id = cand.qid
-       |  JOIN ex e ON e.vec_id = cand.vec_id AND e.i = q.i
-       |  GROUP BY 1, 2),
-       |cos AS (
-       |  SELECT qid, cd.vec_id, dot / (nq.nrm * ne.nrm) AS c
-       |  FROM cdots cd JOIN norms nq ON nq.vec_id = qid JOIN norms ne ON ne.vec_id = cd.vec_id)
-       |SELECT qid, vec_id, round(c, 4) AS cosine, rn AS rank
-       |FROM (SELECT qid, vec_id, c,
-       |        row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn FROM cos)
-       |WHERE rn <= $k ORDER BY qid, rank""".stripMargin
+       |${annScoringTailSql(k)}""".stripMargin
   }
 
   /** DuckDB replica of [[operators.Dedup.dedupMinhashLsh]]: the
@@ -516,7 +520,8 @@ object SparkEntry {
         |bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
         |bs AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c) AS max_c FROM bc GROUP BY 1)
         |SELECT ws.doc_id, n_words, n_distinct_words,
-        |  round(1.0 - n_distinct_words / greatest(n_words, 1), 4) AS dup_word_frac,
+        |  CASE WHEN n_words = 0 THEN 0.0
+        |       ELSE round(1.0 - n_distinct_words / n_words, 4) END AS dup_word_frac,
         |  coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
         |  round(coalesce(max_c::DOUBLE / n_bigrams, 0.0), 4) AS top_bigram_frac
         |FROM ws LEFT JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin,

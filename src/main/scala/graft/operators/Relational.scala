@@ -235,12 +235,21 @@ object Relational {
   private[operators] def exactPercentiles(df: DataFrame, grp: String, valueCol: String,
                                           ps: Seq[(Double, String)]): DataFrame = {
     val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // cacheTracked pins ONE materialization of the range exchange:
+    // repartitionByRange samples boundaries nondeterministically, and
+    // both the offs and global branches below must see the SAME pid
+    // assignment — without the persist that only holds while exchange
+    // reuse is on (spark.sql.exchange.reuse=false would silently
+    // mis-attribute offsets). The persisted projection is narrow
+    // (grp, v, pid, lrn) and spills to disk.
+    import graft.CacheRegistry.Cacheable
     val ranked = df
       .select(col(grp), col(valueCol).cast("double").as("v"))
       .repartitionByRange(nPart, col(grp), col("v"))
       .withColumn("pid", spark_partition_id())
       .withColumn("lrn", row_number().over(
         Window.partitionBy("pid", grp).orderBy("v")))
+      .cacheTracked
     // per-(partition, group) counts are tiny (≤ nPart × |groups| rows):
     // exclusive prefix sum over pid gives each partition's global offset
     val offs = ranked.groupBy("pid", grp).agg(count(lit(1)).as("c"))

@@ -199,8 +199,10 @@ object TextAnalysis {
       .agg(sum("c").as("n_bigrams"), max("c").as("max_c"))
     wordStats.join(bigramStats, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
-        round(lit(1.0) - col("n_distinct_words").cast("double") /
-          greatest(col("n_words"), lit(1L)).cast("double"), 4).as("dup_word_frac"),
+          // empty docs are "no repetition", not "all repetition"
+        when(col("n_words") === 0, lit(0.0)).otherwise(
+          round(lit(1.0) - col("n_distinct_words").cast("double") /
+            col("n_words").cast("double"), 4)).as("dup_word_frac"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         round(coalesce(col("max_c").cast("double") / col("n_bigrams").cast("double"),
           lit(0.0)), 4).as("top_bigram_frac"))

@@ -7,10 +7,9 @@ import org.apache.spark.sql.functions._
 
 /** Adversarial-skew measurement (dev tool, backs SURVEY.md §4 claims).
   *
-  * Builds a deliberately skewed fact from sf0.1 lineitem — ~90% of
-  * rows collapse onto one join key — joins it to an orders-derived
-  * dim, and times three plans end-to-end (noop sink, min of 2 after
-  * warmup):
+  * Builds a deliberately skewed fact from sf0.1 lineitem — 99% of
+  * rows collapse onto one join key — joins it to a synthetic dim, and
+  * times three plans end-to-end (noop sink, min of 2 after warmup):
   *
   *   1. baseline: AQE skew-join splitting OFF, plain join
   *   2. aqe:      AQE skew-join splitting ON, plain join
@@ -89,7 +88,14 @@ object ProfileSkew {
     planDf.queryExecution.executedPlan.toString.linesIterator
       .filter(l => l.contains("Join") || l.contains("skew"))
       .take(4).foreach(l => println("[skew] plan: " + l.trim.take(140)))
+    // restore the AQE tuning the aqe phase set, so the salted run is
+    // measured under the SAME config as the baseline — otherwise the
+    // 2MB advisory partition size (not salting) changes parallelism
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+    spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    spark.conf.unset("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+    spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    spark.conf.unset("spark.sql.adaptive.forceOptimizeSkewedJoin")
     val salted = time("salted")(Skew.saltedJoin(fact, dim, "k", saltFactor = 32)
       .select(col("k"), (col("l_extendedprice") * col("payload")).as("v")))
 
