@@ -232,7 +232,7 @@ object Relational {
     * behind q17/q24, see the q17 scaladoc for the mechanics. Returns
     * one row per group with a `round(…, 4)` column per requested
     * (p, name). */
-  private[operators] def exactPercentiles(df: DataFrame, grp: String, valueCol: String,
+  private[graft] def exactPercentiles(df: DataFrame, grp: String, valueCol: String,
                                           ps: Seq[(Double, String)]): DataFrame = {
     val nPart = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     // cacheTracked pins ONE materialization of the range exchange:

@@ -13,6 +13,30 @@ class PropertySpec extends SparkSpec {
   private def samples[T](g: Gen[T], n: Int, seed: Long): Seq[T] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed + i)))
 
+  test("exactPercentiles equals the percentile aggregate on random grouped data") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    // adversarial shapes: heavy ties, singleton groups, skewed sizes
+    val rows = (
+      (0 until 500).map(_ => ("a", rnd.nextInt(10).toDouble)) ++        // heavy ties
+      (0 until 97).map(_ => ("b", rnd.nextDouble() * 1000)) ++          // continuous
+      Seq(("c", 5.0)) ++                                                // singleton group
+      (0 until 3).map(i => ("d", i.toDouble))                           // tiny group
+    )
+    val df = spark.createDataFrame(rows).toDF("g", "x")
+      .repartition(7) // scatter groups across partitions
+    val ps = Seq((0.0, "p0"), (0.25, "p25"), (0.5, "p50"), (0.9, "p90"), (1.0, "p100"))
+    val got = graft.operators.Relational.exactPercentiles(df, "g", "x", ps)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val aggCols = ps.map { case (p, name) => round(expr(s"percentile(x, $p)"), 4).as(name) }
+    val expected = df.groupBy("g").agg(aggCols.head, aggCols.tail: _*)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == expected.keySet)
+    for (g <- got.keySet; (_, name) <- ps)
+      assert(math.abs(got(g).getAs[Double](name) - expected(g).getAs[Double](name)) < 1e-9,
+        s"group $g $name: got ${got(g).getAs[Double](name)}, expected ${expected(g).getAs[Double](name)}")
+  }
+
   test("sorted_intersect_count equals Set.intersect on random sorted arrays") {
     import spark.implicits._
     val gArr = Gen.listOf(Gen.chooseNum(-50L, 50L)).map(_.distinct.sorted)
