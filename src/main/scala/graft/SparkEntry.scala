@@ -74,6 +74,8 @@ object SparkEntry {
     "q42_funnel" -> (Relational.q42Funnel(_, _)),
     "q43_null_agg" -> (Relational.q43NullAgg(_, _)),
     "q44_string_agg" -> (Relational.q44StringAgg(_, _)),
+    "q45_recursive_cte" -> (Relational.q45RecursiveCte(_, _)),
+    "q46_variant" -> (Relational.q46Variant(_, _)),
     "text_normalize" -> (TextAnalysis.textNormalize(_, _)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
@@ -439,6 +441,27 @@ object SparkEntry {
         |  string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1 ORDER BY r_name""".stripMargin,
+    "q45_recursive_cte" ->
+      """WITH RECURSIVE days(d) AS (
+        |  SELECT DATE '1995-01-01'
+        |  UNION ALL SELECT d + 1 FROM days WHERE d < DATE '1995-03-31'
+        |),
+        |daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n, sum(o_totalprice) AS rev
+        |  FROM orders
+        |  WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-04-01'
+        |  GROUP BY 1
+        |)
+        |SELECT days.d::TIMESTAMP AS day, coalesce(n, 0)::BIGINT AS n_orders,
+        |  round(coalesce(rev, 0.0), 2) AS revenue
+        |FROM days LEFT JOIN daily ON days.d = daily.d
+        |ORDER BY day""".stripMargin,
+    "q46_variant" ->
+      """SELECT event_type,
+        |  count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,
+        |  count(DISTINCT CAST(props->>'$.k' AS BIGINT)) AS n_distinct_k,
+        |  round(avg(CAST(props->>'$.k' AS BIGINT)), 4) AS avg_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q43_null_agg" ->
       """SELECT l_returnflag, count(*) AS n_rows,
         |  count(nullif(l_discount, 0.0)) AS n_nonnull,

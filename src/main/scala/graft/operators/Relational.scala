@@ -691,6 +691,49 @@ object Relational {
         concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"))
       .orderBy("r_name")
 
+  /** Recursive CTE (Spark 4 `WITH RECURSIVE`): a 90-day date spine
+    * gap-fills the daily order series — days with no orders emit a
+    * zero row, the pattern windows and joins alone can't express
+    * without a generated sequence. The spine is 90 rows (bounded
+    * recursion, under Spark's default 100-level limit); the orders
+    * side is one filtered partial-aggregated scan joined to the
+    * broadcast spine. */
+  def q45RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_rc")
+    s.sql("""
+      WITH RECURSIVE days(d) AS (
+        SELECT CAST('1995-01-01' AS DATE)
+        UNION ALL SELECT date_add(d, 1) FROM days WHERE d < CAST('1995-03-31' AS DATE)
+      ),
+      daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n, sum(o_totalprice) AS rev
+        FROM orders_rc
+        WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-04-01'
+        GROUP BY 1
+      )
+      SELECT CAST(days.d AS TIMESTAMP) AS day,
+             coalesce(n, 0L) AS n_orders,
+             round(coalesce(rev, 0.0), 2) AS revenue
+      FROM days LEFT JOIN daily ON days.d = daily.d
+      ORDER BY day""")
+  }
+
+  /** VARIANT (Spark 4 semi-structured type): parse each JSON props
+    * payload ONCE into a variant, then make typed extractions from the
+    * parsed value — the scale advantage over q29's get_json_object is
+    * one parse per row feeding any number of paths instead of one
+    * parse per path. Map-only until the final aggregate. */
+  def q46Variant(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"), expr("parse_json(props)").as("v"))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'long')").as("k"))
+      .groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"),
+        countDistinct(col("k")).as("n_distinct_k"),
+        round(avg("k"), 4).as("avg_k"))
+      .orderBy("event_type")
+
   /** Batch sessionization (gaps-and-islands): a new session starts
     * after a >30 min silence; one window pass marks boundaries, a
     * running sum numbers sessions, then a per-session aggregate.
