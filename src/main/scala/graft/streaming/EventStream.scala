@@ -90,4 +90,38 @@ object EventStream {
           }
       }
   }
+
+  case class UserStats(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Per-key running stats via `transformWithState` (Spark 4's
+    * arbitrary-state API, the successor to flatMapGroupsWithState):
+    * each user's event count and value sum accumulate in a typed
+    * `ValueState` and the updated row is emitted per micro-batch —
+    * the online-feature-store pattern. Requires the RocksDB state
+    * store provider (multiple column families); state is
+    * O(active users) and TTL-able via `TTLConfig`. */
+  class UserStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, UserStats] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming}
+    @transient private var state: ValueState[UserStats] = _
+    override def init(outputMode: OutputMode, timeMode: streaming.TimeMode): Unit =
+      state = getHandle.getValueState[UserStats](
+        "stats", Encoders.product[UserStats], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[UserStats] = {
+      var s = if (state.exists()) state.get() else UserStats(key, 0L, 0.0)
+      rows.foreach(e => s = UserStats(key, s.n_events + 1, s.total_value + e.value))
+      state.update(s)
+      Iterator.single(s)
+    }
+  }
+
+  /** The transformWithState pipeline over an event stream. */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.user_id)
+      .transformWithState(new UserStatsProcessor, TimeMode.None(), OutputMode.Update)
+  }
 }

@@ -138,4 +138,39 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.head.n_events == 2)
     assert(sessions.head.end_ms - sessions.head.start_ms == 10000)
   }
+
+  test("transformWithState running user stats accumulate across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(providerKey)
+    // transformWithState needs the RocksDB provider (multi-column-family state)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[EventStream.Event]
+      val query = EventStream.runningUserStats(input.toDS())
+        .writeStream.format("memory").queryName("user_stats")
+        .outputMode("update").start()
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      input.addData(
+        EventStream.Event(1L, ts("2024-01-01 10:00:00"), "click", 2.0),
+        EventStream.Event(1L, ts("2024-01-01 10:01:00"), "click", 3.0),
+        EventStream.Event(2L, ts("2024-01-01 10:02:00"), "view", 7.0))
+      query.processAllAvailable()
+      input.addData(EventStream.Event(1L, ts("2024-01-01 10:05:00"), "buy", 5.0))
+      query.processAllAvailable()
+      // update mode appends one row per (batch, key); the LAST row per
+      // key is the accumulated state
+      val rows = spark.table("user_stats").as[EventStream.UserStats].collect()
+      query.stop()
+      val last = rows.zipWithIndex.groupBy(_._1.user_id)
+        .map { case (k, v) => k -> v.maxBy(_._2)._1 }
+      assert(last(1L).n_events == 3 && math.abs(last(1L).total_value - 10.0) < 1e-9)
+      assert(last(2L).n_events == 1 && math.abs(last(2L).total_value - 7.0) < 1e-9)
+    } finally saved match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+  }
 }
