@@ -696,8 +696,9 @@ object Relational {
     * zero row, the pattern windows and joins alone can't express
     * without a generated sequence. The spine is 90 rows (bounded
     * recursion, under Spark's default 100-level limit); the orders
-    * side is one filtered partial-aggregated scan joined to the
-    * broadcast spine. */
+    * side is one filtered partial-aggregated scan whose 90-row daily
+    * result broadcasts as the build side of the left-outer join (the
+    * preserved spine side cannot be the build side). */
   def q45RecursiveCte(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("orders_rc")
     s.sql("""
@@ -723,16 +724,23 @@ object Relational {
     * parsed value — the scale advantage over q29's get_json_object is
     * one parse per row feeding any number of paths instead of one
     * parse per path. Map-only until the final aggregate. */
-  def q46Variant(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
+  def q46Variant(s: SparkSession, dir: String): DataFrame = {
+    val k = Tables.events(s, dir)
       .select(col("event_type"), expr("parse_json(props)").as("v"))
       .select(col("event_type"),
         expr("variant_get(v, '$.k', 'long')").as("k"))
-      .groupBy("event_type")
-      .agg(count(col("k")).as("n_with_k"),
-        countDistinct(col("k")).as("n_distinct_k"),
-        round(avg("k"), 4).as("avg_k"))
+    // distinct first, then join the distinct-count to the plain
+    // aggregates: mixing countDistinct into the same agg would plan an
+    // Expand doubling the scan rows through the shuffle (the q15/q39
+    // pitfall)
+    val distinctK = k.select("event_type", "k").distinct()
+      .groupBy("event_type").agg(count(col("k")).as("n_distinct_k"))
+    k.groupBy("event_type")
+      .agg(count(col("k")).as("n_with_k"), round(avg("k"), 4).as("avg_k"))
+      .join(distinctK, "event_type")
+      .select(col("event_type"), col("n_with_k"), col("n_distinct_k"), col("avg_k"))
       .orderBy("event_type")
+  }
 
   /** Batch sessionization (gaps-and-islands): a new session starts
     * after a >30 min silence; one window pass marks boundaries, a

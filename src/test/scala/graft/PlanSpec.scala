@@ -91,12 +91,9 @@ class PlanSpec extends SparkSpec {
     // Spark injects a bloom filter built from the creation side into
     // the fact scan (might_contain) — assert our session config lets
     // that optimization engage
-    val keys = Map(
+    withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB")
-    val saved = keys.keys.map(k => k -> spark.conf.getOption(k)).toMap
-    try {
-      keys.foreach { case (k, v) => spark.conf.set(k, v) }
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1KB") {
       val o = Tables.orders(spark, Sf)
         .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 400000)
       val j = Tables.lineitem(spark, Sf)
@@ -104,9 +101,6 @@ class PlanSpec extends SparkSpec {
         .groupBy("o_orderpriority").agg(sum("l_quantity").as("q"))
       val plan = j.queryExecution.optimizedPlan.toString
       assert(plan.contains("might_contain"), s"no runtime bloom filter injected:\n$plan")
-    } finally saved.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
     }
   }
 }

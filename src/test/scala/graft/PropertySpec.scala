@@ -35,6 +35,7 @@ class PropertySpec extends SparkSpec {
     for (g <- got.keySet; (_, name) <- ps)
       assert(math.abs(got(g).getAs[Double](name) - expected(g).getAs[Double](name)) < 1e-9,
         s"group $g $name: got ${got(g).getAs[Double](name)}, expected ${expected(g).getAs[Double](name)}")
+    CacheRegistry.releaseAll() // exactPercentiles persists its ranked frame
   }
 
   test("sorted_intersect_count equals Set.intersect on random sorted arrays") {

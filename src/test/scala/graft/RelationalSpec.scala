@@ -148,5 +148,6 @@ class RelationalSpec extends SparkSpec {
     assert(!plan.contains("percentile"), s"percentile aggregate planned:\n$plan")
     assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"),
       s"no range partitioning:\n$plan")
+    CacheRegistry.releaseAll() // exactPercentiles persists its ranked frame
   }
 }

@@ -142,12 +142,9 @@ class StreamingSpec extends SparkSpec {
   test("transformWithState running user stats accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val saved = spark.conf.getOption(providerKey)
     // transformWithState needs the RocksDB provider (multi-column-family state)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    withConf("spark.sql.streaming.stateStore.providerClass" ->
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
       val input = MemoryStream[EventStream.Event]
       val query = EventStream.runningUserStats(input.toDS())
         .writeStream.format("memory").queryName("user_stats")
@@ -168,9 +165,6 @@ class StreamingSpec extends SparkSpec {
         .map { case (k, v) => k -> v.maxBy(_._2)._1 }
       assert(last(1L).n_events == 3 && math.abs(last(1L).total_value - 10.0) < 1e-9)
       assert(last(2L).n_events == 1 && math.abs(last(2L).total_value - 7.0) < 1e-9)
-    } finally saved match {
-      case Some(v) => spark.conf.set(providerKey, v)
-      case None => spark.conf.unset(providerKey)
     }
   }
 }
