@@ -139,6 +139,29 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.head.end_ms - sessions.head.start_ms == 10000)
   }
 
+  test("statestore reader exposes windowed-agg state from a checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-state-read").toString
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val query = EventStream.windowedCounts(events)
+      .writeStream.format("memory").queryName("state_read_sink")
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (ts("2024-01-01 10:00:00"), "click", 1.0),
+      (ts("2024-01-02 09:00:00"), "view", 5.0))
+    query.processAllAvailable()
+    query.stop()
+    // the state data source reads the aggregation operator's store
+    // offline — the ops/debugging surface for long-running queries
+    val state = spark.read.format("statestore").option("path", ckpt).load()
+    val types = state.select("key.event_type").as[String].collect().toSet
+    assert(types == Set("click", "view"), s"state keys: $types")
+  }
+
   test("transformWithState running user stats accumulate across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
