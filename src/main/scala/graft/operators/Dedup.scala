@@ -65,10 +65,19 @@ object Dedup {
     // sides of a self-join plus the verification joins; persist them
     // (memory-and-disk) or the whole upstream recomputes per branch —
     // the same call a 100 TB run would make, sized by docs not bytes.
-    val docs = Tables.documents(s, dir)
+    // Array-typed columns pay PER-ELEMENT deserialization out of the
+    // columnar cache, so caching the shingle arrays inverts with
+    // corpus size: at 5k docs the cached warm run is ~4x faster (all
+    // three consumers reread a tiny cache), at 50k docs it is 6-10x
+    // SLOWER than recomputing the codegen'd shingle expression from
+    // parquet text (measured on the 10x replica set). Cache only
+    // below the crossover; the narrow (doc_id, sz, sh) prefix table
+    // below is cached unconditionally — long columns cache cleanly.
+    val docsBase = Tables.documents(s, dir)
       .select(col("doc_id"), sort_array(expr(shingleExpr(n))).as("shingles"))
       .withColumn("sz", size(col("shingles")))
-      .cacheTracked
+    val docs =
+      if (Tables.documents(s, dir).count() <= 20000) docsBase.cacheTracked else docsBase
     // Canonical order = ascending document frequency (PPJoin): the
     // prefix then holds each document's RAREST shingles, so candidate
     // pairs stay near-linear even when the corpus shares vocabulary.
