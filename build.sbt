@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver tail-parses stdout for Bench's one-line metric JSON.
+// Three things normally land AFTER or AROUND that line and break a
+// last-line parse; disable all of them:
+//  - forked-process output is re-logged with an "[info] " prefix unless
+//    the output strategy is raw stdout passthrough;
+//  - "[success] Total time: ..." is printed after the task;
+//  - the timing suffix on that line.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

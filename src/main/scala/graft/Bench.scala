@@ -32,17 +32,48 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
+    // Sorted order, not Map hash order: adding a query must not
+    // reshuffle every other query's predecessor (r3's q33 "regression"
+    // was partly attribution noise from exactly that). Optional args
+    // select a subset, preserving the given order — the local profiling
+    // loop ("bench just these two, in this order").
+    val names =
+      if (args.nonEmpty) args.toSeq
+      else SparkEntry.queries.keys.toSeq.sorted
+    // Session confs must be identical before every query: a query (or a
+    // Spark rule) that flips a conf would silently re-price everything
+    // after it. Snapshot once, diff after each query, and surface any
+    // drift in the metric JSON instead of letting it masquerade as a
+    // regression.
+    val confBaseline = spark.conf.getAll
+    val confDrift = scala.collection.mutable.ArrayBuffer.empty[String]
     // warmup once, then min of two timed runs — single-run totals
     // swung ~25% from GC/JIT noise at this scale, min-of-2 tracks the
     // steady-state cost the round-over-round comparison needs.
-    val results = SparkEntry.queries.keys.toSeq.map { name =>
+    val results = names.map { name =>
       run(name)
       val dt = Seq.fill(2) {
         val t0 = System.nanoTime()
         run(name)
         (System.nanoTime() - t0) / 1e9
       }.min
-      CacheRegistry.releaseAll()
+      // blocking: the previous query's block drop must finish here,
+      // not during the next query's timed run
+      CacheRegistry.releaseAll(blocking = true)
+      val now = spark.conf.getAll
+      if (now != confBaseline) {
+        confDrift += name
+        val changed = (now.keySet ++ confBaseline.keySet)
+          .filter(k => now.get(k) != confBaseline.get(k))
+        System.err.println(s"[bench] conf drift after $name: " +
+          changed.map(k => s"$k=${confBaseline.get(k)}->${now.get(k)}").mkString(", "))
+        changed.foreach { k =>
+          confBaseline.get(k) match {
+            case Some(v) => spark.conf.set(k, v)
+            case None    => spark.conf.unset(k)
+          }
+        }
+      }
       name -> dt
     }
     // 3-decimal timings keep the whole line inside a tail-capture
@@ -51,7 +82,8 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val drift = confDrift.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"conf_drift":$drift,"sf":"$sfDir"}"""
     // sbt prefixes forked stdout with [info], which defeats line-level
     // JSON parsing — also write the bare line where a harness can read
     // it directly.

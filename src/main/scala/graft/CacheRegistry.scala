@@ -22,9 +22,11 @@ object CacheRegistry {
 
   /** Unpersist everything cached since the last release. Double
     * unpersist (e.g. frames an iterative loop already dropped) is a
-    * harmless no-op. */
-  def releaseAll(): Unit = synchronized {
-    tracked.foreach(df => try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    * harmless no-op. Bench passes blocking=true so an async block drop
+    * can never overlap — and get charged to — the next query's timed
+    * run. */
+  def releaseAll(blocking: Boolean = false): Unit = synchronized {
+    tracked.foreach(df => try df.unpersist(blocking) catch { case _: Throwable => () })
     tracked.clear()
   }
 

@@ -135,13 +135,19 @@ object SparkEntry {
       include = Some(Seq("l_quantity", "l_discount", "l_tax")),
       labelField = "l_extendedprice")
     val modelPath = java.nio.file.Files.createTempDirectory("graft-dt-model").toString
-    DecisionTree.train(li, spec, modelPath, maxDepth = 6)
+    // One assembly pass: train and predict consume the SAME assembled
+    // frame (assembly is row-preserving; the trainer applies the
+    // null-label drop itself), instead of vectorizing 60k rows twice.
+    val assembled = FeatureVectorizer.assemble(li, spec)
+    DecisionTree.trainAssembled(assembled, spec, modelPath, maxDepth = 6)
     val reloaded = DecisionTree.load(s, modelPath)
     // cached: the fit aggregate and the output projection both consume
     // the scored frame — without it assembly + tree transform run twice
     import graft.CacheRegistry.Cacheable
-    val scored = DecisionTree.predict(li, reloaded,
-      spec.copy(labelField = "unused"), "predicted_price").cacheTracked
+    val scored = reloaded.setPredictionCol("predicted_price")
+      .transform(assembled)
+      .drop(FeatureVectorizer.FeaturesCol)
+      .cacheTracked
     // one-row aggregate crossJoin: the documented scalar-attach shape.
     // 1e-9 relative slack: with zero-gain splits RMSE == stddev exactly
     // in math, and the two sides aggregate in different orders — strict

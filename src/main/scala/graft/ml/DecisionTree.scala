@@ -37,8 +37,18 @@ object DecisionTree {
     // immediately converts it to its own cached internal point RDD,
     // so a DataFrame-level persist only adds materialization cost
     // (measured +0.6 s at sf0.1).
-    val prepared = FeatureVectorizer.assemble(
-      df.filter(col(spec.labelField).isNotNull), spec)
+    trainAssembled(FeatureVectorizer.assemble(
+      df.filter(col(spec.labelField).isNotNull), spec), spec, modelPath, maxDepth, maxBins)
+  }
+
+  /** Fit + save over an ALREADY-assembled frame — for callers that
+    * score the same rows right after training and want one assembly
+    * pass, not two (the null-label drop is applied here; assembly is
+    * row-preserving, so filtering before or after it is equivalent). */
+  def trainAssembled(assembled: DataFrame, spec0: FeatureSpec, modelPath: String,
+                     maxDepth: Int = DefaultMaxDepth, maxBins: Int = DefaultMaxBins): DecisionTreeRegressionModel = {
+    val spec = spec0.sanitized
+    val prepared = assembled.filter(col(spec.sanitizedLabel).isNotNull)
     val dt = new DecisionTreeRegressor()
       .setImpurity(Impurity)
       .setMaxDepth(maxDepth)

@@ -158,20 +158,27 @@ object TextAnalysis {
   /** Unigram-LM quality score: mean log10 unigram probability of each
     * document under the corpus's own unigram distribution — the
     * classic LM-filter signal (low score = gibberish / boilerplate).
-    * Two aggregates over the exploded token table (term frequencies +
-    * grand total), then one join back; Spark broadcasts the frequency
-    * table while the vocabulary is bounded and falls back to a
-    * shuffle join on the token key beyond that — both map straight
-    * onto 100 TB. */
+    * The raw token stream is collapsed to per-(doc, token) counts
+    * FIRST (map-side-combined shuffle, the wordcount plan), so the
+    * frequency join and both downstream aggregates see one row per
+    * distinct (doc, token) — smaller than the token stream by the
+    * per-doc duplication factor, which is exactly the data natural
+    * language repeats. The compact table feeds three consumers
+    * (frequencies, grand total, the join) and is cached; Spark
+    * broadcasts the frequency table while the vocabulary is bounded
+    * and falls back to a shuffle join on the token key beyond that —
+    * both map straight onto 100 TB. */
   def pipeLmScore(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    val docTok = Tables.documents(s, dir)
       .select(col("doc_id"),
         explode(expr("filter(split(lower(text), '\\\\s+'), t -> t != '')")).as("t"))
-    val freqs = toks.groupBy("t").agg(count(lit(1)).as("tf"))
-    val total = toks.agg(count(lit(1)).as("total"))
-    toks.join(freqs, "t").crossJoin(total)
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .cacheTracked
+    val freqs = docTok.groupBy("t").agg(sum("c").as("tf"))
+    val total = docTok.agg(sum("c").as("total"))
+    docTok.join(freqs, "t").crossJoin(total)
       .groupBy("doc_id", "total")
-      .agg(count(lit(1)).as("n_tok"), sum(log10(col("tf"))).as("slt"))
+      .agg(sum("c").as("n_tok"), sum(col("c") * log10(col("tf"))).as("slt"))
       .select(col("doc_id"), col("n_tok"),
         round(col("slt") / col("n_tok") - log10(col("total")), 4).as("lm_score"))
       .orderBy("doc_id")
