@@ -112,7 +112,96 @@ object SparkEntry {
     // §2.1 reference ML surface
     "ml_train_predict" -> (mlTrainPredict(_, _)),
     "ml_feature_vectorize" -> (mlFeatureVectorize(_, _)),
+    // composed ML × pipeline + incremental dedup + repeated substrings
+    "pipe_ml_filter" -> (pipeMlFilter(_, _)),
+    "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
+    "pipe_repeated_ngrams" -> ((s, d) => TextAnalysis.pipeRepeatedNgrams(s, d)),
   )
+
+  /** Model-based quality filter — the reference's one capability
+    * (decision-tree train/predict, DecisionTreeTrainer.java:40 +
+    * DecisionTreePredictor.java:34 semantics: persist → reload →
+    * score → appended double prediction column) composed with the
+    * §2.5 pipeline surface: train on the [[TextAnalysis
+    * .qualityFeatures]] signals against a deterministic rule label
+    * (the pipe_quality_filter gates), score every document, keep at
+    * score ≥ 0.5.
+    *
+    * Partial contract (the ml_train_predict pattern): exact per-doc
+    * key set, `rule_pass` (the deterministic label — exactly
+    * recomputable in SQL), `has_score` per row, and a corpus-level
+    * `agree_ok` flag asserted TRUE by the oracle: the tree must
+    * reproduce its own training rule on ≥ 90% of documents — a
+    * persisted-model corruption or feature mismatch collapses
+    * agreement to chance. Exact tree semantics stay pinned by the
+    * flight-delay spec; per-language kept/dropped stats invariants are
+    * spec-checked (MlFilterSpec). */
+  private def pipeMlFilter(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{avg, lit}
+    val feats = operators.TextAnalysis.qualityFeatures(Tables.documents(s, dir))
+      .withColumn("label",
+        (col("words") >= 30 && col("alpha_ratio") >= 0.6).cast("double"))
+    val spec = FeatureSpec(
+      include = Some(Seq("words", "alpha_ratio", "punct_ratio", "stop_ratio")),
+      labelField = "label")
+    val modelPath = java.nio.file.Files.createTempDirectory("graft-mlfilter-model").toString
+    val assembled = FeatureVectorizer.assemble(feats, spec)
+    DecisionTree.trainAssembled(assembled, spec, modelPath, maxDepth = 6)
+    val reloaded = DecisionTree.load(s, modelPath)
+    import graft.CacheRegistry.Cacheable
+    val scored = reloaded.setPredictionCol("score")
+      .transform(assembled)
+      .drop(FeatureVectorizer.FeaturesCol)
+      .cacheTracked
+    val agree = scored.agg(
+      (avg(((col("score") >= 0.5) === (col("label") === 1.0)).cast("double")) >= 0.9)
+        .as("agree_ok"))
+    scored
+      .select(col("doc_id"), col("lang"),
+        (col("label") === 1.0).as("rule_pass"),
+        col("score").isNotNull.as("has_score"))
+      .crossJoin(agree)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB replica of [[operators.Dedup.dedupIncremental]]: minhash
+    * signatures over the identical md5-derived shingle hash and
+    * permutation family (constants inlined), banding joined on the raw
+    * band tuple (the Spark side xxhash64's it only to shrink the key),
+    * exact-dup on raw text equality (Spark: 192-bit compound hash). */
+  private def incrementalOracleSql(n: Int, numPerms: Int, rowsPerBand: Int,
+                                   shardMod: Long): String = {
+    val p = operators.Dedup.MersennePrime
+    val mins = (0 until numPerms).map { i =>
+      val (a, b) = operators.Dedup.perm(i)
+      s"min((h % $p * $a + $b) % $p)"
+    }.mkString(", ")
+    val numBands = numPerms / rowsPerBand
+    s"""WITH shg AS (
+       |  SELECT DISTINCT doc_id,
+       |    ('0x' || substr(md5(substr(lower(text), CAST(i AS INT), $n)), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - ${n - 1}, 1) + 1)) AS i
+       |        FROM documents)),
+       |sig AS (SELECT doc_id, [$mins] AS sig FROM shg GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, band,
+       |    list_slice(sig, CAST($rowsPerBand*band + 1 AS INT), CAST($rowsPerBand*band + $rowsPerBand AS INT)) AS key
+       |  FROM sig, range(0, $numBands) br(band)),
+       |near AS (
+       |  SELECT DISTINCT bs.doc_id
+       |  FROM banded bs JOIN banded bc ON bs.band = bc.band AND bs.key = bc.key
+       |  WHERE bs.doc_id % $shardMod = 0 AND bc.doc_id % $shardMod <> 0),
+       |exact AS (
+       |  SELECT DISTINCT s.doc_id
+       |  FROM documents s JOIN documents c ON s.text = c.text
+       |  WHERE s.doc_id % $shardMod = 0 AND c.doc_id % $shardMod <> 0)
+       |SELECT d.doc_id, (e.doc_id IS NOT NULL) AS exact_dup, (nr.doc_id IS NOT NULL) AS near_dup
+       |FROM documents d
+       |LEFT JOIN exact e ON e.doc_id = d.doc_id
+       |LEFT JOIN near nr ON nr.doc_id = d.doc_id
+       |WHERE d.doc_id % $shardMod = 0
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** Reference end-to-end: train decision-tree regression on lineitem
     * (label l_extendedprice), persist, reload, score, append the
@@ -334,6 +423,29 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_incremental" -> incrementalOracleSql(n = 9, numPerms = 32, rowsPerBand = 4, shardMod = 10),
+    // Partial contract: exact key set + the deterministic rule label;
+    // has_score / agree_ok are Spark-computed invariants asserted TRUE.
+    "pipe_ml_filter" ->
+      """SELECT doc_id, lang,
+        |  (len(regexp_extract_all(text, '\S+')) >= 30
+        |   AND len(regexp_extract_all(text, '[A-Za-z]')) / greatest(length(text), 1) >= 0.6) AS rule_pass,
+        |  TRUE AS has_score, TRUE AS agree_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // Raw-substring twin: grouping raw 50-grams == grouping md5-60 gram
+    // ids barring a collision; rank tie-break is the shared md5-60 id.
+    "pipe_repeated_ngrams" ->
+      """WITH g AS (
+        |  SELECT doc_id, substr(lower(text), CAST(i AS INT), 50) AS g
+        |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 49, 1) + 1)) AS i
+        |        FROM documents)),
+        |counts AS (
+        |  SELECT g, ('0x' || substr(md5(g), 1, 15))::BIGINT AS gid,
+        |    count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+        |  FROM g GROUP BY g
+        |  HAVING count(*) >= 2)
+        |SELECT row_number() OVER (ORDER BY n_occ DESC, gid) AS rank, g AS gram, n_occ, n_docs
+        |FROM counts ORDER BY n_occ DESC, gid LIMIT 20""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracleSql(n = 9, numPerms = 32, rowsPerBand = 4, tau = 0.8),
     "dedup_simhash" -> simhashOracleSql(maxHamming = 3),
     "q29_json" ->

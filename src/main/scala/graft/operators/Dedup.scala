@@ -192,6 +192,66 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Incremental dedup — the operator a production 100 TB pipeline
+    * runs daily: dedup a NEW shard against the EXISTING corpus instead
+    * of re-deduplicating everything. A new-shard document is flagged
+    * `exact_dup` when its 192-bit text hash matches any corpus
+    * document, and `near_dup` when any of its minhash band buckets
+    * collides with a corpus band bucket (the same signature family as
+    * [[dedupMinhashLsh]] — banding is the candidate-level flag by
+    * design; pair verification is the batch operator's job).
+    *
+    * Scale shape: the shard is tiny relative to the corpus, so the
+    * shard's fixed-width keys (band hashes, text hashes) BROADCAST and
+    * the corpus side is scanned map-only through a broadcast semi-join
+    * emitting only colliding keys — the corpus never shuffles, which
+    * is the whole point of incremental dedup. In production the corpus
+    * signatures would be a precomputed table; here both sides derive
+    * from `documents` split deterministically (doc_id % shardMod == 0
+    * → new shard). */
+  def dedupIncremental(s: SparkSession, dir: String, n: Int = 9, numPerms: Int = 32,
+                       rowsPerBand: Int = 4, shardMod: Long = 10): DataFrame = {
+    val numBands = numPerms / rowsPerBand
+    def isNew(c: Column): Column = c % shardMod === 0
+    val docs = Tables.documents(s, dir)
+    val banded = docs
+      .select(col("doc_id"), explode(expr(shingleExprMd5(n))).as("h"))
+      .groupBy("doc_id")
+      .agg(minhashAggs(col("h"), numPerms).head, minhashAggs(col("h"), numPerms).tail: _*)
+      .select(col("doc_id"), array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
+      .select(col("doc_id"),
+        explode(array((0 until numBands).map { bIdx =>
+          struct(lit(bIdx).as("band"),
+            xxhash64(slice(col("sig"), bIdx * rowsPerBand + 1, rowsPerBand)).as("bh"))
+        }: _*)).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
+      .cacheTracked
+    val newBands = banded.filter(isNew(col("doc_id")))
+    // corpus scan → broadcast semi-join → only the colliding band keys
+    // survive (small); the shard then flags itself against them.
+    val hotBands = banded.filter(!isNew(col("doc_id"))).select("band", "bh")
+      .join(broadcast(newBands.select("band", "bh").distinct()), Seq("band", "bh"), "left_semi")
+      .distinct()
+    val nearIds = newBands.join(hotBands, Seq("band", "bh"), "left_semi")
+      .select("doc_id").distinct()
+    val hashes = docs
+      .select(col("doc_id"), xxhash64(col("text")).as("h64"), md5(col("text")).as("h128"))
+      .cacheTracked
+    val newHashes = hashes.filter(isNew(col("doc_id")))
+    val hotHashes = hashes.filter(!isNew(col("doc_id"))).select("h64", "h128")
+      .join(broadcast(newHashes.select("h64", "h128").distinct()), Seq("h64", "h128"), "left_semi")
+      .distinct()
+    val exactIds = newHashes.join(hotHashes, Seq("h64", "h128"), "left_semi")
+      .select("doc_id").distinct()
+    docs.filter(isNew(col("doc_id"))).select("doc_id")
+      .join(exactIds.withColumn("e", lit(true)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("nd", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("e"), lit(false)).as("exact_dup"),
+        coalesce(col("nd"), lit(false)).as("near_dup"))
+      .orderBy("doc_id")
+  }
+
   // --- simhash -------------------------------------------------------
 
   /** 64-bit SimHash over word tokens: per bit b, count tokens whose

@@ -55,6 +55,22 @@ object TextAnalysis {
           greatest(nWords(col("text")), lit(1)), 4).as("stop_ratio"))
       .orderBy("doc_id")
 
+  /** Unrounded quality-signal columns for any frame with `doc_id` /
+    * `lang` / `text` — the shared feature block behind [[textQuality]],
+    * [[pipeQualityFilter]] and the model-based `pipe_ml_filter`
+    * (SparkEntry). Map-only codegen'd expressions; `words` is long (an
+    * accepted ML feature type), ratios are double. */
+  def qualityFeatures(df: DataFrame): DataFrame =
+    df.select(
+      col("doc_id"), col("lang"),
+      nWords(col("text")).as("words"),
+      (charCount(col("text"), "[A-Za-z]") /
+        greatest(length(col("text")), lit(1))).as("alpha_ratio"),
+      (charCount(col("text"), "[.,;:!?]") /
+        greatest(length(col("text")), lit(1))).as("punct_ratio"),
+      (regexp_count(lower(col("text")), lit(StopwordPattern)).cast("double") /
+        greatest(nWords(col("text")), lit(1))).as("stop_ratio"))
+
   /** Language-ID heuristic: score each candidate language by the hit
     * rate of a small profile of characteristic function words /
     * character patterns, pick the argmax. Map-only; rows-only check
@@ -339,5 +355,51 @@ object TextAnalysis {
       .filter(col("bucket") < col("rate") * 1000000L)
       .select(col("doc_id"), col("lang"), col("bucket"))
       .orderBy("doc_id")
+  }
+
+  /** Corpus-wide repeated exact substrings (the Lee et al. "Deduplicating
+    * Training Data Makes Language Models Better" signal): the top-k
+    * character n-grams (default 50) occurring at least twice across the
+    * corpus, with occurrence and document counts — the exact-substring
+    * complement to the shingle/minhash near-dup family.
+    *
+    * Two phases so the exact aggregate never touches the full position
+    * stream twice:
+    *  1. the codegen'd rolling `ngram_hashes` emits one 64-bit hash per
+    *     position (one O(len) pass per doc); a fixed-width hash-keyed
+    *     count keeps only hashes seen ≥ 2 times — at 100 TB this drops
+    *     the overwhelmingly-unique tail map-side-combined, and the
+    *     shuffle carries (hash, doc_id, pos), never text;
+    *  2. only surviving positions slice their actual n-gram and
+    *     aggregate on the oracle-reproducible md5-60 gram id (rolling-
+    *     hash collisions between DIFFERENT grams split apart here and
+    *     fall to n_occ = 1, re-filtered) — so phase 1 only prunes,
+    *     never alters the result.
+    * Global top-k is TakeOrdered (orderBy + limit), not a single-
+    * partition window. */
+  def pipeRepeatedNgrams(s: SparkSession, dir: String, n: Int = 50, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(col("doc_id"), lower(col("text")).as("t"))
+    val occ = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.VectorFunctions.ngram_hashes(col("t"), n)))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val repeated = occ.groupBy("h").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("h")
+    // surviving (doc_id, pos) re-attach text by doc_id — bounded by
+    // docs that actually contain a repeated gram, not the corpus
+    val counts = occ.join(repeated, Seq("h"), "left_semi")
+      .join(docs, "doc_id")
+      .select(col("doc_id"), expr(s"substring(t, pos + 1, $n)").as("g"))
+      .withColumn("gid", expr(Dedup.md5Hash60Sql("g")))
+      .groupBy("gid")
+      .agg(count(lit(1)).as("n_occ"), count_distinct(col("doc_id")).as("n_docs"),
+        min("g").as("gram"))
+      .filter(col("n_occ") >= 2)
+    counts.orderBy(col("n_occ").desc, col("gid")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n_occ").desc, col("gid"))).cast("long"))
+      .select("rank", "gram", "n_occ", "n_docs")
+      .orderBy("rank")
   }
 }
