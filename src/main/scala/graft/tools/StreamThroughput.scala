@@ -37,7 +37,7 @@ object StreamThroughput {
 
     val deduped = spark.readStream
       .schema(staged.schema)
-      .option("maxFilesPerTrigger", 2)
+      .option("maxFilesPerTrigger", sys.env.getOrElse("SPARK_GRAFT_FILES_PER_TRIGGER", "2"))
       .parquet(src)
       .withWatermark("ts", "1 day")
       .dropDuplicates("event_id")
