@@ -41,6 +41,27 @@ object EventStream {
         col("c.ts").as("click_ts"), col("c.value").as("click_value"))
   }
 
+  /** Stream-static incremental dedup — the streaming twin of
+    * `Dedup.dedupIncremental`'s exact path, for the ingest-time shape
+    * "flag each arriving document against the EXISTING corpus". The
+    * static corpus collapses to fixed-width 192-bit text hashes and
+    * joins each micro-batch (broadcast while it fits, shuffled-hash
+    * beyond); the stream side is map-only and this keeps NO streaming
+    * state at all — the corpus table IS the state, re-resolved per
+    * micro-batch, so a corpus refresh (new parquet files) is picked up
+    * without restarting the query. */
+  def incrementalDedupStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    val corpusHashes = corpus
+      .select(xxhash64(col("text")).as("h64"), md5(col("text")).as("h128"))
+      .distinct()
+      .withColumn("dup", lit(true))
+    docs
+      .withColumn("h64", xxhash64(col("text")))
+      .withColumn("h128", md5(col("text")))
+      .join(corpusHashes, Seq("h64", "h128"), "left")
+      .select(col("doc_id"), coalesce(col("dup"), lit(false)).as("exact_dup"))
+  }
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   case class SessionState(startMs: Long, lastMs: Long, nEvents: Int)
   case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)

@@ -190,4 +190,25 @@ class StreamingSpec extends SparkSpec {
       assert(last(2L).n_events == 1 && math.abs(last(2L).total_value - 7.0) < 1e-9)
     }
   }
+
+  test("stream-static incremental dedup flags arrivals against the corpus table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Tables.documents(spark, Sf)
+    // two real corpus texts (one per batch) + two fresh ones
+    val known = corpus.orderBy("doc_id").select("text").as[String].take(2)
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val query = EventStream.incrementalDedupStream(docs, corpus)
+      .writeStream.format("memory").queryName("inc_dedup_stream")
+      .outputMode("append").start()
+    input.addData((1000L, known(0)), (1001L, "certainly not in the corpus"))
+    query.processAllAvailable()
+    input.addData((1002L, known(1)), (1003L, "also nowhere in the corpus"))
+    query.processAllAvailable()
+    val flags = spark.table("inc_dedup_stream").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    query.stop()
+    assert(flags == Map(1000L -> true, 1001L -> false, 1002L -> true, 1003L -> false))
+  }
 }
