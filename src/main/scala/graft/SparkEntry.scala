@@ -146,7 +146,8 @@ object SparkEntry {
       labelField = "label")
     val modelPath = java.nio.file.Files.createTempDirectory("graft-mlfilter-model").toString
     val assembled = FeatureVectorizer.assemble(feats, spec)
-    DecisionTree.trainAssembled(assembled, spec, modelPath, maxDepth = 6)
+    DecisionTree.trainAssembled(assembled, spec, modelPath, maxDepth = 6,
+      fitPartitions = fitParallelism(s))
     val reloaded = DecisionTree.load(s, modelPath)
     import graft.CacheRegistry.Cacheable
     val scored = reloaded.setPredictionCol("score")
@@ -203,6 +204,13 @@ object SparkEntry {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** Fit-input fan-out for the invariant-checked ML queries: a
+    * fraction of the session's parallelism, enough to keep the
+    * per-level tree aggregates off a single task without paying 32
+    * tiny-task overheads on a 600k-row input. */
+  private def fitParallelism(s: SparkSession): Int =
+    math.max(8, s.sparkContext.defaultParallelism / 4)
+
   /** Reference end-to-end: train decision-tree regression on lineitem
     * (label l_extendedprice), persist, reload, score, append the
     * prediction column. Tree internals are engine-specific, so the
@@ -228,7 +236,8 @@ object SparkEntry {
     // frame (assembly is row-preserving; the trainer applies the
     // null-label drop itself), instead of vectorizing 60k rows twice.
     val assembled = FeatureVectorizer.assemble(li, spec)
-    DecisionTree.trainAssembled(assembled, spec, modelPath, maxDepth = 6)
+    DecisionTree.trainAssembled(assembled, spec, modelPath, maxDepth = 6,
+      fitPartitions = fitParallelism(s))
     val reloaded = DecisionTree.load(s, modelPath)
     // cached: the fit aggregate and the output projection both consume
     // the scored frame — without it assembly + tree transform run twice

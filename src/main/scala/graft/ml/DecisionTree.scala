@@ -44,11 +44,28 @@ object DecisionTree {
   /** Fit + save over an ALREADY-assembled frame — for callers that
     * score the same rows right after training and want one assembly
     * pass, not two (the null-label drop is applied here; assembly is
-    * row-preserving, so filtering before or after it is equivalent). */
+    * row-preserving, so filtering before or after it is equivalent).
+    *
+    * `fitPartitions` (0 = off) fans the fit input out when it arrives
+    * with fewer partitions: MLlib's level-wise tree training runs one
+    * treeAggregate pass per level, so an under-partitioned input (a
+    * single parquet split) serializes every pass on one task —
+    * measured 2× on 600k rows arriving as one file, shuffle included.
+    * Opt-in, because repartitioning changes the split-candidate
+    * sample and thus (slightly) the learned tree: callers that pin
+    * exact reference predictions (the flight spec) leave it off; the
+    * invariant-checked pipeline queries turn it on. A cluster-scale
+    * input already carries enough partitions and is left untouched
+    * either way. */
   def trainAssembled(assembled: DataFrame, spec0: FeatureSpec, modelPath: String,
-                     maxDepth: Int = DefaultMaxDepth, maxBins: Int = DefaultMaxBins): DecisionTreeRegressionModel = {
+                     maxDepth: Int = DefaultMaxDepth, maxBins: Int = DefaultMaxBins,
+                     fitPartitions: Int = 0): DecisionTreeRegressionModel = {
     val spec = spec0.sanitized
-    val prepared = assembled.filter(col(spec.sanitizedLabel).isNotNull)
+    val prepared0 = assembled.filter(col(spec.sanitizedLabel).isNotNull)
+    val prepared =
+      if (fitPartitions > 0 && prepared0.rdd.getNumPartitions < fitPartitions)
+        prepared0.repartition(fitPartitions)
+      else prepared0
     val dt = new DecisionTreeRegressor()
       .setImpurity(Impurity)
       .setMaxDepth(maxDepth)

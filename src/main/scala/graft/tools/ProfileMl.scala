@@ -27,6 +27,11 @@ object ProfileMl {
       time("score+rmse")(scored.agg(sqrt(avg(pow(col("p") - col("l_extendedprice"), 2)))).collect())
       time("score+sort+noop")(scored.select("l_orderkey", "l_linenumber", "p")
         .orderBy("l_orderkey", "l_linenumber").write.mode("overwrite").format("noop").save())
+      for (np <- Seq(4, 8, 16)) {
+        val mp2 = java.nio.file.Files.createTempDirectory("prof").toString
+        time(s"fit(repartition $np)")(
+          DecisionTree.train(li.repartition(np), spec, mp2))
+      }
     }
     spark.stop()
   }
