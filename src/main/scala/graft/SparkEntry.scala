@@ -76,6 +76,8 @@ object SparkEntry {
     "q44_string_agg" -> (Relational.q44StringAgg(_, _)),
     "q45_recursive_cte" -> (Relational.q45RecursiveCte(_, _)),
     "q46_variant" -> (Relational.q46Variant(_, _)),
+    "q47_unpivot" -> (Relational.q47Unpivot(_, _)),
+    "q48_gapfill" -> (Relational.q48Gapfill(_, _)),
     "text_normalize" -> (TextAnalysis.textNormalize(_, _)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
@@ -583,6 +585,20 @@ object SparkEntry {
         |  round(coalesce(rev, 0.0), 2) AS revenue
         |FROM days LEFT JOIN daily ON days.d = daily.d
         |ORDER BY day""".stripMargin,
+    "q47_unpivot" ->
+      """SELECT measure, count(*) AS cnt, round(sum(value), 2) AS total,
+        |  round(avg(value), 6) AS mean
+        |FROM (
+        |  SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |GROUP BY measure ORDER BY measure""".stripMargin,
+    "q48_gapfill" ->
+      """SELECT event_id, user_id, event_type,
+        |  round(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS last_purchase_value
+        |FROM events ORDER BY event_id""".stripMargin,
     "q46_variant" ->
       """SELECT event_type,
         |  count(CAST(props->>'$.k' AS BIGINT)) AS n_with_k,

@@ -742,6 +742,39 @@ object Relational {
       .orderBy("event_type")
   }
 
+  /** UNPIVOT (wide → long melt): the three lineitem measure columns
+    * fold into (measure, value) rows through Dataset.unpivot — ONE
+    * scan with an Expand, where the UNION-ALL formulation the oracle
+    * uses would scan three times; the aggregate then partial-combines
+    * per measure. The inverse of q16's pivot, completing the
+    * reshaping pair. */
+  def q47Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select("l_quantity", "l_discount", "l_tax")
+      .unpivot(Array.empty[org.apache.spark.sql.Column],
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 2).as("total"),
+        round(avg("value"), 6).as("mean"))
+      .orderBy("measure")
+
+  /** Gap-fill / forward-fill: every event carries the value of the
+    * user's most recent PURCHASE at-or-before it, via
+    * last_value(..., ignoreNulls) over the per-user time order — the
+    * canonical as-of forward-fill that joins can't express without a
+    * range join. One window sort per user partition, null before the
+    * first purchase. */
+  def q48Gapfill(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("pv", when(col("event_type") === "purchase", col("value")))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        round(last("pv", ignoreNulls = true).over(w), 2).as("last_purchase_value"))
+      .orderBy("event_id")
+  }
+
   /** Batch sessionization (gaps-and-islands): a new session starts
     * after a >30 min silence; one window pass marks boundaries, a
     * running sum numbers sessions, then a per-session aggregate.
