@@ -387,19 +387,28 @@ object TextAnalysis {
     val repeated = occ.groupBy("h").agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("h")
     // surviving (doc_id, pos) re-attach text by doc_id — bounded by
-    // docs that actually contain a repeated gram, not the corpus
+    // docs that actually contain a repeated gram, not the corpus.
+    // Aggregate on the RAW gram (map-side combine collapses the dense
+    // repeats before the shuffle) and derive the md5-60 tie-break id
+    // only on the distinct-gram result — on a repeat-dense corpus
+    // hashing per OCCURRENCE was the dominant cost (3× on the sf1-like
+    // replica set, where every gram repeats 10×).
     val counts = occ.join(repeated, Seq("h"), "left_semi")
       .join(docs, "doc_id")
       .select(col("doc_id"), expr(s"substring(t, pos + 1, $n)").as("g"))
-      .withColumn("gid", expr(Dedup.md5Hash60Sql("g")))
-      .groupBy("gid")
-      .agg(count(lit(1)).as("n_occ"), count_distinct(col("doc_id")).as("n_docs"),
-        min("g").as("gram"))
+      // two-level, not count_distinct: a distinct aggregate would plan
+      // an Expand DOUBLING the occurrence stream through the shuffle
+      // (the q46 pitfall); (g, doc_id) partial-combines instead, and
+      // the per-doc table is already the n_docs count
+      .groupBy("g", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("g")
+      .agg(sum("c").as("n_occ"), count(lit(1)).as("n_docs"))
       .filter(col("n_occ") >= 2)
+      .withColumn("gid", expr(Dedup.md5Hash60Sql("g")))
     counts.orderBy(col("n_occ").desc, col("gid")).limit(k)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("n_occ").desc, col("gid"))).cast("long"))
-      .select("rank", "gram", "n_occ", "n_docs")
+      .select(col("rank"), col("g").as("gram"), col("n_occ"), col("n_docs"))
       .orderBy("rank")
   }
 }
