@@ -103,4 +103,16 @@ class PlanSpec extends SparkSpec {
       assert(plan.contains("might_contain"), s"no runtime bloom filter injected:\n$plan")
     }
   }
+
+  test("dedup_incremental probes the corpus via broadcast semi-joins, never a shuffle join") {
+    val df = graft.operators.Dedup.dedupIncremental(spark, Sf)
+    df.collect() // settle AQE on the final plan
+    val plan = df.queryExecution.executedPlan.toString
+    // both probe paths (band buckets, text hashes) must build the
+    // shard side and stream the corpus through a broadcast semi-join
+    assert("LeftSemi, BuildRight".r.findAllIn(plan).length >= 2,
+      s"corpus probe not a broadcast semi-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus shuffled through a sort-merge join:\n$plan")
+  }
 }
