@@ -103,6 +103,7 @@ object SparkEntry {
     "pipe_lm_score" -> (TextAnalysis.pipeLmScore(_, _)),
     "pipe_decontaminate" -> ((s, d) => TextAnalysis.pipeDecontaminate(s, d)),
     "text_top_bigrams" -> ((s, d) => TextAnalysis.textTopBigrams(s, d)),
+    "text_top_bigrams_sketch" -> ((s, d) => TextAnalysis.textTopBigramsSketch(s, d)),
     "text_repetition" -> (TextAnalysis.textRepetition(_, _)),
     "text_vocab_stats" -> (TextAnalysis.textVocabStats(_, _)),
     "pipe_length_histogram" -> ((s, d) => TextAnalysis.pipeLengthHistogram(s, d)),
@@ -673,6 +674,22 @@ object SparkEntry {
         |  FROM counts)
         |SELECT lang, CAST(rank AS BIGINT) AS rank, bigram, cnt
         |FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+    // Sketch contract: exact k-th-largest bigram count per language +
+    // the Spark-computed sketch-validity flag asserted TRUE.
+    "text_top_bigrams_sketch" ->
+      """WITH wl AS (
+        |  SELECT lang, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |bg AS (
+        |  SELECT lang, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS bigram
+        |  FROM wl, unnest(range(1, greatest(len(w), 1))) t(i)),
+        |counts AS (SELECT lang, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT lang, cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS rk
+        |  FROM counts)
+        |SELECT lang, cnt AS kth_cnt, TRUE AS sketch_ok
+        |FROM ranked WHERE rk = 5 ORDER BY lang""".stripMargin,
     "text_repetition" ->
       """WITH toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS w

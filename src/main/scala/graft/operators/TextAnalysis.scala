@@ -280,6 +280,43 @@ object TextAnalysis {
       .orderBy("lang", "rank")
   }
 
+  /** Sketch twin of [[textTopBigrams]] via Spark 4's `approx_top_k`
+    * aggregate — the one-pass bounded-memory path for when the exact
+    * per-group count table itself is too hot: the sketch tracks
+    * `maxTracked` items per group in a fixed-size summary, merged
+    * map-side. Verification contract (the q15/q24 sketch pattern):
+    * the oracle recomputes the EXACT k-th-largest count per language
+    * (`kth_cnt`) and asserts the Spark-computed `sketch_ok` flag —
+    * the sketch returned exactly k picks and every pick's TRUE count
+    * is ≥ the exact k-th count (tie swaps allowed, misses not). */
+  def textTopBigramsSketch(s: SparkSession, dir: String, k: Int = 5,
+                           maxTracked: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bigrams = Tables.documents(s, dir)
+      .select(col("lang"),
+        expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("w"))
+      .select(col("lang"), explode(expr(
+        "if(size(w) >= 2, transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1])), array())")).as("bigram"))
+    val exact = bigrams.groupBy("lang", "bigram").agg(count(lit(1)).as("cnt"))
+      .cacheTracked
+    val kth = exact
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("cnt").desc, col("bigram"))))
+      .filter(col("rk") === k)
+      .select(col("lang"), col("cnt").as("kth_cnt"))
+    val picks = bigrams.groupBy("lang")
+      .agg(expr(s"approx_top_k(bigram, $k, $maxTracked)").as("top"))
+      .select(col("lang"), explode(col("top")).as("e"))
+      .select(col("lang"), col("e.item").as("bigram"))
+    val picksTrue = picks.join(exact, Seq("lang", "bigram"))
+      .groupBy("lang")
+      .agg(min("cnt").as("min_pick_cnt"), count(lit(1)).as("n_picks"))
+    kth.join(picksTrue, "lang")
+      .select(col("lang"), col("kth_cnt"),
+        (col("n_picks") === k && col("min_pick_cnt") >= col("kth_cnt")).as("sketch_ok"))
+      .orderBy("lang")
+  }
+
   /** Document-length histogram (dataset-card numbers): fixed 100-char
     * buckets, one partial-aggregated shuffle. */
   def pipeLengthHistogram(s: SparkSession, dir: String, bucketChars: Int = 100): DataFrame =
