@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, NgramHashes, SortedIntersectCount}
+import graft.functions.{CosineSimilarity, MinhashSignature, NgramHashes, SortedIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -29,5 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("ngram_hashes"),
       new ExpressionInfo(classOf[NgramHashes].getName, "ngram_hashes"),
       (children: Seq[Expression]) => NgramHashes(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_signature"),
+      (children: Seq[Expression]) => MinhashSignature(children(0), children(1))))
   }
 }

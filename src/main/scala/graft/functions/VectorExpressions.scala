@@ -233,6 +233,98 @@ object NgramHashes {
   }
 }
 
+/** The full minhash signature of a shingle-hash array in ONE map-side
+  * pass — `numPerms` running minima of `(h % p · a_i + b_i) % p` over
+  * the array, with the same splitmix permutation constants
+  * ([[graft.operators.Dedup.perm]]) and Mersenne31 modulus as the
+  * aggregate formulation, so the two paths are value-identical
+  * (property-spec'd). Replacing `explode + numPerms min-aggregates`
+  * with this expression removes the signature-construction SHUFFLE
+  * entirely: at 100 TB signatures become part of the document scan
+  * instead of a corpus-wide groupBy(doc_id). Empty arrays (which the
+  * shingle expressions never produce) yield the modulus as an
+  * out-of-range sentinel rather than dropping the row the way the
+  * explode path did. */
+case class MinhashSignature(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) =>
+        if (!right.foldable)
+          TypeCheckResult.TypeCheckFailure(s"$prettyName requires a literal permutation count")
+        else right.eval() match {
+          case n: Integer if n >= 1 => TypeCheckResult.TypeCheckSuccess
+          case other => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires permutation count >= 1, got $other")
+        }
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, int), got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  @transient private lazy val numPerms: Int = right.eval().asInstanceOf[Int]
+  @transient private lazy val permA: Array[Long] =
+    Array.tabulate(numPerms)(i => graft.operators.Dedup.perm(i)._1)
+  @transient private lazy val permB: Array[Long] =
+    Array.tabulate(numPerms)(i => graft.operators.Dedup.perm(i)._2)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val p = MinhashSignature.P
+    val out = Array.fill(numPerms)(p)
+    val n = x.numElements()
+    var i = 0
+    while (i < n) {
+      var hm = x.getLong(i) % p
+      if (hm < 0) hm += p // pmod semantics for negative hash families
+      var k = 0
+      while (k < numPerms) {
+        val v = (hm * permA(k) + permB(k)) % p
+        if (v < out(k)) out(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashPermA", permA, "long[]")
+    val bRef = ctx.addReferenceObj("minhashPermB", permB, "long[]")
+    nullSafeCodeGen(ctx, ev, (x, _) => {
+      val out = ctx.freshName("out"); val i = ctx.freshName("i")
+      val k = ctx.freshName("k"); val hm = ctx.freshName("hm")
+      val v = ctx.freshName("v"); val n = ctx.freshName("n")
+      val p = MinhashSignature.P
+      s"""
+         |long[] $out = new long[$numPerms];
+         |java.util.Arrays.fill($out, ${p}L);
+         |int $n = $x.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $hm = $x.getLong($i) % ${p}L;
+         |  if ($hm < 0) $hm += ${p}L;
+         |  for (int $k = 0; $k < $numPerms; $k++) {
+         |    long $v = ($hm * $aRef[$k] + $bRef[$k]) % ${p}L;
+         |    if ($v < $out[$k]) $out[$k] = $v;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinhashSignature {
+  /** Mersenne31 — matches [[graft.operators.Dedup.MersennePrime]]. */
+  val P: Long = (1L << 31) - 1
+}
+
 object VectorFunctions {
   /** Column API: cosine_similarity(a, b) for array<double> columns. */
   def cosine_similarity(a: Column, b: Column): Column =
@@ -250,8 +342,16 @@ object VectorFunctions {
       NgramHashes(GraftColumnBridge.expression(c),
         org.apache.spark.sql.catalyst.expressions.Literal(n)))
 
+  /** Column API: full minhash signature of a shingle-hash array. */
+  def minhash_signature(c: Column, numPerms: Int): Column =
+    GraftColumnBridge.column(
+      MinhashSignature(GraftColumnBridge.expression(c),
+        org.apache.spark.sql.catalyst.expressions.Literal(numPerms)))
+
   /** Registers graft's native functions for SQL use on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature", exprs => MinhashSignature(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

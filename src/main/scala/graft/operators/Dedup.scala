@@ -137,12 +137,13 @@ object Dedup {
     (a, b)
   }
 
-  /** numPerms minhash values over the shingle-hash array: for each
-    * permutation i, min over shingles of (a_i*h + b_i) mod p.
-    * Formulated as explode + numPerms min-aggregates so the hot loop
-    * is whole-stage-codegen'd hash aggregation (interpreted
-    * higher-order lambdas were ~10× slower at sf0.1). */
-  private[operators] def minhashAggs(h: Column, numPerms: Int): Seq[Column] =
+  /** numPerms minhash values over the shingle-hash array as explode +
+    * numPerms min-aggregates — the historical formulation, kept as
+    * the independent reference the property spec checks the
+    * map-side [[graft.functions.MinhashSignature]] expression
+    * against (the operators themselves use the expression: same
+    * values, no signature shuffle). */
+  private[graft] def minhashAggs(h: Column, numPerms: Int): Seq[Column] =
     (0 until numPerms).map { i =>
       val (a, b) = perm(i)
       min(pmod(pmod(h, lit(MersennePrime)) * lit(a) + lit(b), lit(MersennePrime))).as(s"m$i")
@@ -158,13 +159,15 @@ object Dedup {
   def dedupMinhashLsh(s: SparkSession, dir: String, n: Int = 9, numPerms: Int = 32,
                       rowsPerBand: Int = 4, tau: Double = 0.8): DataFrame = {
     val numBands = numPerms / rowsPerBand
-    // Signatures feed the banding explode AND two verification joins;
-    // persist so the explode + 32 min-aggregates run once.
+    // Signatures are ONE codegen'd map-side expression over the
+    // shingle array (no explode, no groupBy(doc_id) shuffle — the
+    // former explode + numPerms min-aggregates formulation shuffled
+    // the whole corpus before banding even began); persisted because
+    // they feed the banding explode AND two verification joins.
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(expr(shingleExprMd5(n))).as("h"))
-      .groupBy("doc_id")
-      .agg(minhashAggs(col("h"), numPerms).head, minhashAggs(col("h"), numPerms).tail: _*)
-      .select(col("doc_id"), array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.minhash_signature(expr(shingleExprMd5(n)), numPerms)
+          .as("sig"))
       .cacheTracked
     val banded = docs.select(
       col("doc_id"), col("sig"),
@@ -215,10 +218,9 @@ object Dedup {
     def isNew(c: Column): Column = c % shardMod === 0
     val docs = Tables.documents(s, dir)
     val banded = docs
-      .select(col("doc_id"), explode(expr(shingleExprMd5(n))).as("h"))
-      .groupBy("doc_id")
-      .agg(minhashAggs(col("h"), numPerms).head, minhashAggs(col("h"), numPerms).tail: _*)
-      .select(col("doc_id"), array((0 until numPerms).map(i => col(s"m$i")): _*).as("sig"))
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.minhash_signature(expr(shingleExprMd5(n)), numPerms)
+          .as("sig"))
       .select(col("doc_id"),
         explode(array((0 until numBands).map { bIdx =>
           struct(lit(bIdx).as("band"),

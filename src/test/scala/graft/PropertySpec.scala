@@ -64,6 +64,26 @@ class PropertySpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-9, s"$g vs $w") }
   }
 
+  test("minhash_signature equals the explode + min-aggregate formulation") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val numPerms = 32
+    // random hash arrays covering the real domain (nonneg md5-60) plus
+    // negative values to pin the pmod semantics
+    val gArr = Gen.nonEmptyListOf(Gen.chooseNum(Long.MinValue / 4, Long.MaxValue / 4))
+    val arrays = samples(gArr, 100, 23L).zipWithIndex.map { case (a, i) => (i.toLong, a) }
+    val df = arrays.toDF("id", "hs")
+    val got = df.select(col("id"),
+        VectorFunctions.minhash_signature(col("hs"), numPerms).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    val want = df.select(col("id"), explode(col("hs")).as("h"))
+      .groupBy("id")
+      .agg(Dedup.minhashAggs(col("h"), numPerms).head,
+        Dedup.minhashAggs(col("h"), numPerms).tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to numPerms).map(r.getLong(_)).toSeq).toMap
+    assert(got == want)
+  }
+
   test("TopK aggregator is exact under random data and random merge splits") {
     val gEntry = Gen.zip(Gen.chooseNum(0.0, 20.0), Gen.chooseNum(0L, 1000L))
       .map { case (s, i) => TopKAgg.Entry(s, i) }
