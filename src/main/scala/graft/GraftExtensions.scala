@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{CosineSimilarity, MinhashSignature, NgramHashes, SortedIntersectCount}
+import graft.functions.{CosineSimilarity, MinhashSignature, NgramHashes, Simhash64, SortedIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -33,5 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinhashSignature].getName, "minhash_signature"),
       (children: Seq[Expression]) => MinhashSignature(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[Simhash64].getName, "simhash64"),
+      (children: Seq[Expression]) => Simhash64(children(0))))
   }
 }

@@ -325,6 +325,80 @@ object MinhashSignature {
   val P: Long = (1L << 31) - 1
 }
 
+/** 64-bit SimHash of a token array in ONE map-side pass: each token's
+  * md5-60 hash (identical to the SQL `md5Hash60` family the DuckDB
+  * oracles replicate) votes per bit; bit b of the result is set iff
+  * more than half the tokens have bit b set. Replaces explode +
+  * md5 + 64 conditional-count aggregates — the whole per-document
+  * token shuffle disappears and the simhash becomes part of the
+  * document scan. Codegen calls the [[SimhashKernel]] static (the
+  * md5 work dominates, so a fused loop buys nothing over the JVM
+  * kernel). Empty arrays yield 0 — callers preserving the explode
+  * path's drop-empty semantics filter first. */
+case class Simhash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(a: Any): Any =
+    SimhashKernel.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.SimhashKernel.compute($x)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** JVM kernel for [[Simhash64]] — standalone object so the mirror
+  * class exposes a true static for generated code. */
+object SimhashKernel {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of md5(token) as a nonnegative long — bit-identical
+    * to `cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)`. */
+  def hash60(bytes: Array[Byte]): Long = {
+    val d = md.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (dig(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
+  def compute(a: ArrayData): Long = {
+    val n = a.numElements()
+    val cnt = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = hash60(a.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < 60) { // md5-60 hashes never set bits 60-63
+        if (((h >>> b) & 1L) == 1L) cnt(b) += 1
+        b += 1
+      }
+      i += 1
+    }
+    var sh = 0L
+    var b = 0
+    while (b < 64) {
+      if (cnt(b) * 2 > n) sh |= 1L << b
+      b += 1
+    }
+    sh
+  }
+}
+
 object VectorFunctions {
   /** Column API: cosine_similarity(a, b) for array<double> columns. */
   def cosine_similarity(a: Column, b: Column): Column =
@@ -342,6 +416,10 @@ object VectorFunctions {
       NgramHashes(GraftColumnBridge.expression(c),
         org.apache.spark.sql.catalyst.expressions.Literal(n)))
 
+  /** Column API: 64-bit SimHash of a token array. */
+  def simhash64(c: Column): Column =
+    GraftColumnBridge.column(Simhash64(GraftColumnBridge.expression(c)))
+
   /** Column API: full minhash signature of a shingle-hash array. */
   def minhash_signature(c: Column, numPerms: Int): Column =
     GraftColumnBridge.column(
@@ -352,6 +430,8 @@ object VectorFunctions {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_signature", exprs => MinhashSignature(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => Simhash64(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_similarity", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

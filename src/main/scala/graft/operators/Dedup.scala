@@ -256,12 +256,19 @@ object Dedup {
 
   // --- simhash -------------------------------------------------------
 
-  /** 64-bit SimHash over word tokens: per bit b, count tokens whose
-    * hash has bit b set; bit b of the simhash is 1 iff that count
-    * exceeds half the token count. Formulated as explode + 64
-    * codegen'd conditional-count aggregates (one shuffle on doc_id);
-    * the bit-pack is a scalar expression over the aggregated row. */
-  private[operators] def simhashFromTokens(docs: DataFrame): DataFrame = {
+  /** 64-bit SimHash over word tokens — ONE map-side codegen'd kernel
+    * ([[graft.functions.Simhash64]]): the per-document token shuffle
+    * of the explode + 64 conditional-count formulation disappears and
+    * the simhash is computed inside the document scan. The empty-token
+    * filter preserves the explode path's drop-empty semantics. */
+  private[operators] def simhashFromTokens(docs: DataFrame): DataFrame =
+    docs.filter(size(col("toks")) > 0)
+      .select(col("doc_id"), graft.functions.VectorFunctions.simhash64(col("toks")).as("sh"))
+
+  /** The historical explode + 64 conditional-count aggregate
+    * formulation (one shuffle on doc_id) — kept as the independent
+    * reference the property spec checks the map-side kernel against. */
+  private[graft] def simhashFromTokensAgg(docs: DataFrame): DataFrame = {
     val bitCounts = (0 until 64).map { b =>
       count(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1)).as(s"b$b")
     }

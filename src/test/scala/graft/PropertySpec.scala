@@ -84,6 +84,19 @@ class PropertySpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("simhash64 kernel equals the explode + bit-count aggregate formulation") {
+    import graft.operators.Dedup
+    val docs = Tables.documents(spark, Sf).select(
+      col("doc_id"),
+      expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("toks"))
+    val got = Dedup.simhashFromTokensAgg(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = docs.filter(size(col("toks")) > 0)
+      .select(col("doc_id"), VectorFunctions.simhash64(col("toks")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("TopK aggregator is exact under random data and random merge splits") {
     val gEntry = Gen.zip(Gen.chooseNum(0.0, 20.0), Gen.chooseNum(0L, 1000L))
       .map { case (s, i) => TopKAgg.Entry(s, i) }
