@@ -119,6 +119,7 @@ object SparkEntry {
     "pipe_ml_filter" -> (pipeMlFilter(_, _)),
     "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
     "pipe_repeated_ngrams" -> ((s, d) => TextAnalysis.pipeRepeatedNgrams(s, d)),
+    "pipe_incremental_e2e" -> (TextAnalysis.pipeIncrementalE2e(_, _)),
   )
 
   /** Model-based quality filter — the reference's one capability
@@ -173,15 +174,18 @@ object SparkEntry {
     * permutation family (constants inlined), banding joined on the raw
     * band tuple (the Spark side xxhash64's it only to shrink the key),
     * exact-dup on raw text equality (Spark: 192-bit compound hash). */
-  private def incrementalOracleSql(n: Int, numPerms: Int, rowsPerBand: Int,
-                                   shardMod: Long): String = {
+  /** Shared CTE body ending in `shard_flags(doc_id, exact_dup,
+    * near_dup)` — the tail of both the dedup_incremental oracle and
+    * the pipe_incremental_e2e report oracle. */
+  private def incrementalCtesSql(n: Int, numPerms: Int, rowsPerBand: Int,
+                                 shardMod: Long): String = {
     val p = operators.Dedup.MersennePrime
     val mins = (0 until numPerms).map { i =>
       val (a, b) = operators.Dedup.perm(i)
       s"min((h % $p * $a + $b) % $p)"
     }.mkString(", ")
     val numBands = numPerms / rowsPerBand
-    s"""WITH shg AS (
+    s"""shg AS (
        |  SELECT DISTINCT doc_id,
        |    ('0x' || substr(md5(substr(lower(text), CAST(i AS INT), $n)), 1, 15))::BIGINT AS h
        |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - ${n - 1}, 1) + 1)) AS i
@@ -198,14 +202,38 @@ object SparkEntry {
        |exact AS (
        |  SELECT DISTINCT s.doc_id
        |  FROM documents s JOIN documents c ON s.text = c.text
-       |  WHERE s.doc_id % $shardMod = 0 AND c.doc_id % $shardMod <> 0)
-       |SELECT d.doc_id, (e.doc_id IS NOT NULL) AS exact_dup, (nr.doc_id IS NOT NULL) AS near_dup
-       |FROM documents d
-       |LEFT JOIN exact e ON e.doc_id = d.doc_id
-       |LEFT JOIN near nr ON nr.doc_id = d.doc_id
-       |WHERE d.doc_id % $shardMod = 0
-       |ORDER BY d.doc_id""".stripMargin
+       |  WHERE s.doc_id % $shardMod = 0 AND c.doc_id % $shardMod <> 0),
+       |shard_flags AS (
+       |  SELECT d.doc_id, d.lang, d.text,
+       |    (e.doc_id IS NOT NULL) AS exact_dup, (nr.doc_id IS NOT NULL) AS near_dup
+       |  FROM documents d
+       |  LEFT JOIN exact e ON e.doc_id = d.doc_id
+       |  LEFT JOIN near nr ON nr.doc_id = d.doc_id
+       |  WHERE d.doc_id % $shardMod = 0)""".stripMargin
   }
+
+  private def incrementalOracleSql(n: Int, numPerms: Int, rowsPerBand: Int,
+                                   shardMod: Long): String =
+    s"""WITH ${incrementalCtesSql(n, numPerms, rowsPerBand, shardMod)}
+       |SELECT doc_id, exact_dup, near_dup FROM shard_flags
+       |ORDER BY doc_id""".stripMargin
+
+  /** Daily-ingest report oracle: the incremental flags joined with the
+    * deterministic quality rule, rolled up per language. */
+  private def incrementalE2eOracleSql(n: Int, numPerms: Int, rowsPerBand: Int,
+                                      shardMod: Long): String =
+    s"""WITH ${incrementalCtesSql(n, numPerms, rowsPerBand, shardMod)},
+       |gated AS (
+       |  SELECT lang, exact_dup, near_dup,
+       |    (len(regexp_extract_all(text, '\\S+')) >= 30
+       |     AND len(regexp_extract_all(text, '[A-Za-z]')) / greatest(length(text), 1) >= 0.6) AS q
+       |  FROM shard_flags)
+       |SELECT lang, count(*) AS n_new,
+       |  sum(CASE WHEN q THEN 1 ELSE 0 END)::BIGINT AS n_quality,
+       |  sum(CASE WHEN exact_dup THEN 1 ELSE 0 END)::BIGINT AS n_exact_dup,
+       |  sum(CASE WHEN near_dup THEN 1 ELSE 0 END)::BIGINT AS n_near_dup,
+       |  sum(CASE WHEN q AND NOT exact_dup AND NOT near_dup THEN 1 ELSE 0 END)::BIGINT AS n_ingest
+       |FROM gated GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Fit-input fan-out for the invariant-checked ML queries: a
     * fraction of the session's parallelism, enough to keep the
@@ -436,6 +464,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "dedup_incremental" -> incrementalOracleSql(n = 9, numPerms = 32, rowsPerBand = 4, shardMod = 10),
+    "pipe_incremental_e2e" -> incrementalE2eOracleSql(n = 9, numPerms = 32, rowsPerBand = 4, shardMod = 10),
     // Partial contract: exact key set + the deterministic rule label;
     // has_score / agree_ok are Spark-computed invariants asserted TRUE.
     "pipe_ml_filter" ->

@@ -394,6 +394,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Daily-ingest end-to-end report in ONE plan: the new shard
+    * (doc_id % 10 == 0) runs the quality gate AND the incremental
+    * dedup probes ([[Dedup.dedupIncremental]] — corpus never
+    * shuffles), rolled up per language as the numbers an ingest
+    * pipeline publishes: arrivals, quality passes, exact/near
+    * collisions with the corpus, and the net ingestable count.
+    * Every input is deterministic (rule label + band collisions), so
+    * unlike `pipe_ml_filter` this composition is fully
+    * oracle-checked, not a partial contract. */
+  def pipeIncrementalE2e(s: SparkSession, dir: String): DataFrame = {
+    val inc = Dedup.dedupIncremental(s, dir)
+    val gated = qualityFeatures(
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0))
+      .withColumn("q", col("words") >= 30 && col("alpha_ratio") >= 0.6)
+      .select("doc_id", "lang", "q")
+    gated.join(inc, "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_new"),
+        sum(when(col("q"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("exact_dup"), 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("near_dup"), 1L).otherwise(0L)).as("n_near_dup"),
+        sum(when(col("q") && !col("exact_dup") && !col("near_dup"), 1L)
+          .otherwise(0L)).as("n_ingest"))
+      .orderBy("lang")
+  }
+
   /** Corpus-wide repeated exact substrings (the Lee et al. "Deduplicating
     * Training Data Makes Language Models Better" signal): the top-k
     * character n-grams (default 50) occurring at least twice across the
