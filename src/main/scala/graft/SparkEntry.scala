@@ -137,9 +137,12 @@ object SparkEntry {
     * `agree_ok` flag asserted TRUE by the oracle: the tree must
     * reproduce its own training rule on ≥ 90% of documents — a
     * persisted-model corruption or feature mismatch collapses
-    * agreement to chance. Exact tree semantics stay pinned by the
-    * flight-delay spec; per-language kept/dropped stats invariants are
-    * spec-checked (MlFilterSpec). */
+    * agreement to chance. Measured agreement is 1.0 at all three SF
+    * dirs (tools.ProbeAgreement) — the 0.9 bound is slack for
+    * adversarial boundary data, not a working margin. Exact tree
+    * semantics stay pinned by the flight-delay spec; per-language
+    * kept/dropped stats invariants are spec-checked
+    * (MlFilterIncrementalSpec). */
   private def pipeMlFilter(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions.{avg, lit}
     val feats = operators.TextAnalysis.qualityFeatures(Tables.documents(s, dir))
