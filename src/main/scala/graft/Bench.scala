@@ -83,15 +83,21 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val drift = confDrift.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"conf_drift":$drift,"sf":"$sfDir"}"""
+    // The harness tail-captures ~2000 bytes of stdout and parses the
+    // FINAL line as JSON. With 84+ queries the all-in-one line outgrew
+    // that window (2017 bytes in r4 — head clipped, parse null), so the
+    // per-query map gets its own earlier line and the final line is a
+    // compact total-only JSON (~120 bytes) immune to query-count growth.
+    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"conf_drift":$drift,"sf":"$sfDir"}"""
+    val totalLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","conf_drift":$drift,"sf":"$sfDir"}"""
     // sbt prefixes forked stdout with [info], which defeats line-level
-    // JSON parsing — also write the bare line where a harness can read
-    // it directly.
+    // JSON parsing — also write the bare full line (with the per-query
+    // map) where a harness can read it directly.
     for (p <- Seq("target/bench.json", "bench_out.json")) {
       try {
         val path = java.nio.file.Paths.get(p)
         if (path.getParent != null) java.nio.file.Files.createDirectories(path.getParent)
-        java.nio.file.Files.writeString(path, line + "\n")
+        java.nio.file.Files.writeString(path, fullLine + "\n")
       } catch { case _: Throwable => () }
     }
     // Quiesce everything, stop Spark, THEN print: the metrics line must
@@ -103,7 +109,8 @@ object Bench {
     catch { case _: Throwable => () }
     // stop() is guarded: a shutdown exception must not eat the line
     try spark.stop() catch { case _: Throwable => () }
-    println(line)
+    println(fullLine)
+    println(totalLine)
     System.out.flush()
   }
 }

@@ -118,6 +118,7 @@ object SparkEntry {
     // composed ML × pipeline + incremental dedup + repeated substrings
     "pipe_ml_filter" -> (pipeMlFilter(_, _)),
     "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
+    "dedup_incremental_persisted" -> ((s, d) => Dedup.dedupIncrementalPersisted(s, d)),
     "pipe_repeated_ngrams" -> ((s, d) => TextAnalysis.pipeRepeatedNgrams(s, d)),
     "pipe_incremental_e2e" -> (TextAnalysis.pipeIncrementalE2e(_, _)),
   )
@@ -154,7 +155,7 @@ object SparkEntry {
     val modelPath = java.nio.file.Files.createTempDirectory("graft-mlfilter-model").toString
     val assembled = FeatureVectorizer.assemble(feats, spec)
     DecisionTree.trainAssembled(assembled, spec, modelPath, maxDepth = 6,
-      fitPartitions = fitParallelism(s))
+      fitPartitions = FitParallelism)
     val reloaded = DecisionTree.load(s, modelPath)
     import graft.CacheRegistry.Cacheable
     val scored = reloaded.setPredictionCol("score")
@@ -238,12 +239,16 @@ object SparkEntry {
        |  sum(CASE WHEN q AND NOT exact_dup AND NOT near_dup THEN 1 ELSE 0 END)::BIGINT AS n_ingest
        |FROM gated GROUP BY lang ORDER BY lang""".stripMargin
 
-  /** Fit-input fan-out for the invariant-checked ML queries: a
-    * fraction of the session's parallelism, enough to keep the
-    * per-level tree aggregates off a single task without paying 32
-    * tiny-task overheads on a 600k-row input. */
-  private def fitParallelism(s: SparkSession): Int =
-    math.max(8, s.sparkContext.defaultParallelism / 4)
+  /** Fit-input fan-out for the invariant-checked ML queries: enough
+    * to keep the per-level tree aggregates off a single task without
+    * paying 32 tiny-task overheads on a 600k-row input. A FIXED
+    * constant, not derived from defaultParallelism: repartitioning
+    * changes the learned tree (per DecisionTree.trainAssembled's doc),
+    * so a host-dependent value would make the appended predictions
+    * vary with core count. Pinning it keeps the scored column
+    * machine-independent while the exact-prediction flight spec keeps
+    * using the fitPartitions=0 default. */
+  private val FitParallelism: Int = 8
 
   /** Reference end-to-end: train decision-tree regression on lineitem
     * (label l_extendedprice), persist, reload, score, append the
@@ -271,7 +276,7 @@ object SparkEntry {
     // null-label drop itself), instead of vectorizing 60k rows twice.
     val assembled = FeatureVectorizer.assemble(li, spec)
     DecisionTree.trainAssembled(assembled, spec, modelPath, maxDepth = 6,
-      fitPartitions = fitParallelism(s))
+      fitPartitions = FitParallelism)
     val reloaded = DecisionTree.load(s, modelPath)
     // cached: the fit aggregate and the output projection both consume
     // the scored frame — without it assembly + tree transform run twice
@@ -467,6 +472,9 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "dedup_incremental" -> incrementalOracleSql(n = 9, numPerms = 32, rowsPerBand = 4, shardMod = 10),
+    // probes persisted corpus state; flags are identical by construction
+    "dedup_incremental_persisted" ->
+      incrementalOracleSql(n = 9, numPerms = 32, rowsPerBand = 4, shardMod = 10),
     "pipe_incremental_e2e" -> incrementalE2eOracleSql(n = 9, numPerms = 32, rowsPerBand = 4, shardMod = 10),
     // Partial contract: exact key set + the deterministic rule label;
     // has_score / agree_ok are Spark-computed invariants asserted TRUE.

@@ -278,13 +278,18 @@ case class MinhashSignature(left: Expression, right: Expression)
     val n = x.numElements()
     var i = 0
     while (i < n) {
-      var hm = x.getLong(i) % p
-      if (hm < 0) hm += p // pmod semantics for negative hash families
-      var k = 0
-      while (k < numPerms) {
-        val v = (hm * permA(k) + permB(k)) % p
-        if (v < out(k)) out(k) = v
-        k += 1
+      // Null slots are skipped, matching the explode+min aggregate
+      // formulation (min ignores nulls) — SQL-registered callers can
+      // pass containsNull arrays.
+      if (!x.isNullAt(i)) {
+        var hm = x.getLong(i) % p
+        if (hm < 0) hm += p // pmod semantics for negative hash families
+        var k = 0
+        while (k < numPerms) {
+          val v = (hm * permA(k) + permB(k)) % p
+          if (v < out(k)) out(k) = v
+          k += 1
+        }
       }
       i += 1
     }
@@ -304,6 +309,7 @@ case class MinhashSignature(left: Expression, right: Expression)
          |java.util.Arrays.fill($out, ${p}L);
          |int $n = $x.numElements();
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.isNullAt($i)) continue; // min ignores nulls
          |  long $hm = $x.getLong($i) % ${p}L;
          |  if ($hm < 0) $hm += ${p}L;
          |  for (int $k = 0; $k < $numPerms; $k++) {
@@ -379,20 +385,28 @@ object SimhashKernel {
   def compute(a: ArrayData): Long = {
     val n = a.numElements()
     val cnt = new Array[Int](64)
+    var voters = 0 // non-null tokens only — the aggregate twin's count()
     var i = 0
     while (i < n) {
-      val h = hash60(a.getUTF8String(i).getBytes)
-      var b = 0
-      while (b < 60) { // md5-60 hashes never set bits 60-63
-        if (((h >>> b) & 1L) == 1L) cnt(b) += 1
-        b += 1
+      // Null tokens are skipped (and excluded from the majority
+      // denominator), matching the explode path where md5(null) is
+      // null and conditional counts ignore it. SQL-registered callers
+      // can pass containsNull arrays.
+      if (!a.isNullAt(i)) {
+        val h = hash60(a.getUTF8String(i).getBytes)
+        var b = 0
+        while (b < 60) { // md5-60 hashes never set bits 60-63
+          if (((h >>> b) & 1L) == 1L) cnt(b) += 1
+          b += 1
+        }
+        voters += 1
       }
       i += 1
     }
     var sh = 0L
     var b = 0
     while (b < 64) {
-      if (cnt(b) * 2 > n) sh |= 1L << b
+      if (cnt(b) * 2 > voters) sh |= 1L << b
       b += 1
     }
     sh

@@ -51,9 +51,16 @@ object Sources {
     * choice for repeatedly-joined 100 TB fact tables.
     * BucketingSpec asserts the no-Exchange plan. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String, numBuckets: Int): Unit =
+    writeBucketed(df, table, Seq(bucketCol), numBuckets)
+
+  /** Multi-column variant: hash-bucketed AND sorted on the same key
+    * tuple, so downstream joins/aggregates clustered on those columns
+    * read the table with zero Exchange (the bucketed scan's
+    * HashPartitioning satisfies their distribution requirement). */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String], numBuckets: Int): Unit =
     df.write.mode("overwrite")
-      .bucketBy(numBuckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
 }

@@ -34,6 +34,31 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("persisted corpus probe: bucketed scan + broadcast semi-join + distinct, zero shuffle") {
+    import graft.operators.Dedup
+    val (bandsT, _) = Dedup.corpusStateTables(spark, Sf)
+    val shardKeys = spark.table(bandsT).select("band", "bh").limit(50).distinct()
+      .collect() // freeze a small key set so the probe plan is self-contained
+    val keysDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(shardKeys.toSeq, 1),
+      spark.table(bandsT).select("band", "bh").schema)
+    val probe = Dedup.probeCorpusKeys(spark, bandsT, keysDf, Seq("band", "bh"))
+    assert(probe.count() > 0)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), s"probe does not read the bucketed table:\n$plan")
+    assert(plan.contains("BroadcastExchange"), s"shard keys not broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"corpus probe shuffles — bucketing not satisfying the distinct:\n$plan")
+  }
+
+  test("dedup_incremental_persisted matches the recompute formulation row-for-row") {
+    import graft.operators.Dedup
+    val persisted = Dedup.dedupIncrementalPersisted(spark, Sf).collect()
+    val recomputed = Dedup.dedupIncremental(spark, Sf).collect()
+    assert(persisted.length == recomputed.length)
+    persisted.zip(recomputed).foreach { case (p, r) => assert(p == r, s"$p != $r") }
+  }
+
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     val base = java.nio.file.Files.createTempDirectory("graft-dpp").toString
     // fact partitioned on pkey (10 directories)

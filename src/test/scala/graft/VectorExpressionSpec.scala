@@ -58,6 +58,24 @@ class VectorExpressionSpec extends SparkSpec {
     instance(new org.apache.spark.sql.SparkSessionExtensions)
   }
 
+  test("minhash_signature and simhash64 skip null array slots (SQL-reachable inputs)") {
+    VectorFunctions.register(spark)
+    // min ignores nulls in the explode+aggregate twin, so a null slot
+    // must not perturb the signature — and must not NPE or hash as 0.
+    val mh = spark.sql(
+      "SELECT minhash_signature(array(7L, NULL, 42L), 4) AS withNull, " +
+        "minhash_signature(array(7L, 42L), 4) AS without").collect().head
+    assert(mh.getSeq[Long](0) == mh.getSeq[Long](1))
+    // A null token must not vote nor count in the majority denominator:
+    // counted, a lone real token is 1-of-2 (no majority → simhash 0);
+    // skipped, it is 1-of-1 and its bits carry through.
+    val sh = spark.sql(
+      "SELECT simhash64(array('alpha', NULL)) AS withNull, " +
+        "simhash64(array('alpha')) AS without").collect().head
+    assert(sh.getLong(0) == sh.getLong(1))
+    assert(sh.getLong(1) != 0L)
+  }
+
   test("cosine_similarity participates in whole-stage codegen over a real scan") {
     val df = Tables.embeddings(spark, Sf)
       .select(transform(col("embedding"), _.cast("double")).as("v"))
