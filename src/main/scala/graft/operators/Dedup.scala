@@ -276,7 +276,21 @@ object Dedup {
     val hashesT = s"graft_corpus_hashes_$key"
     val numBands = numPerms / rowsPerBand
     val corpus = Tables.documents(s, dir).filter(col("doc_id") % shardMod =!= 0)
-    if (!s.catalog.tableExists(bandsT))
+    // The in-memory catalog forgets tables across JVMs while the
+    // warehouse directory persists; saveAsTable refuses to create over
+    // an orphaned location, so drop the stale directory (purely
+    // derived state) before rebuilding.
+    def clearOrphanedLocation(table: String): Unit = {
+      val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+      val loc = java.nio.file.Paths.get(wh, table)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+    if (!s.catalog.tableExists(bandsT)) {
+      clearOrphanedLocation(bandsT)
       graft.sources.Sources.writeBucketed(
         corpus.select(col("doc_id"),
             graft.functions.VectorFunctions.minhash_signature(expr(shingleExprMd5(n)), numPerms)
@@ -288,10 +302,13 @@ object Dedup {
             }: _*)).as("b"))
           .select(col("doc_id"), col("b.band"), col("b.bh")),
         bandsT, Seq("band", "bh"), numBuckets)
-    if (!s.catalog.tableExists(hashesT))
+    }
+    if (!s.catalog.tableExists(hashesT)) {
+      clearOrphanedLocation(hashesT)
       graft.sources.Sources.writeBucketed(
         corpus.select(col("doc_id"), xxhash64(col("text")).as("h64"), md5(col("text")).as("h128")),
         hashesT, Seq("h64", "h128"), numBuckets)
+    }
     (bandsT, hashesT)
   }
 

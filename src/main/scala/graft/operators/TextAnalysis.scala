@@ -189,9 +189,16 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(expr("filter(split(lower(text), '\\\\s+'), t -> t != '')")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
-      .cacheTracked
-    val freqs = docTok.groupBy("t").agg(sum("c").as("tf"))
-    val total = docTok.agg(sum("c").as("total"))
+    // docTok is NOT cached: profiled (tools.ProfileLm, sf0.1) the
+    // string-keyed cache costs more than the two rebuilds it saves
+    // (1.31 s cached vs 1.03 s rebuilt). The corpus is scanned twice
+    // (freqs, join); the grand total derives from the vocab-sized
+    // freqs table instead of a third corpus pass. freqs IS cached —
+    // it is vocabulary-sized, feeds both the total and the join, and
+    // Spark broadcasts it while it fits (shuffle join beyond — no
+    // forced hint, so a 100 TB vocabulary can't OOM the driver).
+    val freqs = docTok.groupBy("t").agg(sum("c").as("tf")).cacheTracked
+    val total = freqs.agg(sum("tf").as("total"))
     docTok.join(freqs, "t").crossJoin(total)
       .groupBy("doc_id", "total")
       .agg(sum("c").as("n_tok"), sum(col("c") * log10(col("tf"))).as("slt"))
