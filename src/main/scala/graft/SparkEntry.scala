@@ -121,6 +121,7 @@ object SparkEntry {
     "dedup_incremental_persisted" -> ((s, d) => Dedup.dedupIncrementalPersisted(s, d)),
     "pipe_repeated_ngrams" -> ((s, d) => TextAnalysis.pipeRepeatedNgrams(s, d)),
     "pipe_incremental_e2e" -> (TextAnalysis.pipeIncrementalE2e(_, _)),
+    "stream_state_inspect" -> (streaming.EventStream.stateInspect(_, _)),
   )
 
   /** Model-based quality filter — the reference's one capability
@@ -476,6 +477,11 @@ object SparkEntry {
     "dedup_incremental_persisted" ->
       incrementalOracleSql(n = 9, numPerms = 32, rowsPerBand = 4, shardMod = 10),
     "pipe_incremental_e2e" -> incrementalE2eOracleSql(n = 9, numPerms = 32, rowsPerBand = 4, shardMod = 10),
+    // the state store of a one-batch windowed-agg checkpoint IS the
+    // full aggregate — same oracle shape as q13_events_window
+    "stream_state_inspect" ->
+      """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS cnt, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Partial contract: exact key set + the deterministic rule label;
     // has_score / agree_ok are Spark-computed invariants asserted TRUE.
     "pipe_ml_filter" ->

@@ -62,6 +62,43 @@ object EventStream {
       .select(col("doc_id"), coalesce(col("dup"), lit(false)).as("exact_dup"))
   }
 
+  /** Offline state-store inspection as a BATCH query (the ops surface
+    * for long-running streaming jobs, here with a real oracle): build
+    * a windowed-aggregation checkpoint from the events table — one
+    * micro-batch, so the watermark can drop nothing and the state is
+    * exactly the full per-(day, event_type) aggregate — then read the
+    * aggregation operator's store back with the `statestore` data
+    * source. The state row layout is Spark's aggregation buffer
+    * (`key.window/key.event_type`, `value.count/value.sum`), so the
+    * projected result is deterministically the q13 aggregate and
+    * shares its DuckDB oracle shape. The checkpoint builds once per
+    * (session, dir) and is re-read thereafter — the production shape,
+    * where inspection queries hit an EXISTING checkpoint. */
+  def stateInspect(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val ckpt = EventStream.stateCkpts.computeIfAbsent((s, dir), _ => {
+      val ckptDir = java.nio.file.Files.createTempDirectory("graft-state-inspect").toString
+      // The file streaming source requires a DIRECTORY; stage the
+      // (already ts-normalized) events table once per (session, dir).
+      val srcDir = java.nio.file.Files.createTempDirectory("graft-state-inspect-src").toString
+      graft.Tables.events(s, dir).write.mode("overwrite").parquet(srcDir)
+      val staged = s.read.parquet(srcDir)
+      val stream = s.readStream.schema(staged.schema).parquet(srcDir)
+      val q = windowedCounts(stream).writeStream.format("noop")
+        .option("checkpointLocation", ckptDir)
+        .outputMode("complete").start()
+      q.processAllAvailable()
+      q.stop()
+      ckptDir
+    })
+    s.read.format("statestore").option("path", ckpt).load()
+      .select(col("key.window.start").as("day"), col("key.event_type").as("event_type"),
+        col("value.count").as("cnt"), round(col("value.sum"), 2).as("total"))
+      .orderBy("day", "event_type")
+  }
+
+  private val stateCkpts =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   case class SessionState(startMs: Long, lastMs: Long, nEvents: Int)
   case class Session(user_id: Long, start_ms: Long, end_ms: Long, n_events: Int)
