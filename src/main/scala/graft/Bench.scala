@@ -47,6 +47,18 @@ object Bench {
     // regression.
     val confBaseline = spark.conf.getAll
     val confDrift = scala.collection.mutable.ArrayBuffer.empty[String]
+    // JVM bring-up preamble: one untimed pass over a representative
+    // mix (scan+agg, broadcast join, window, text explode, hash dedup)
+    // before ANY query is timed. The per-query warmup absorbs that
+    // query's codegen, but the first queries in a fresh JVM otherwise
+    // also pay C2 compilation of Spark's shared machinery — measured
+    // round 5: dedup_clusters (alphabetically first) cost 1.25 s
+    // first-in-JVM vs 0.54 s fully warmed, an artifact worth ~1 s of
+    // fake "regression" on whoever sorts first.
+    Seq("q1_agg", "q4_broadcast_join", "q7_window", "text_stats", "dedup_exact")
+      .filter(SparkEntry.queries.contains)
+      .foreach(run)
+    CacheRegistry.releaseAll(blocking = true)
     // warmup once, then min of two timed runs — single-run totals
     // swung ~25% from GC/JIT noise at this scale, min-of-2 tracks the
     // steady-state cost the round-over-round comparison needs.

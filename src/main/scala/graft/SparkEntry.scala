@@ -78,6 +78,7 @@ object SparkEntry {
     "q46_variant" -> (Relational.q46Variant(_, _)),
     "q47_unpivot" -> (Relational.q47Unpivot(_, _)),
     "q48_gapfill" -> (Relational.q48Gapfill(_, _)),
+    "q49_time_rolling" -> (Relational.q49TimeRolling(_, _)),
     "text_normalize" -> (TextAnalysis.textNormalize(_, _)),
     // §2.3 dedup
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
@@ -100,6 +101,7 @@ object SparkEntry {
     "pipe_quality_filter" -> ((s, d) => TextAnalysis.pipeQualityFilter(s, d)),
     "pipe_corpus_stats" -> (TextAnalysis.pipeCorpusStats(_, _)),
     "pipe_train_mix" -> ((s, d) => TextAnalysis.pipeTrainMix(s, d)),
+    "pipe_lang_sampling_weights" -> ((s, d) => TextAnalysis.pipeLangSamplingWeights(s, d)),
     "pipe_lm_score" -> (TextAnalysis.pipeLmScore(_, _)),
     "pipe_decontaminate" -> ((s, d) => TextAnalysis.pipeDecontaminate(s, d)),
     "text_top_bigrams" -> ((s, d) => TextAnalysis.textTopBigrams(s, d)),
@@ -779,6 +781,28 @@ object SparkEntry {
         |FROM toks JOIN freqs USING (t), tot
         |GROUP BY doc_id, total ORDER BY doc_id""".stripMargin,
     // Same md5-derived hash threshold as TextAnalysis.pipeTrainMix;
+    // Frame over floor-second epochs — the largest timestamp precision
+    // both engines agree on exactly (parquet is TIMESTAMP(NANOS);
+    // Spark truncates to micros on read). RANGE includes ties on both.
+    "q49_time_rolling" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS trail7d_events,
+        |  round(sum(value) OVER w, 2) AS trail7d_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+        |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    // q ∝ p^alpha temperature flattening; all scalar arithmetic
+    "pipe_lang_sampling_weights" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |t AS (SELECT sum(n_docs) AS n_total FROM c),
+        |f AS (SELECT lang, n_docs, n_docs / n_total AS p,
+        |             pow(n_docs / n_total, 0.3) AS p_alpha FROM c, t),
+        |z AS (SELECT sum(p_alpha) AS z FROM f)
+        |SELECT lang, n_docs, round(p, 6) AS p,
+        |  round(p_alpha / z, 6) AS q,
+        |  round(p_alpha / z / p, 6) AS weight
+        |FROM f, z ORDER BY lang""".stripMargin,
     // the rate table is inlined as VALUES.
     "pipe_train_mix" ->
       """WITH rates(lang, rate) AS (VALUES ('en', 0.25), ('de', 0.5), ('fr', 0.5)),

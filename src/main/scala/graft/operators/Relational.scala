@@ -783,6 +783,27 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Time-based trailing window (RANGE frame): per event, the
+    * user's event count and value total over the preceding 7 days —
+    * the rolling-feature shape (fraud velocity, engagement decay)
+    * that ROWS frames can't express because the lookback is a time
+    * span, not a row count. The frame is defined over FLOOR-SECOND
+    * epoch values on both engines (the parquet carries nanosecond
+    * timestamps; Spark truncates to micros on read, so whole seconds
+    * are the largest precision both engines agree on exactly), and
+    * RANGE includes order-value ties identically in both. One shuffle
+    * on user_id; the per-partition sort is spillable. */
+  def q49TimeRolling(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("tss"))
+      .rangeBetween(-7L * 86400, 0)
+    Tables.events(s, dir)
+      .withColumn("tss", col("ts").cast("long"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("trail7d_events"),
+        round(sum("value").over(w), 2).as("trail7d_value"))
+      .orderBy("event_id")
+  }
+
   /** Batch sessionization (gaps-and-islands): a new session starts
     * after a >30 min silence; one window pass marks boundaries, a
     * running sum numbers sessions, then a per-session aggregate.

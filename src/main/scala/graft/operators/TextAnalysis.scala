@@ -401,6 +401,32 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Temperature-based language resampling weights — the multilingual
+    * training-mix op (mT5/XLM-R style): raw language shares p_l are
+    * flattened to q_l ∝ p_l^alpha (alpha < 1 up-samples tail
+    * languages), and weight_l = q_l/p_l is the per-document sampling
+    * factor a weighted sampler applies. The whole computation is one
+    * tiny per-language aggregate plus scalar arithmetic — at 100 TB
+    * the aggregate is a partial-combined count per language (5 rows
+    * here, a few thousand in practice) and the weights broadcast back
+    * to whatever sampler consumes them. */
+  def pipeLangSamplingWeights(s: SparkSession, dir: String,
+                              alpha: Double = 0.3): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum("n_docs").as("n_total"))
+    val flat = counts.crossJoin(total)
+      .withColumn("p", col("n_docs") / col("n_total"))
+      .withColumn("p_alpha", pow(col("p"), alpha))
+    val z = flat.agg(sum("p_alpha").as("z"))
+    flat.crossJoin(z)
+      .select(col("lang"), col("n_docs"),
+        round(col("p"), 6).as("p"),
+        round(col("p_alpha") / col("z"), 6).as("q"),
+        round(col("p_alpha") / col("z") / col("p"), 6).as("weight"))
+      .orderBy("lang")
+  }
+
   /** Daily-ingest end-to-end report in ONE plan: the new shard
     * (doc_id % 10 == 0) runs the quality gate AND the incremental
     * dedup probes ([[Dedup.dedupIncremental]] — corpus never

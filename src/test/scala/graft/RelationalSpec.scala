@@ -104,6 +104,23 @@ class RelationalSpec extends SparkSpec {
     assert(agg.finish(b) == expected)
   }
 
+  test("q49_time_rolling matches a naive per-user scan on the trailing 7-day frame") {
+    val rows = operators.Relational.q49TimeRolling(spark, Sf).collect()
+    val events = Tables.events(spark, Sf)
+      .select("event_id", "user_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime / 1000, r.getDouble(3)))
+    val byUser = events.groupBy(_._2)
+    rows.foreach { r =>
+      val (id, uid) = (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"))
+      val me = events.find(_._1 == id).get
+      val frame = byUser(uid).filter(e => e._3 >= me._3 - 604800 && e._3 <= me._3)
+      assert(r.getAs[Long]("trail7d_events") == frame.length, s"event $id count")
+      assert(math.abs(r.getAs[Double]("trail7d_value") -
+        BigDecimal(frame.map(_._4).sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-6,
+        s"event $id sum")
+    }
+  }
+
   test("q28_sessionize: session count and totals match a naive per-user walk") {
     import org.apache.spark.sql.functions._
     val ev = Tables.events(spark, Sf)

@@ -113,6 +113,23 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pipe_lang_sampling_weights: q sums to 1, temperature flattens toward uniform") {
+    val rows = graft.operators.TextAnalysis.pipeLangSamplingWeights(spark, Sf).collect()
+    val ps = rows.map(_.getAs[Double]("p"))
+    val qs = rows.map(_.getAs[Double]("q"))
+    assert(math.abs(ps.sum - 1.0) < 1e-3)
+    assert(math.abs(qs.sum - 1.0) < 1e-3)
+    // alpha < 1 compresses the share spread: the flattened max/min
+    // ratio must be strictly inside the raw ratio, and per-language
+    // order is preserved
+    assert(qs.max / qs.min < ps.max / ps.min)
+    rows.foreach { r =>
+      val w = r.getAs[Double]("weight")
+      // weight = q/p exactly (within the stored rounding)
+      assert(math.abs(w - r.getAs[Double]("q") / r.getAs[Double]("p")) < 1e-2, r.toString)
+    }
+  }
+
   test("text_vocab_stats: hapax ≤ types ≤ tokens, ttr consistent") {
     TextAnalysis.textVocabStats(spark, Sf).collect().foreach { r =>
       val (tok, ty, hap) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"), r.getAs[Long]("n_hapax"))
