@@ -178,8 +178,9 @@ object SparkEntry {
 
   /** DuckDB replica of [[operators.Dedup.dedupIncremental]]: minhash
     * signatures over the identical md5-derived shingle hash and
-    * permutation family (constants inlined), banding joined on the raw
-    * band tuple (the Spark side xxhash64's it only to shrink the key),
+    * permutation family (constants inlined), banding joined on the RAW
+    * band tuple on BOTH sides (the Spark side joins the same raw
+    * minhash values since round 5 — no band-hash collision gap),
     * exact-dup on raw text equality (Spark: 192-bit compound hash). */
   /** Shared CTE body ending in `shard_flags(doc_id, exact_dup,
     * near_dup)` — the tail of both the dedup_incremental oracle and

@@ -214,27 +214,17 @@ object Dedup {
     * → new shard). */
   def dedupIncremental(s: SparkSession, dir: String, n: Int = 9, numPerms: Int = 32,
                        rowsPerBand: Int = 4, shardMod: Long = 10): DataFrame = {
-    val numBands = numPerms / rowsPerBand
     def isNew(c: Column): Column = c % shardMod === 0
     val docs = Tables.documents(s, dir)
-    val banded = docs
-      .select(col("doc_id"),
-        graft.functions.VectorFunctions.minhash_signature(expr(shingleExprMd5(n)), numPerms)
-          .as("sig"))
-      .select(col("doc_id"),
-        explode(array((0 until numBands).map { bIdx =>
-          struct(lit(bIdx).as("band"),
-            xxhash64(slice(col("sig"), bIdx * rowsPerBand + 1, rowsPerBand)).as("bh"))
-        }: _*)).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.bh"))
-      .cacheTracked
+    val banded = bandTuples(docs, n, numPerms, rowsPerBand).cacheTracked
+    val bandKeys = bandKeyCols(rowsPerBand)
     val newBands = banded.filter(isNew(col("doc_id")))
     // corpus scan → broadcast semi-join → only the colliding band keys
     // survive (small); the shard then flags itself against them.
-    val hotBands = banded.filter(!isNew(col("doc_id"))).select("band", "bh")
-      .join(broadcast(newBands.select("band", "bh").distinct()), Seq("band", "bh"), "left_semi")
+    val hotBands = banded.filter(!isNew(col("doc_id"))).select(bandKeys.map(col): _*)
+      .join(broadcast(newBands.select(bandKeys.map(col): _*).distinct()), bandKeys, "left_semi")
       .distinct()
-    val nearIds = newBands.join(hotBands, Seq("band", "bh"), "left_semi")
+    val nearIds = newBands.join(hotBands, bandKeys, "left_semi")
       .select("doc_id").distinct()
     val hashes = docs
       .select(col("doc_id"), xxhash64(col("text")).as("h64"), md5(col("text")).as("h128"))
@@ -254,9 +244,40 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The incremental family's band key columns: band index + the RAW
+    * rowsPerBand minhash values as scalar columns (m0..m{r-1}) — NOT
+    * an xxhash64 of the slice. Joining on the raw tuple makes the
+    * engine's collision semantics exactly the DuckDB oracle's
+    * raw-band-tuple join (a 64-bit band-hash collision can no longer
+    * produce a Spark-only near_dup flag), and scalar long columns
+    * bucket/broadcast as well as a hash would. 8 + 32 bytes per key
+    * vs 8 + 8 hashed — irrelevant against the corpus it avoids
+    * shuffling. */
+  private[graft] def bandKeyCols(rowsPerBand: Int): Seq[String] =
+    "band" +: (0 until rowsPerBand).map(j => s"m$j")
+
+  /** (doc_id, band, m0..m{r-1}) rows: one explode of the map-side
+    * minhash signature into its raw band tuples. */
+  private[operators] def bandTuples(docs: DataFrame, n: Int, numPerms: Int,
+                                    rowsPerBand: Int): DataFrame = {
+    val numBands = numPerms / rowsPerBand
+    docs
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.minhash_signature(expr(shingleExprMd5(n)), numPerms)
+          .as("sig"))
+      .select(col("doc_id"),
+        explode(array((0 until numBands).map { bIdx =>
+          struct(lit(bIdx).as("band") +:
+            (0 until rowsPerBand).map(j =>
+              col("sig")(bIdx * rowsPerBand + j).as(s"m$j")): _*)
+        }: _*)).as("b"))
+      .select(col("doc_id") +: bandKeyCols(rowsPerBand).map(k => col(s"b.$k")): _*)
+  }
+
   /** Builds (once per distinct parameterization) the PERSISTED corpus
     * dedup state that [[dedupIncrementalPersisted]] probes: two
-    * bucketed+sorted parquet tables, band signatures keyed (band, bh)
+    * bucketed+sorted parquet tables, band signatures keyed by the raw
+    * band tuple (band, m0..m3)
     * and text hashes keyed (h64, h128). This is the production shape
     * the plain [[dedupIncremental]] docstring promises — the corpus's
     * signatures are computed ONCE when a document enters the corpus,
@@ -271,10 +292,9 @@ object Dedup {
                         rowsPerBand: Int = 4, shardMod: Long = 10,
                         numBuckets: Int = 8): (String, String) = {
     val key = (scala.util.hashing.MurmurHash3.stringHash(
-      s"$dir|$n|$numPerms|$rowsPerBand|$shardMod|$numBuckets") & 0x7fffffff).toHexString
+      s"$dir|$n|$numPerms|$rowsPerBand|$shardMod|$numBuckets|v2") & 0x7fffffff).toHexString
     val bandsT = s"graft_corpus_bands_$key"
     val hashesT = s"graft_corpus_hashes_$key"
-    val numBands = numPerms / rowsPerBand
     val corpus = Tables.documents(s, dir).filter(col("doc_id") % shardMod =!= 0)
     // The in-memory catalog forgets tables across JVMs while the
     // warehouse directory persists; saveAsTable refuses to create over
@@ -292,16 +312,8 @@ object Dedup {
     if (!s.catalog.tableExists(bandsT)) {
       clearOrphanedLocation(bandsT)
       graft.sources.Sources.writeBucketed(
-        corpus.select(col("doc_id"),
-            graft.functions.VectorFunctions.minhash_signature(expr(shingleExprMd5(n)), numPerms)
-              .as("sig"))
-          .select(col("doc_id"),
-            explode(array((0 until numBands).map { bIdx =>
-              struct(lit(bIdx).as("band"),
-                xxhash64(slice(col("sig"), bIdx * rowsPerBand + 1, rowsPerBand)).as("bh"))
-            }: _*)).as("b"))
-          .select(col("doc_id"), col("b.band"), col("b.bh")),
-        bandsT, Seq("band", "bh"), numBuckets)
+        bandTuples(corpus, n, numPerms, rowsPerBand),
+        bandsT, bandKeyCols(rowsPerBand), numBuckets)
     }
     if (!s.catalog.tableExists(hashesT)) {
       clearOrphanedLocation(hashesT)
@@ -335,25 +347,15 @@ object Dedup {
   def dedupIncrementalPersisted(s: SparkSession, dir: String, n: Int = 9, numPerms: Int = 32,
                                 rowsPerBand: Int = 4, shardMod: Long = 10): DataFrame = {
     val (bandsT, hashesT) = corpusStateTables(s, dir, n, numPerms, rowsPerBand, shardMod)
-    val numBands = numPerms / rowsPerBand
     def isNew(c: Column): Column = c % shardMod === 0
     val docs = Tables.documents(s, dir)
     val shard = docs.filter(isNew(col("doc_id")))
+    val bandKeys = bandKeyCols(rowsPerBand)
     // cached: feeds both the broadcast key set and the flag probe
-    val newBands = shard
-      .select(col("doc_id"),
-        graft.functions.VectorFunctions.minhash_signature(expr(shingleExprMd5(n)), numPerms)
-          .as("sig"))
-      .select(col("doc_id"),
-        explode(array((0 until numBands).map { bIdx =>
-          struct(lit(bIdx).as("band"),
-            xxhash64(slice(col("sig"), bIdx * rowsPerBand + 1, rowsPerBand)).as("bh"))
-        }: _*)).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.bh"))
-      .cacheTracked
+    val newBands = bandTuples(shard, n, numPerms, rowsPerBand).cacheTracked
     val hotBands = probeCorpusKeys(s, bandsT,
-      newBands.select("band", "bh").distinct(), Seq("band", "bh"))
-    val nearIds = newBands.join(hotBands, Seq("band", "bh"), "left_semi")
+      newBands.select(bandKeys.map(col): _*).distinct(), bandKeys)
+    val nearIds = newBands.join(hotBands, bandKeys, "left_semi")
       .select("doc_id").distinct()
     val newHashes = shard
       .select(col("doc_id"), xxhash64(col("text")).as("h64"), md5(col("text")).as("h128"))

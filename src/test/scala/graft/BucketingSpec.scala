@@ -37,12 +37,14 @@ class BucketingSpec extends SparkSpec {
   test("persisted corpus probe: bucketed scan + broadcast semi-join + distinct, zero shuffle") {
     import graft.operators.Dedup
     val (bandsT, _) = Dedup.corpusStateTables(spark, Sf)
-    val shardKeys = spark.table(bandsT).select("band", "bh").limit(50).distinct()
+    val bandKeys = Dedup.bandKeyCols(4)
+    val keyCols = bandKeys.map(org.apache.spark.sql.functions.col)
+    val shardKeys = spark.table(bandsT).select(keyCols: _*).limit(50).distinct()
       .collect() // freeze a small key set so the probe plan is self-contained
     val keysDf = spark.createDataFrame(
       spark.sparkContext.parallelize(shardKeys.toSeq, 1),
-      spark.table(bandsT).select("band", "bh").schema)
-    val probe = Dedup.probeCorpusKeys(spark, bandsT, keysDf, Seq("band", "bh"))
+      spark.table(bandsT).select(keyCols: _*).schema)
+    val probe = Dedup.probeCorpusKeys(spark, bandsT, keysDf, bandKeys)
     assert(probe.count() > 0)
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.contains("Bucketed: true"), s"probe does not read the bucketed table:\n$plan")
