@@ -324,6 +324,32 @@ object Dedup {
     (bandsT, hashesT)
   }
 
+  /** The write half of the daily-ingest loop: append an accepted
+    * shard's band tuples and text hashes INTO the persisted corpus
+    * state, so tomorrow's [[dedupIncrementalPersisted]] probes see
+    * today's documents. Appends go through the same bucketed
+    * saveAsTable spec, so new files land in the same bucket layout
+    * and the probe side keeps its zero-Exchange plan; at 100 TB this
+    * is an O(shard) write, never a corpus rewrite. (Periodic
+    * compaction of small per-append files is an ops concern the
+    * bucket layout already supports — rewrite one bucket at a time.) */
+  def appendShardToCorpus(s: SparkSession, dir: String, shardDocIds: DataFrame,
+                          n: Int = 9, numPerms: Int = 32, rowsPerBand: Int = 4,
+                          shardMod: Long = 10, numBuckets: Int = 8): Unit = {
+    val (bandsT, hashesT) = corpusStateTables(s, dir, n, numPerms, rowsPerBand, shardMod, numBuckets)
+    val docs = Tables.documents(s, dir).join(shardDocIds, Seq("doc_id"), "left_semi")
+    bandTuples(docs, n, numPerms, rowsPerBand)
+      .write.format("parquet")
+      .bucketBy(numBuckets, "band", bandKeyCols(rowsPerBand).tail: _*)
+      .sortBy("band", bandKeyCols(rowsPerBand).tail: _*)
+      .mode("append").saveAsTable(bandsT)
+    docs.select(col("doc_id"), xxhash64(col("text")).as("h64"), md5(col("text")).as("h128"))
+      .write.format("parquet")
+      .bucketBy(numBuckets, "h64", "h128")
+      .sortBy("h64", "h128")
+      .mode("append").saveAsTable(hashesT)
+  }
+
   /** The map-only corpus probe: scan a bucketed key table, keep only
     * keys colliding with the (broadcast) shard key set, dedup the
     * survivors. Plan shape asserted in BucketingSpec: one bucketed

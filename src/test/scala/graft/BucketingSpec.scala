@@ -53,6 +53,26 @@ class BucketingSpec extends SparkSpec {
       s"corpus probe shuffles — bucketing not satisfying the distinct:\n$plan")
   }
 
+  test("appendShardToCorpus closes the ingest loop: re-probed shard is all flagged dup") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    // distinct params from other tests → a private pair of state tables
+    val shardMod = 7L
+    val before = Dedup.dedupIncrementalPersisted(spark, Sf, shardMod = shardMod).collect()
+    assert(before.nonEmpty)
+    val shardIds = Tables.documents(spark, Sf)
+      .filter(col("doc_id") % shardMod === 0).select("doc_id")
+    Dedup.appendShardToCorpus(spark, Sf, shardIds, shardMod = shardMod)
+    // after ingesting the shard into the corpus state, every shard doc
+    // collides with itself: exact_dup and near_dup all true
+    val after = Dedup.dedupIncrementalPersisted(spark, Sf, shardMod = shardMod).collect()
+    assert(after.length == before.length)
+    after.foreach { r =>
+      assert(r.getAs[Boolean]("exact_dup"), s"doc ${r.get(0)} not exact after append")
+      assert(r.getAs[Boolean]("near_dup"), s"doc ${r.get(0)} not near after append")
+    }
+  }
+
   test("dedup_incremental_persisted matches the recompute formulation row-for-row") {
     import graft.operators.Dedup
     val persisted = Dedup.dedupIncrementalPersisted(spark, Sf).collect()
