@@ -102,6 +102,7 @@ object SparkEntry {
     "pipe_corpus_stats" -> (TextAnalysis.pipeCorpusStats(_, _)),
     "pipe_train_mix" -> ((s, d) => TextAnalysis.pipeTrainMix(s, d)),
     "pipe_lang_sampling_weights" -> ((s, d) => TextAnalysis.pipeLangSamplingWeights(s, d)),
+    "pipe_pack_sequences" -> ((s, d) => TextAnalysis.pipePackSequences(s, d)),
     "pipe_lm_score" -> (TextAnalysis.pipeLmScore(_, _)),
     "pipe_decontaminate" -> ((s, d) => TextAnalysis.pipeDecontaminate(s, d)),
     "text_top_bigrams" -> ((s, d) => TextAnalysis.textTopBigrams(s, d)),
@@ -793,6 +794,22 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
         |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    // contiguous packing: bin = floor(start_offset / seqLen) within a
+    // per-shard doc_id-ordered running token sum
+    "pipe_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tok,
+        |         doc_id % 8 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT shard, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT shard, ((cum - n_tok) // 2048)::BIGINT AS bin,
+        |  count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+        |  round(sum(n_tok) / 2048.0, 4) AS fill
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q ∝ p^alpha temperature flattening; all scalar arithmetic
     "pipe_lang_sampling_weights" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.CacheRegistry.Cacheable
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines
@@ -425,6 +426,34 @@ object TextAnalysis {
         round(col("p_alpha") / col("z"), 6).as("q"),
         round(col("p_alpha") / col("z") / col("p"), 6).as("weight"))
       .orderBy("lang")
+  }
+
+  /** Deterministic contiguous sequence packing — the pretraining
+    * batch-prep op: documents stream in doc_id order into fixed
+    * `seqLen`-token bins, a document opening at token offset `cum -
+    * n_tok` landing in bin `floor(offset / seqLen)` (boundary
+    * documents overflow their bin; fill can exceed 1.0 — the
+    * streaming-pack formulation, not bin-perfect knapsack). Packing
+    * is PER SHARD (`pmod(doc_id, nShards)`) so the running-sum window
+    * parallelizes — a single global cumsum would serialize the corpus
+    * through one partition, the classic window scale-killer; at
+    * 100 TB, nShards scales with the cluster and each shard's
+    * cumulative sum is an independent spillable sort. Output is the
+    * per-bin manifest (doc count, token count, fill ratio) a packing
+    * writer would consume. */
+  def pipePackSequences(s: SparkSession, dir: String, seqLen: Int = 2048,
+                        nShards: Int = 8): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), nWords(col("text")).as("n_tok"),
+        pmod(col("doc_id"), lit(nShards.toLong)).as("shard"))
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tok")) / seqLen))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / lit(seqLen.toDouble), 4).as("fill"))
+      .orderBy("shard", "bin")
   }
 
   /** Daily-ingest end-to-end report in ONE plan: the new shard

@@ -130,6 +130,31 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pipe_pack_sequences: bins contiguous per shard, token totals conserved, fill sane") {
+    val rows = graft.operators.TextAnalysis.pipePackSequences(spark, Sf).collect()
+    val totalPacked = rows.map(_.getAs[Long]("n_tokens")).sum
+    val totalDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val docs = Tables.documents(spark, Sf).count()
+    assert(totalDocs == docs, "every document lands in exactly one bin")
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, grp) =>
+      val bins = grp.map(_.getAs[Long]("bin")).sorted
+      // contiguous from 0: a bin only opens when the running sum
+      // reaches it, so no gaps are possible
+      assert(bins.head == 0L && bins.zipWithIndex.forall { case (b, i) => b == i },
+        s"shard $shard bins not contiguous: ${bins.mkString(",")}")
+    }
+    // every bin except possibly a shard's last must reach the 2048
+    // boundary (its closing doc crosses it): fill >= 1 there
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, grp) =>
+      val lastBin = grp.map(_.getAs[Long]("bin")).max
+      grp.filter(_.getAs[Long]("bin") != lastBin).foreach { r =>
+        assert(r.getAs[Double]("fill") >= 1.0,
+          s"shard $shard bin ${r.get(1)} closed under-full: $r")
+      }
+    }
+    assert(totalPacked > 0)
+  }
+
   test("text_vocab_stats: hapax ≤ types ≤ tokens, ttr consistent") {
     TextAnalysis.textVocabStats(spark, Sf).collect().foreach { r =>
       val (tok, ty, hap) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_types"), r.getAs[Long]("n_hapax"))
