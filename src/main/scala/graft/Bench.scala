@@ -45,8 +45,6 @@ object Bench {
     // after it. Snapshot once, diff after each query, and surface any
     // drift in the metric JSON instead of letting it masquerade as a
     // regression.
-    val confBaseline = spark.conf.getAll
-    val confDrift = scala.collection.mutable.ArrayBuffer.empty[String]
     // JVM bring-up preamble: one untimed pass over a representative
     // mix (scan+agg, broadcast join, window, text explode, hash dedup)
     // before ANY query is timed. The per-query warmup absorbs that
@@ -59,6 +57,10 @@ object Bench {
       .filter(SparkEntry.queries.contains)
       .foreach(run)
     CacheRegistry.releaseAll(blocking = true)
+    // Snapshot AFTER the preamble: a conf flipped by a preamble query
+    // must not be misattributed to the first timed query.
+    val confBaseline = spark.conf.getAll
+    val confDrift = scala.collection.mutable.ArrayBuffer.empty[String]
     // warmup once, then min of two timed runs — single-run totals
     // swung ~25% from GC/JIT noise at this scale, min-of-2 tracks the
     // steady-state cost the round-over-round comparison needs.

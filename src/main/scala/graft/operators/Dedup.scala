@@ -305,8 +305,10 @@ object Dedup {
       val loc = java.nio.file.Paths.get(wh, table)
       if (java.nio.file.Files.exists(loc)) {
         import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        val walk = java.nio.file.Files.walk(loc)
+        try walk.iterator().asScala.toSeq.reverse
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
       }
     }
     if (!s.catalog.tableExists(bandsT)) {
@@ -332,22 +334,28 @@ object Dedup {
     * and the probe side keeps its zero-Exchange plan; at 100 TB this
     * is an O(shard) write, never a corpus rewrite. (Periodic
     * compaction of small per-append files is an ops concern the
-    * bucket layout already supports — rewrite one bucket at a time.) */
+    * bucket layout already supports — rewrite one bucket at a time.)
+    *
+    * Durability caveat: appends live as long as the CATALOG's bucket
+    * metadata. On a durable metastore (Hive/Glue — the production
+    * deployment) they are permanent; this environment's in-memory
+    * catalog forgets bucket specs at JVM exit, after which
+    * [[corpusStateTables]] must rebuild state from scratch (bucketed
+    * parquet files without their catalog entry cannot be re-attached,
+    * so the orphaned directory is cleared, appended shards included).
+    * In-session semantics — append, then every later probe sees the
+    * shard — are what the loop-closure spec pins. */
   def appendShardToCorpus(s: SparkSession, dir: String, shardDocIds: DataFrame,
                           n: Int = 9, numPerms: Int = 32, rowsPerBand: Int = 4,
                           shardMod: Long = 10, numBuckets: Int = 8): Unit = {
     val (bandsT, hashesT) = corpusStateTables(s, dir, n, numPerms, rowsPerBand, shardMod, numBuckets)
     val docs = Tables.documents(s, dir).join(shardDocIds, Seq("doc_id"), "left_semi")
-    bandTuples(docs, n, numPerms, rowsPerBand)
-      .write.format("parquet")
-      .bucketBy(numBuckets, "band", bandKeyCols(rowsPerBand).tail: _*)
-      .sortBy("band", bandKeyCols(rowsPerBand).tail: _*)
-      .mode("append").saveAsTable(bandsT)
-    docs.select(col("doc_id"), xxhash64(col("text")).as("h64"), md5(col("text")).as("h128"))
-      .write.format("parquet")
-      .bucketBy(numBuckets, "h64", "h128")
-      .sortBy("h64", "h128")
-      .mode("append").saveAsTable(hashesT)
+    graft.sources.Sources.writeBucketed(
+      bandTuples(docs, n, numPerms, rowsPerBand),
+      bandsT, bandKeyCols(rowsPerBand), numBuckets, mode = "append")
+    graft.sources.Sources.writeBucketed(
+      docs.select(col("doc_id"), xxhash64(col("text")).as("h64"), md5(col("text")).as("h128")),
+      hashesT, Seq("h64", "h128"), numBuckets, mode = "append")
   }
 
   /** The map-only corpus probe: scan a bucketed key table, keep only

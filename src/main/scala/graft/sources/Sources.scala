@@ -56,9 +56,12 @@ object Sources {
   /** Multi-column variant: hash-bucketed AND sorted on the same key
     * tuple, so downstream joins/aggregates clustered on those columns
     * read the table with zero Exchange (the bucketed scan's
-    * HashPartitioning satisfies their distribution requirement). */
-  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String], numBuckets: Int): Unit =
-    df.write.mode("overwrite")
+    * HashPartitioning satisfies their distribution requirement).
+    * `mode` "append" adds files in the same bucket layout (the
+    * incremental-ingest write path); "overwrite" replaces the table. */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String], numBuckets: Int,
+                    mode: String = "overwrite"): Unit =
+    df.write.mode(mode)
       .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")

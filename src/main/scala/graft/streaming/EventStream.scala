@@ -75,7 +75,11 @@ object EventStream {
     * (session, dir) and is re-read thereafter — the production shape,
     * where inspection queries hit an EXISTING checkpoint. */
   def stateInspect(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val ckpt = EventStream.stateCkpts.computeIfAbsent((s, dir), _ => {
+    // keyed by session identity hash, not the session itself — a
+    // strong session reference here would pin stopped sessions (and
+    // their temp dirs) for the JVM lifetime
+    val ckpt = EventStream.stateCkpts.computeIfAbsent(
+      s"${System.identityHashCode(s)}|$dir", _ => {
       val ckptDir = java.nio.file.Files.createTempDirectory("graft-state-inspect").toString
       // The file streaming source requires a DIRECTORY; stage the
       // (already ts-normalized) events table once per (session, dir).
@@ -97,7 +101,7 @@ object EventStream {
   }
 
   private val stateCkpts =
-    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), String]()
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   case class SessionState(startMs: Long, lastMs: Long, nEvents: Int)

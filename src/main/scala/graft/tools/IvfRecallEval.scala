@@ -28,6 +28,7 @@ object IvfRecallEval {
     dirs.foreach { dir =>
       val exact = Similarity.simBruteforceTopK(spark, dir).collect()
         .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+      require(exact.nonEmpty, s"brute-force top-k returned no rows for $dir — bad input dir?")
       val ivf = Similarity.simIvfAnn(spark, dir, nprobe = 8).collect()
         .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
       val lsh = Similarity.simLshAnn(spark, dir).collect()

@@ -136,20 +136,30 @@ class TextMultimodalSpec extends SparkSpec {
     val totalDocs = rows.map(_.getAs[Long]("n_docs")).sum
     val docs = Tables.documents(spark, Sf).count()
     assert(totalDocs == docs, "every document lands in exactly one bin")
-    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, grp) =>
-      val bins = grp.map(_.getAs[Long]("bin")).sorted
-      // contiguous from 0: a bin only opens when the running sum
-      // reaches it, so no gaps are possible
-      assert(bins.head == 0L && bins.zipWithIndex.forall { case (b, i) => b == i },
-        s"shard $shard bins not contiguous: ${bins.mkString(",")}")
-    }
-    // every bin except possibly a shard's last must reach the 2048
-    // boundary (its closing doc crosses it): fill >= 1 there
-    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, grp) =>
-      val lastBin = grp.map(_.getAs[Long]("bin")).max
-      grp.filter(_.getAs[Long]("bin") != lastBin).foreach { r =>
-        assert(r.getAs[Double]("fill") >= 1.0,
-          s"shard $shard bin ${r.get(1)} closed under-full: $r")
+    // Contiguity and closed-bin fullness hold only while no single
+    // document exceeds seqLen (an oversized doc skips bins and leaves
+    // its successor under-full) — true of this corpus; guard so the
+    // spec degrades to the conservation checks, not a false failure,
+    // if the data generator ever emits longer documents.
+    import org.apache.spark.sql.functions.{col, max, regexp_count, lit}
+    val maxTok = Tables.documents(spark, Sf)
+      .agg(max(regexp_count(col("text"), lit("\\S+")))).collect()(0).getInt(0)
+    if (maxTok <= 2048) {
+      rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, grp) =>
+        val bins = grp.map(_.getAs[Long]("bin")).sorted
+        // contiguous from 0: a bin only opens when the running sum
+        // reaches it, so no gaps are possible
+        assert(bins.head == 0L && bins.zipWithIndex.forall { case (b, i) => b == i },
+          s"shard $shard bins not contiguous: ${bins.mkString(",")}")
+      }
+      // every bin except possibly a shard's last must reach the 2048
+      // boundary (its closing doc crosses it): fill >= 1 there
+      rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, grp) =>
+        val lastBin = grp.map(_.getAs[Long]("bin")).max
+        grp.filter(_.getAs[Long]("bin") != lastBin).foreach { r =>
+          assert(r.getAs[Double]("fill") >= 1.0,
+            s"shard $shard bin ${r.get(1)} closed under-full: $r")
+        }
       }
     }
     assert(totalPacked > 0)
