@@ -124,6 +124,7 @@ object SparkEntry {
     "dedup_incremental_persisted" -> ((s, d) => Dedup.dedupIncrementalPersisted(s, d)),
     "pipe_repeated_ngrams" -> ((s, d) => TextAnalysis.pipeRepeatedNgrams(s, d)),
     "pipe_incremental_e2e" -> (TextAnalysis.pipeIncrementalE2e(_, _)),
+    "pipe_incremental_e2e_persisted" -> (TextAnalysis.pipeIncrementalE2ePersisted(_, _)),
     "stream_state_inspect" -> (streaming.EventStream.stateInspect(_, _)),
   )
 
@@ -481,6 +482,9 @@ object SparkEntry {
     "dedup_incremental_persisted" ->
       incrementalOracleSql(n = 9, numPerms = 32, rowsPerBand = 4, shardMod = 10),
     "pipe_incremental_e2e" -> incrementalE2eOracleSql(n = 9, numPerms = 32, rowsPerBand = 4, shardMod = 10),
+    // persisted-probe composition: flags identical by construction
+    "pipe_incremental_e2e_persisted" ->
+      incrementalE2eOracleSql(n = 9, numPerms = 32, rowsPerBand = 4, shardMod = 10),
     // the state store of a one-batch windowed-agg checkpoint IS the
     // full aggregate — same oracle shape as q13_events_window
     "stream_state_inspect" ->

@@ -465,8 +465,19 @@ object TextAnalysis {
     * Every input is deterministic (rule label + band collisions), so
     * unlike `pipe_ml_filter` this composition is fully
     * oracle-checked, not a partial contract. */
-  def pipeIncrementalE2e(s: SparkSession, dir: String): DataFrame = {
-    val inc = Dedup.dedupIncremental(s, dir)
+  def pipeIncrementalE2e(s: SparkSession, dir: String): DataFrame =
+    incrementalReport(s, dir, Dedup.dedupIncremental(s, dir))
+
+  /** The same daily-ingest report over the PERSISTED corpus state —
+    * the plan a production scheduler actually runs: probe the stored
+    * bucketed signature tables ([[operators.Dedup.dedupIncrementalPersisted]]),
+    * gate, roll up. Flags are identical to the recompute composition
+    * by construction, so this shares pipe_incremental_e2e's oracle
+    * verbatim. */
+  def pipeIncrementalE2ePersisted(s: SparkSession, dir: String): DataFrame =
+    incrementalReport(s, dir, Dedup.dedupIncrementalPersisted(s, dir))
+
+  private def incrementalReport(s: SparkSession, dir: String, inc: DataFrame): DataFrame = {
     val gated = qualityFeatures(
         Tables.documents(s, dir).filter(col("doc_id") % 10 === 0))
       .withColumn("q", col("words") >= 30 && col("alpha_ratio") >= 0.6)
