@@ -103,6 +103,7 @@ object SparkEntry {
     "pipe_train_mix" -> ((s, d) => TextAnalysis.pipeTrainMix(s, d)),
     "pipe_lang_sampling_weights" -> ((s, d) => TextAnalysis.pipeLangSamplingWeights(s, d)),
     "pipe_pack_sequences" -> ((s, d) => TextAnalysis.pipePackSequences(s, d)),
+    "pipe_corpus_shuffle" -> ((s, d) => TextAnalysis.pipeCorpusShuffle(s, d)),
     "pipe_lm_score" -> (TextAnalysis.pipeLmScore(_, _)),
     "pipe_decontaminate" -> ((s, d) => TextAnalysis.pipeDecontaminate(s, d)),
     "text_top_bigrams" -> ((s, d) => TextAnalysis.textTopBigrams(s, d)),
@@ -814,6 +815,21 @@ object SparkEntry {
         |  count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
         |  round(sum(n_tok) / 2048.0, 4) AS fill
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // hash-random shard + within-shard md5-key order; the checksum is
+    // order-sensitive so the oracle verifies the permutation itself
+    "pipe_corpus_shuffle" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tok,
+        |         md5(doc_id || ':42') AS skey,
+        |         ('0x' || substring(md5(doc_id || ':42'), 1, 15))::BIGINT % 8 AS shard
+        |  FROM documents),
+        |p AS (
+        |  SELECT shard, doc_id, n_tok,
+        |         row_number() OVER (PARTITION BY shard ORDER BY skey, doc_id) AS pos
+        |  FROM keyed)
+        |SELECT shard, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+        |  sum(pos * (doc_id % 1000003))::BIGINT AS perm_checksum
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
     // q ∝ p^alpha temperature flattening; all scalar arithmetic
     "pipe_lang_sampling_weights" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),

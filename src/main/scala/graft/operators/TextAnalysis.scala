@@ -456,6 +456,43 @@ object TextAnalysis {
       .orderBy("shard", "bin")
   }
 
+  /** Deterministic corpus shuffle — the pretraining-order op that
+    * feeds the packer: every document draws a reproducible
+    * pseudo-random key `md5(doc_id ":" seed)`, lands in a
+    * hash-random shard (top 60 bits of the key, map-only — no
+    * shuffle to ASSIGN shards), and takes its position within the
+    * shard from the key order. A trainer reading shards round-robin
+    * by position sees the full corpus in shuffled order without any
+    * engine ever running a GLOBAL sort: each shard's ordering is an
+    * independent spillable per-partition sort
+    * (`Window.partitionBy(shard)`), and `nShards` scales with the
+    * cluster — the same serialize-through-one-partition trap
+    * [[pipePackSequences]] documents is avoided the same way.
+    *
+    * Output is the per-shard manifest (doc/token counts) plus an
+    * order-sensitive permutation checksum `sum(pos * (doc_id mod
+    * 1000003))` — any transposition of two documents changes it, so
+    * the DuckDB oracle verifies the actual permutation, not just the
+    * shard sizes. */
+  def pipeCorpusShuffle(s: SparkSession, dir: String, nShards: Int = 8,
+                        seed: Int = 42): DataFrame = {
+    val keyed = Tables.documents(s, dir)
+      .select(col("doc_id"), nWords(col("text")).as("n_tok"),
+        md5(concat_ws(":", col("doc_id"), lit(seed))).as("skey"))
+      // 15 hex chars = 60 bits: positive in a long in both engines
+      .withColumn("shard",
+        pmod(conv(substring(col("skey"), 1, 15), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+    val w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    keyed
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum(col("pos") * pmod(col("doc_id"), lit(1000003L)))
+          .as("perm_checksum"))
+      .orderBy("shard")
+  }
+
   /** Daily-ingest end-to-end report in ONE plan: the new shard
     * (doc_id % 10 == 0) runs the quality gate AND the incremental
     * dedup probes ([[Dedup.dedupIncremental]] — corpus never

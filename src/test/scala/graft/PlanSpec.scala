@@ -51,6 +51,17 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).length <= 1, s"unexpected shuffles:\n$plan")
   }
 
+  test("pipe_corpus_shuffle aggregates on the window's partitioning (one hash shuffle total)") {
+    val plan = planOf(TextAnalysis.pipeCorpusShuffle(spark, Sf))
+    // one hashpartitioning(shard) Exchange feeds BOTH the per-shard
+    // window sort and the manifest aggregate; the only other exchange
+    // is the 8-row output rangepartitioning
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      s"manifest aggregate re-shuffled what the window already partitioned:\n$plan")
+    assert("Exchange rangepartitioning".r.findAllIn(plan).length <= 1,
+      s"extra range shuffles:\n$plan")
+  }
+
   test("q26_asof_join plans as one union-window pass, not a range join") {
     val df = Relational.q26AsofJoin(spark, Sf)
     df.collect()

@@ -130,6 +130,39 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pipe_corpus_shuffle: deterministic, conserving, and genuinely permuting") {
+    val rows = TextAnalysis.pipeCorpusShuffle(spark, Sf).collect()
+    val again = TextAnalysis.pipeCorpusShuffle(spark, Sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)),
+      "manifest must be bit-identical across runs")
+    val docs = Tables.documents(spark, Sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs,
+      "every document lands in exactly one shard")
+    // hash-random sharding: all shards populated and roughly balanced
+    assert(rows.length == 8, s"expected 8 shards, got ${rows.length}")
+    val sizes = rows.map(_.getAs[Long]("n_docs"))
+    assert(sizes.max < 3 * sizes.min,
+      s"shard sizes implausibly skewed for a hash split: ${sizes.mkString(",")}")
+    // the order-sensitive checksum differs from the doc_id-ordered
+    // one: the md5 key really permutes within shards
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val keyed = Tables.documents(spark, Sf)
+      .select(col("doc_id"),
+        md5(concat_ws(":", col("doc_id"), lit(42))).as("skey"))
+      .withColumn("shard",
+        pmod(conv(substring(col("skey"), 1, 15), 16, 10).cast("long"), lit(8L)))
+    val idOrdered = keyed
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("shard").orderBy("doc_id")).cast("long"))
+      .groupBy("shard")
+      .agg(sum(col("pos") * pmod(col("doc_id"), lit(1000003L))).as("cs"))
+      .collect().map(r => r.getAs[Long]("shard") -> r.getAs[Long]("cs")).toMap
+    val permuted = rows.map(r => r.getAs[Long]("shard") -> r.getAs[Long]("perm_checksum")).toMap
+    assert(permuted != idOrdered,
+      "shuffled order must not equal doc_id order")
+  }
+
   test("pipe_pack_sequences: bins contiguous per shard, token totals conserved, fill sane") {
     val rows = graft.operators.TextAnalysis.pipePackSequences(spark, Sf).collect()
     val totalPacked = rows.map(_.getAs[Long]("n_tokens")).sum
