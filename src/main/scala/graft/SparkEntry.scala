@@ -104,6 +104,7 @@ object SparkEntry {
     "pipe_lang_sampling_weights" -> ((s, d) => TextAnalysis.pipeLangSamplingWeights(s, d)),
     "pipe_pack_sequences" -> ((s, d) => TextAnalysis.pipePackSequences(s, d)),
     "pipe_corpus_shuffle" -> ((s, d) => TextAnalysis.pipeCorpusShuffle(s, d)),
+    "pipe_shuffle_pack" -> ((s, d) => TextAnalysis.pipeShufflePack(s, d)),
     "pipe_lm_score" -> (TextAnalysis.pipeLmScore(_, _)),
     "pipe_decontaminate" -> ((s, d) => TextAnalysis.pipeDecontaminate(s, d)),
     "text_top_bigrams" -> ((s, d) => TextAnalysis.textTopBigrams(s, d)),
@@ -830,6 +831,23 @@ object SparkEntry {
         |SELECT shard, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
         |  sum(pos * (doc_id % 1000003))::BIGINT AS perm_checksum
         |FROM p GROUP BY shard ORDER BY shard""".stripMargin,
+    // shuffle-then-pack: the pack_sequences bin walk in md5-key order
+    // within hash-random shards
+    "pipe_shuffle_pack" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tok,
+        |         md5(doc_id || ':42') AS skey,
+        |         ('0x' || substring(md5(doc_id || ':42'), 1, 15))::BIGINT % 8 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT shard, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY shard ORDER BY skey, doc_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM keyed)
+        |SELECT shard, ((cum - n_tok) // 2048)::BIGINT AS bin,
+        |  count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+        |  round(sum(n_tok) / 2048.0, 4) AS fill
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // q ∝ p^alpha temperature flattening; all scalar arithmetic
     "pipe_lang_sampling_weights" ->
       """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),

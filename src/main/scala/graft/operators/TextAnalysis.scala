@@ -474,23 +474,50 @@ object TextAnalysis {
     * 1000003))` — any transposition of two documents changes it, so
     * the DuckDB oracle verifies the actual permutation, not just the
     * shard sizes. */
-  def pipeCorpusShuffle(s: SparkSession, dir: String, nShards: Int = 8,
-                        seed: Int = 42): DataFrame = {
-    val keyed = Tables.documents(s, dir)
+  /** (doc_id, n_tok, skey, shard) with the md5 shuffle key and its
+    * hash-random shard — the shared prefix of the shuffled-order
+    * family. 15 hex chars = 60 bits: positive in a long in both
+    * engines. */
+  private def shuffleKeyed(s: SparkSession, dir: String, nShards: Int,
+                           seed: Int): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"), nWords(col("text")).as("n_tok"),
         md5(concat_ws(":", col("doc_id"), lit(seed))).as("skey"))
-      // 15 hex chars = 60 bits: positive in a long in both engines
       .withColumn("shard",
         pmod(conv(substring(col("skey"), 1, 15), 16, 10).cast("long"),
           lit(nShards.toLong)))
+
+  def pipeCorpusShuffle(s: SparkSession, dir: String, nShards: Int = 8,
+                        seed: Int = 42): DataFrame = {
     val w = Window.partitionBy("shard").orderBy("skey", "doc_id")
-    keyed
+    shuffleKeyed(s, dir, nShards, seed)
       .withColumn("pos", row_number().over(w).cast("long"))
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
         sum(col("pos") * pmod(col("doc_id"), lit(1000003L)))
           .as("perm_checksum"))
       .orderBy("shard")
+  }
+
+  /** Shuffle-then-pack — the closed batch-prep loop: documents take
+    * their [[pipeCorpusShuffle]] pseudo-random order and stream into
+    * fixed `seqLen`-token bins exactly as [[pipePackSequences]] does
+    * in doc_id order. This is the manifest a pretraining data loader
+    * actually consumes: bins of shuffled documents, one independent
+    * spillable sort per hash-random shard, no global sort anywhere.
+    * Same streaming-pack semantics (boundary documents overflow
+    * their bin; fill can exceed 1.0). */
+  def pipeShufflePack(s: SparkSession, dir: String, seqLen: Int = 2048,
+                      nShards: Int = 8, seed: Int = 42): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("skey", "doc_id")
+    shuffleKeyed(s, dir, nShards, seed)
+      .withColumn("cum", sum("n_tok").over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tok")) / seqLen))
+      .groupBy("shard", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / lit(seqLen.toDouble), 4).as("fill"))
+      .orderBy("shard", "bin")
   }
 
   /** Daily-ingest end-to-end report in ONE plan: the new shard

@@ -163,6 +163,24 @@ class TextMultimodalSpec extends SparkSpec {
       "shuffled order must not equal doc_id order")
   }
 
+  test("pipe_shuffle_pack: conserving, contiguous bins, and a different packing than doc_id order") {
+    val rows = TextAnalysis.pipeShufflePack(spark, Sf).collect()
+    val docs = Tables.documents(spark, Sf).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs,
+      "every document lands in exactly one bin")
+    rows.groupBy(_.getAs[Long]("shard")).foreach { case (shard, grp) =>
+      val bins = grp.map(_.getAs[Long]("bin")).sorted
+      assert(bins.head == 0L && bins.zipWithIndex.forall { case (b, i) => b == i },
+        s"shard $shard bins not contiguous: ${bins.mkString(",")}")
+    }
+    // the shuffled walk must yield a different (shard, bin) manifest
+    // than the doc_id-ordered packer — same conservation laws, new
+    // order (shard derivation also differs: hash-random vs pmod)
+    val idOrdered = TextAnalysis.pipePackSequences(spark, Sf).collect()
+    assert(rows.map(_.toString).toSet != idOrdered.map(_.toString).toSet,
+      "shuffled packing should not reproduce doc_id-order packing")
+  }
+
   test("pipe_pack_sequences: bins contiguous per shard, token totals conserved, fill sane") {
     val rows = graft.operators.TextAnalysis.pipePackSequences(spark, Sf).collect()
     val totalPacked = rows.map(_.getAs[Long]("n_tokens")).sum
