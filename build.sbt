@@ -34,6 +34,20 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Pre-commit and pre-touch the baseline heap: with the default lazy
+// -Xms, heap growth (commit + page faults) lands inside whichever
+// queries allocate hardest first — the r5 driver-harness bench showed
+// a median per-query ratio of 1.01 vs a local same-HEAD run but 4x+
+// outliers concentrated in exactly the alloc-heavy queries, the
+// signature of first-touch stalls under host memory pressure, not of
+// plan regressions. Pre-touching moves that cost to JVM startup
+// (untimed). Capped at 8g so a huge SPARK_DRIVER_MEM doesn't spend
+// minutes pre-touching pages the run never needs.
+val graftDriverMem = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+val graftXms = "^([0-9]+)[gG]$".r.findFirstMatchIn(graftDriverMem) match {
+  case Some(m) if m.group(1).toInt >= 8 => "8g"
+  case _ => graftDriverMem
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
@@ -41,5 +55,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // window-start rendering go through user.timezone, not the session
   // conf — on a non-UTC host they would shift cross-day groupings.
   "-Duser.timezone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx$graftDriverMem",
+  s"-Xms$graftXms",
+  "-XX:+AlwaysPreTouch",
 )

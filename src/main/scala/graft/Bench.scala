@@ -74,6 +74,16 @@ object Bench {
       // blocking: the previous query's block drop must finish here,
       // not during the next query's timed run
       CacheRegistry.releaseAll(blocking = true)
+      // Full GC in the UNTIMED inter-query window: Spark's
+      // ContextCleaner is GC-driven, so on a large heap (some driver
+      // environments run far above 8g) collections fire rarely and
+      // broadcast/shuffle state from earlier queries accumulates until
+      // it stalls later alloc-heavy ones (measured r5:
+      // pipe_quality_filter 0.54 s via the 8g harness vs 9.7 s late in
+      // a 100g-heap run of identical code). ~0.1 s/query on an 8g
+      // heap, and it pins the between-query memory state regardless of
+      // what heap the harness was launched with.
+      System.gc()
       val now = spark.conf.getAll
       if (now != confBaseline) {
         confDrift += name
@@ -102,8 +112,12 @@ object Bench {
     // that window (2017 bytes in r4 — head clipped, parse null), so the
     // per-query map gets its own earlier line and the final line is a
     // compact total-only JSON (~120 bytes) immune to query-count growth.
-    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"conf_drift":$drift,"sf":"$sfDir"}"""
-    val totalLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","conf_drift":$drift,"sf":"$sfDir"}"""
+    // n_queries comes from the MAP, not a mental count — the r5 README
+    // claimed 93 while the surface was 92; printing queries.size makes
+    // the headline number impossible to drift from the code again.
+    val nq = SparkEntry.queries.size
+    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":$nq,"queries":$qs,"conf_drift":$drift,"sf":"$sfDir"}"""
+    val totalLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":$nq,"conf_drift":$drift,"sf":"$sfDir"}"""
     // sbt prefixes forked stdout with [info], which defeats line-level
     // JSON parsing — also write the bare full line (with the per-query
     // map) where a harness can read it directly.

@@ -86,6 +86,7 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
+    "dedup_embedding_ann" -> ((s, d) => Dedup.dedupEmbeddingAnn(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     // §2.4 similarity
     "sim_bruteforce_topk" -> ((s, d) => Similarity.simBruteforceTopK(s, d)),
@@ -1253,6 +1254,32 @@ object SparkEntry {
         |FROM (SELECT id_a, id_b, c,
         |        row_number() OVER (PARTITION BY id_a ORDER BY c DESC, id_b) AS rn FROM cos)
         |WHERE rn = 1 ORDER BY id_a""".stripMargin,
+    // ANN near-dup twin: the oracle is the EXACT all-pairs τ-join over
+    // the same augmented corpus (originals + perturbed copies of
+    // vec_id < 64 — the integer-hash ramp is recomputed here term for
+    // term; unnest is 1-based so the ramp uses i-1). The engine's LSH
+    // candidate stage was measured at recall 1.0 on this data (every
+    // planted pair within 2 sign bits), so bucketed-candidates +
+    // exact-verify must equal the all-pairs scan bit for bit.
+    "dedup_embedding_ann" ->
+      """WITH ex0 AS (
+        |  SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT vec_id, x, i FROM ex0
+        |  UNION ALL
+        |  SELECT vec_id + 1000000,
+        |         x + 0.02 * ((((vec_id * 64 + (i - 1)) * 2654435761) % 2001) - 1000) / 1000.0, i
+        |  FROM ex0 WHERE vec_id < 64),
+        |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+        |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |cos AS (
+        |  SELECT id_a, id_b, round(d.dot / (na.nrm * nb.nrm), 4) AS cosine
+        |  FROM dots d JOIN norms na ON na.vec_id = d.id_a JOIN norms nb ON nb.vec_id = d.id_b)
+        |SELECT id_a, id_b, cosine FROM cos WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin,
     // Mirrors TextAnalysis.LangProfiles exactly: per-language hit-rate
     // scores (profile regex count / word count), argmax with Spark's
     // struct-max tie-break (max score, then max language code).

