@@ -241,12 +241,17 @@ object NgramHashes {
   * (property-spec'd). Replacing `explode + numPerms min-aggregates`
   * with this expression removes the signature-construction SHUFFLE
   * entirely: at 100 TB signatures become part of the document scan
-  * instead of a corpus-wide groupBy(doc_id). Empty arrays (which the
-  * shingle expressions never produce) yield the modulus as an
-  * out-of-range sentinel rather than dropping the row the way the
-  * explode path did. */
+  * instead of a corpus-wide groupBy(doc_id). Empty and all-null
+  * arrays (which the shingle expressions never produce, but SQL
+  * callers can) yield NULL — matching the explode+min twin, whose
+  * aggregate has no surviving row for such a document; a sentinel
+  * signature here would be a SQL-reachable divergence between the
+  * two formulations. */
 case class MinhashSignature(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  // NULL on empty/all-null input even when both children are non-null
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -276,12 +281,14 @@ case class MinhashSignature(left: Expression, right: Expression)
     val p = MinhashSignature.P
     val out = Array.fill(numPerms)(p)
     val n = x.numElements()
+    var voters = 0
     var i = 0
     while (i < n) {
       // Null slots are skipped, matching the explode+min aggregate
       // formulation (min ignores nulls) — SQL-registered callers can
       // pass containsNull arrays.
       if (!x.isNullAt(i)) {
+        voters += 1
         var hm = x.getLong(i) % p
         if (hm < 0) hm += p // pmod semantics for negative hash families
         var k = 0
@@ -293,7 +300,8 @@ case class MinhashSignature(left: Expression, right: Expression)
       }
       i += 1
     }
-    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    if (voters == 0) null
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -303,13 +311,16 @@ case class MinhashSignature(left: Expression, right: Expression)
       val out = ctx.freshName("out"); val i = ctx.freshName("i")
       val k = ctx.freshName("k"); val hm = ctx.freshName("hm")
       val v = ctx.freshName("v"); val n = ctx.freshName("n")
+      val voters = ctx.freshName("voters")
       val p = MinhashSignature.P
       s"""
          |long[] $out = new long[$numPerms];
          |java.util.Arrays.fill($out, ${p}L);
          |int $n = $x.numElements();
+         |int $voters = 0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($x.isNullAt($i)) continue; // min ignores nulls
+         |  $voters++;
          |  long $hm = $x.getLong($i) % ${p}L;
          |  if ($hm < 0) $hm += ${p}L;
          |  for (int $k = 0; $k < $numPerms; $k++) {
@@ -317,7 +328,11 @@ case class MinhashSignature(left: Expression, right: Expression)
          |    if ($v < $out[$k]) $out[$k] = $v;
          |  }
          |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |if ($voters == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
        """.stripMargin
     })
   }

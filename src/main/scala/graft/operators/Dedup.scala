@@ -286,13 +286,18 @@ object Dedup {
     * zero Exchange (the bucketed scan's HashPartitioning already
     * satisfies the aggregate's clustering requirement) — at 100 TB
     * the daily run touches the corpus as a map-only scan and nothing
-    * about the corpus ever shuffles. Idempotent: keyed by a hash of
-    * (dir, params); rebuilt only if the table is absent. */
+    * about the corpus ever shuffles. Idempotent: rebuilt only if the
+    * table is absent. Table names spell out every parameter (plus a
+    * short dir hash against slug-sanitization collisions): two
+    * distinct parameterizations can never alias to the same state
+    * table, so a stale table can never silently answer for the wrong
+    * params — a 31-bit name hash alone left that failure mode open. */
   def corpusStateTables(s: SparkSession, dir: String, n: Int = 9, numPerms: Int = 32,
                         rowsPerBand: Int = 4, shardMod: Long = 10,
                         numBuckets: Int = 8): (String, String) = {
-    val key = (scala.util.hashing.MurmurHash3.stringHash(
-      s"$dir|$n|$numPerms|$rowsPerBand|$shardMod|$numBuckets|v2") & 0x7fffffff).toHexString
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    val dirTag = (scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff).toHexString
+    val key = s"${slug}_${dirTag}_n${n}_p${numPerms}_r${rowsPerBand}_s${shardMod}_b${numBuckets}_v3"
     val bandsT = s"graft_corpus_bands_$key"
     val hashesT = s"graft_corpus_hashes_$key"
     val corpus = Tables.documents(s, dir).filter(col("doc_id") % shardMod =!= 0)
@@ -349,13 +354,39 @@ object Dedup {
                           n: Int = 9, numPerms: Int = 32, rowsPerBand: Int = 4,
                           shardMod: Long = 10, numBuckets: Int = 8): Unit = {
     val (bandsT, hashesT) = corpusStateTables(s, dir, n, numPerms, rowsPerBand, shardMod, numBuckets)
-    val docs = Tables.documents(s, dir).join(shardDocIds, Seq("doc_id"), "left_semi")
+    // Idempotent under ingest retries: a doc_id already present in the
+    // state tables is skipped, so re-running a failed/duplicated daily
+    // append cannot grow the state. The membership check is one
+    // column-pruned map-only scan of the hashes table against the
+    // broadcast shard ids — the same O(corpus-scan, shard-sized
+    // output) class as the probe itself, nothing shuffles.
+    val already = s.table(hashesT).select("doc_id")
+      .join(broadcast(shardDocIds.select("doc_id")), Seq("doc_id"), "left_semi")
+      .distinct()
+    val docs = Tables.documents(s, dir)
+      .join(shardDocIds, Seq("doc_id"), "left_semi")
+      .join(broadcast(already), Seq("doc_id"), "left_anti")
     graft.sources.Sources.writeBucketed(
       bandTuples(docs, n, numPerms, rowsPerBand),
       bandsT, bandKeyCols(rowsPerBand), numBuckets, mode = "append")
     graft.sources.Sources.writeBucketed(
       docs.select(col("doc_id"), xxhash64(col("text")).as("h64"), md5(col("text")).as("h128")),
       hashesT, Seq("h64", "h128"), numBuckets, mode = "append")
+  }
+
+  /** Compact both persisted corpus state tables for one
+    * parameterization — the deferred ops path for daily-append file
+    * accumulation: each table is rewritten through
+    * [[graft.sources.Sources.compactBucketed]] (bucketed scan →
+    * identically-bucketed write, zero Exchange, one output file per
+    * bucket) and swapped in under the same name, so probe plans and
+    * flags are unchanged (BucketingSpec asserts both). */
+  def compactCorpusState(s: SparkSession, dir: String, n: Int = 9, numPerms: Int = 32,
+                         rowsPerBand: Int = 4, shardMod: Long = 10,
+                         numBuckets: Int = 8): Unit = {
+    val (bandsT, hashesT) = corpusStateTables(s, dir, n, numPerms, rowsPerBand, shardMod, numBuckets)
+    graft.sources.Sources.compactBucketed(s, bandsT, bandKeyCols(rowsPerBand), numBuckets)
+    graft.sources.Sources.compactBucketed(s, hashesT, Seq("h64", "h128"), numBuckets)
   }
 
   /** The map-only corpus probe: scan a bucketed key table, keep only

@@ -66,4 +66,58 @@ object Sources {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Delete a managed-table directory left behind by a previous JVM:
+    * the in-memory catalog forgot the table but saveAsTable refuses to
+    * create over the orphaned location. Purely-derived state only. */
+  private def clearOrphanedLocation(s: SparkSession, table: String): Unit = {
+    val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = java.nio.file.Paths.get(wh, table.toLowerCase)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(loc)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
+  /** Compact a bucketed table's accumulated append files. Every append
+    * lays down one file per (writing task × bucket), so a
+    * daily-ingest table accretes small files until scan planning and
+    * footer reads dominate. The rewrite reads the table through its
+    * bucketed scan — whose HashPartitioning already satisfies the
+    * identically-bucketed write's distribution requirement, so the
+    * pass is ZERO-Exchange: each task drains exactly one bucket's
+    * accumulated files into one sorted output file (numBuckets files
+    * total, asserted in BucketingSpec), a per-bucket map-side file
+    * merge that never materializes the table anywhere. The fresh
+    * table then swaps in under the original name via the catalog
+    * rename, preserving the bucket spec — probe plans stay
+    * zero-Exchange and results are byte-identical (both spec'd).
+    * Peak extra storage is one copy of the table being compacted;
+    * compact per-table (the corpus state pair is two independent
+    * tables) to halve that bound. */
+  def compactBucketed(s: SparkSession, table: String, bucketCols: Seq[String],
+                      numBuckets: Int): Unit = {
+    val tmp = s"${table}_compacting"
+    s.sql(s"DROP TABLE IF EXISTS $tmp")
+    clearOrphanedLocation(s, tmp)
+    // A write does not REQUIRE hash distribution (FileFormatWriter keys
+    // output files by bucket id), so the planner's auto-bucketed-scan
+    // heuristic would drop the bucket-aligned read and the one-file-
+    // per-bucket guarantee with it — each task would emit one file per
+    // bucket it happens to hold. Pin the bucketed scan for the rewrite:
+    // one task per bucket, one sorted output file per bucket.
+    val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val saved = s.conf.getOption(k)
+    s.conf.set(k, "false")
+    try writeBucketed(s.table(table), tmp, bucketCols, numBuckets)
+    finally saved match {
+      case Some(v) => s.conf.set(k, v)
+      case None => s.conf.unset(k)
+    }
+    s.sql(s"DROP TABLE $table")
+    s.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
 }

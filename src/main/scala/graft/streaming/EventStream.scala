@@ -74,16 +74,26 @@ object EventStream {
     * shares its DuckDB oracle shape. The checkpoint builds once per
     * (session, dir) and is re-read thereafter — the production shape,
     * where inspection queries hit an EXISTING checkpoint. */
-  def stateInspect(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    // keyed by session identity hash, not the session itself — a
-    // strong session reference here would pin stopped sessions (and
-    // their temp dirs) for the JVM lifetime
-    val ckpt = EventStream.stateCkpts.computeIfAbsent(
-      s"${System.identityHashCode(s)}|$dir", _ => {
-      val ckptDir = java.nio.file.Files.createTempDirectory("graft-state-inspect").toString
+  def stateInspect(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    inspectCheckpoint(s, buildStateCheckpoint(s, dir))
+
+  /** Setup half: build — once per (session, dir) — the windowed-
+    * aggregation checkpoint that [[inspectCheckpoint]] reads, and
+    * return its path. Separated from the inspection so a caller (and
+    * the bench, via its untimed per-query warmup) can pay the
+    * checkpoint build outside the operation being measured — the
+    * operator is the statestore READ of an existing checkpoint. */
+  def buildStateCheckpoint(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    // Keyed by a monotone per-session id held in a WeakHashMap — not
+    // the session object (a strong key would pin stopped sessions for
+    // the JVM lifetime) and not identityHashCode (which the JVM can
+    // reuse after a stopped session is GC'd, aliasing a new session
+    // onto a stale checkpoint).
+    EventStream.stateCkpts.computeIfAbsent(s"${EventStream.sessionId(s)}|$dir", _ => {
+      val ckptDir = EventStream.tempDirCleanedOnExit("graft-state-inspect")
       // The file streaming source requires a DIRECTORY; stage the
       // (already ts-normalized) events table once per (session, dir).
-      val srcDir = java.nio.file.Files.createTempDirectory("graft-state-inspect-src").toString
+      val srcDir = EventStream.tempDirCleanedOnExit("graft-state-inspect-src")
       graft.Tables.events(s, dir).write.mode("overwrite").parquet(srcDir)
       val staged = s.read.parquet(srcDir)
       val stream = s.readStream.schema(staged.schema).parquet(srcDir)
@@ -94,14 +104,45 @@ object EventStream {
       q.stop()
       ckptDir
     })
+
+  /** Inspection half — the operator: project an EXISTING windowed-agg
+    * checkpoint's aggregation store through the `statestore` source. */
+  def inspectCheckpoint(s: org.apache.spark.sql.SparkSession, ckpt: String): DataFrame =
     s.read.format("statestore").option("path", ckpt).load()
       .select(col("key.window.start").as("day"), col("key.event_type").as("event_type"),
         col("value.count").as("cnt"), round(col("value.sum"), 2).as("total"))
       .orderBy("day", "event_type")
-  }
 
   private val stateCkpts =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val sessionIdMap = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Long]())
+  private val sessionIdNext = new java.util.concurrent.atomic.AtomicLong()
+  private def sessionId(s: org.apache.spark.sql.SparkSession): Long =
+    sessionIdMap.computeIfAbsent(s, _ => sessionIdNext.incrementAndGet())
+
+  /** Temp dirs are derived state; one shutdown hook sweeps whatever
+    * accumulated over the JVM's life (a long-lived JVM inspecting many
+    * (session, dir) pairs would otherwise leak staged parquet +
+    * checkpoints). */
+  private val tempDirs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private lazy val cleanupHook: Unit = Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    tempDirs.forEach { d =>
+      try {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      } catch { case _: Throwable => () }
+    }))
+  private def tempDirCleanedOnExit(prefix: String): String = {
+    cleanupHook
+    val d = java.nio.file.Files.createTempDirectory(prefix).toString
+    tempDirs.add(d)
+    d
+  }
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
   case class SessionState(startMs: Long, lastMs: Long, nEvents: Int)

@@ -73,6 +73,70 @@ class BucketingSpec extends SparkSpec {
     }
   }
 
+  test("compaction: merges append files per bucket, zero-Exchange rewrite, flags and probe plan unchanged") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    import scala.jdk.CollectionConverters._
+    val shardMod = 11L // params private to this test → private state tables
+    def parquetFiles(t: String): Int = {
+      val wh = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath
+      val d = java.nio.file.Paths.get(wh, t.toLowerCase)
+      val ls = java.nio.file.Files.list(d)
+      try ls.iterator().asScala.count(_.toString.endsWith(".parquet")) finally ls.close()
+    }
+    val shardIds = Tables.documents(spark, Sf)
+      .filter(col("doc_id") % shardMod === 0).select("doc_id")
+    Dedup.dedupIncrementalPersisted(spark, Sf, shardMod = shardMod).collect() // builds state
+    Dedup.appendShardToCorpus(spark, Sf, shardIds, shardMod = shardMod)
+    val (bandsT, hashesT) = Dedup.corpusStateTables(spark, Sf, shardMod = shardMod)
+    val filesAfterAppend = parquetFiles(bandsT)
+    assert(filesAfterAppend > 8, s"append should add bucket files, saw $filesAfterAppend")
+    val flagsBefore = Dedup.dedupIncrementalPersisted(spark, Sf, shardMod = shardMod).collect().toSeq
+    // capture the rewrite's executed plan: the bucketed scan must feed
+    // the identically-bucketed write with no Exchange in between
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(event: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+        event match {
+          case e: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+            plans.add(e.physicalPlanDescription)
+          case _ => ()
+        }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Dedup.compactCorpusState(spark, Sf, shardMod = shardMod)
+      // listener delivery is async; the two table rewrites are the
+      // only WriteFiles plans in the window
+      val deadline = System.nanoTime + 15L * 1000 * 1000 * 1000
+      def rewrites = plans.asScala.filter(_.contains("WriteFiles")).toSeq
+      while (rewrites.size < 2 && System.nanoTime < deadline) Thread.sleep(100)
+      assert(rewrites.size >= 2, "rewrite plans not captured")
+      rewrites.foreach { p =>
+        assert(p.contains("Bucketed: true"), s"rewrite read is not bucket-aligned:\n$p")
+        assert(!p.contains("Exchange"), s"compaction rewrite shuffles:\n$p")
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // one file per bucket afterwards; results byte-identical
+    assert(parquetFiles(bandsT) == 8, s"bands not compacted: ${parquetFiles(bandsT)} files")
+    assert(parquetFiles(hashesT) == 8, s"hashes not compacted: ${parquetFiles(hashesT)} files")
+    val flagsAfter = Dedup.dedupIncrementalPersisted(spark, Sf, shardMod = shardMod).collect().toSeq
+    assert(flagsAfter == flagsBefore)
+    // probe plan over the compacted table: still bucketed, still no shuffle
+    val bandKeys = Dedup.bandKeyCols(4)
+    val keysDf = spark.table(bandsT)
+      .select(bandKeys.map(org.apache.spark.sql.functions.col): _*).limit(20).distinct()
+    val plan = Dedup.probeCorpusKeys(spark, bandsT, keysDf, bandKeys)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true") && !plan.contains("Exchange hashpartitioning"),
+      s"probe plan degraded after compaction:\n$plan")
+    // retried ingest is a no-op: same shard appended again adds no files
+    Dedup.appendShardToCorpus(spark, Sf, shardIds, shardMod = shardMod)
+    assert(parquetFiles(bandsT) == 8 && parquetFiles(hashesT) == 8,
+      "retried append grew the state tables — membership anti-join failed")
+    assert(Dedup.dedupIncrementalPersisted(spark, Sf, shardMod = shardMod).collect().toSeq == flagsAfter)
+  }
+
   test("dedup_incremental_persisted matches the recompute formulation row-for-row") {
     import graft.operators.Dedup
     val persisted = Dedup.dedupIncrementalPersisted(spark, Sf).collect()

@@ -74,6 +74,12 @@ class VectorExpressionSpec extends SparkSpec {
         "simhash64(array('alpha')) AS without").collect().head
     assert(sh.getLong(0) == sh.getLong(1))
     assert(sh.getLong(1) != 0L)
+    // No voters at all → NULL, matching the explode+min twin (whose
+    // aggregate has no surviving row), not a sentinel signature.
+    val empty = spark.sql(
+      "SELECT minhash_signature(CAST(array() AS ARRAY<BIGINT>), 4) AS e, " +
+        "minhash_signature(array(CAST(NULL AS BIGINT)), 4) AS allNull").collect().head
+    assert(empty.isNullAt(0) && empty.isNullAt(1))
   }
 
   test("cosine_similarity participates in whole-stage codegen over a real scan") {
