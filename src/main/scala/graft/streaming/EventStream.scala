@@ -227,4 +227,39 @@ object EventStream {
     events.groupByKey(_.user_id)
       .transformWithState(new UserStatsProcessor, TimeMode.None(), OutputMode.Update)
   }
+
+  /** Exactly-once file sink: `foreachBatch` + idempotent
+    * overwrite-by-batch-id. Structured Streaming's offset/commit logs
+    * give at-least-once delivery into `foreachBatch` — after a crash
+    * between the write and the commit-log append, the SAME `batchId`
+    * is replayed with the SAME data. Writing each micro-batch into its
+    * own `batch_id=<id>` partition with DYNAMIC partition overwrite
+    * makes the replay a no-op rewrite of that one partition: no
+    * duplicates, no loss, and committed partitions from other batches
+    * are untouched. This is the standard production pattern for
+    * ending a streaming ingest in a file/table sink (the same shape a
+    * MERGE-keyed upsert takes on a transactional table).
+    *
+    * At 100 TB scale the write stays partition-parallel (overwrite
+    * resolves per-partition, not whole-table) and the only serial step
+    * is the metadata swap of one batch directory.
+    *
+    * @param afterWrite test seam invoked AFTER the batch write lands
+    *   but BEFORE the commit log records it — throwing here simulates
+    *   the crash window that makes at-least-once visible.
+    */
+  def exactlyOnceSink(df: DataFrame, outDir: String, checkpoint: String,
+                      afterWrite: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write
+          .mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+        afterWrite(batchId)
+      }
+      .start()
 }
