@@ -117,6 +117,7 @@ object SparkEntry {
     // §2.7 multimodal
     "mm_meta" -> (Multimodal.mmMeta(_, _)),
     "mm_decode" -> (Multimodal.mmDecodeChecked(_, _)),
+    "mm_decode_real" -> (Multimodal.mmDecodeReal(_, _)),
     "mm_frame_sample" -> ((s, d) => Multimodal.mmFrameSampleChecked(s, d)),
     // §2.1 reference ML surface
     "ml_train_predict" -> (mlTrainPredict(_, _)),
@@ -1088,6 +1089,39 @@ object SparkEntry {
         + (0 until 16).map(j => s"h.f$j").mkString(", ")
         + """
         |FROM documents d JOIN h USING (doc_id) ORDER BY d.doc_id""".stripMargin),
+    // the PNG rows' expected decode output in closed form (the payload
+    // pixels are a deterministic function of doc_id — see
+    // Multimodal.pngBytes); the raw rows mirror the stub byte-sum
+    "mm_decode_real" ->
+      """WITH png AS (
+        |  SELECT doc_id, 4 + doc_id % 8 AS w, 4 + doc_id % 5 AS h
+        |  FROM documents WHERE doc_id % 5 = 0
+        |),
+        |grid AS (
+        |  SELECT p.doc_id, p.w, p.h, a.x, b.y
+        |  FROM png p
+        |  CROSS JOIN range(0, 12) a(x) CROSS JOIN range(0, 9) b(y)
+        |  WHERE a.x < p.w AND b.y < p.h
+        |),
+        |pngrows AS (
+        |  SELECT doc_id, 'png' AS format,
+        |         min(w)::BIGINT AS width, min(h)::BIGINT AS height,
+        |         sum((x + doc_id) % 256)::BIGINT AS sum_r,
+        |         sum((y + 2*doc_id) % 256)::BIGINT AS sum_g,
+        |         sum((x + y + 3*doc_id) % 256)::BIGINT AS sum_b,
+        |         count(*)::BIGINT AS n_px
+        |  FROM grid GROUP BY doc_id
+        |),
+        |rawrows AS (
+        |  SELECT doc_id, 'raw' AS format, 0::BIGINT AS width, 0::BIGINT AS height,
+        |         sum(unicode(substr(text, CAST(i AS INT), 1)))::BIGINT AS sum_r,
+        |         0::BIGINT AS sum_g, 0::BIGINT AS sum_b,
+        |         max(strlen(text))::BIGINT AS n_px
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i
+        |        FROM documents WHERE doc_id % 5 <> 0)
+        |  GROUP BY doc_id
+        |)
+        |SELECT * FROM pngrows UNION ALL SELECT * FROM rawrows ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       ("""WITH b AS (
         |  SELECT doc_id, CAST((i-1)//64 AS BIGINT) AS frame_idx,

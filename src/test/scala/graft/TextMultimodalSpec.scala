@@ -89,6 +89,47 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("png codec: synthesized payload is a real PNG and decodes back exactly") {
+    for (id <- Seq(0L, 5L, 123L * 5)) {
+      val bytes = Multimodal.pngBytes(id)
+      // PNG magic per the spec: 0x89 'P' 'N' 'G'
+      assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P' && bytes(2) == 'N' && bytes(3) == 'G')
+      assert(Multimodal.sniffFormat(bytes) == "png")
+      val w = (4 + id % 8).toInt; val h = (4 + id % 5).toInt
+      var sr = 0L; var sg = 0L; var sb = 0L
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += (x + id) % 256; sg += (y + 2 * id) % 256; sb += (x + y + 3 * id) % 256
+      }
+      // lossless roundtrip: the JDK decoder must recover the exact pixels
+      assert(Multimodal.decodeImage(bytes).contains((w, h, sr, sg, sb)))
+    }
+  }
+
+  test("png codec: corrupt image bytes degrade to the raw path, not a failure") {
+    // sniffs as PNG (magic intact) but the body is garbage
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 1, 2, 3, 4, 5)
+    assert(Multimodal.sniffFormat(corrupt) == "png")
+    assert(Multimodal.decodeImage(corrupt).isEmpty)
+  }
+
+  test("mm_decode_real dispatches: real PNG decode for every 5th doc, stub for the rest") {
+    val rows = Multimodal.mmDecodeReal(spark, Sf).collect()
+    assert(rows.length == Tables.documents(spark, Sf).count())
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 5 == 0) {
+        assert(r.getAs[String]("format") == "png")
+        assert(r.getAs[Long]("width") == 4 + id % 8)
+        assert(r.getAs[Long]("height") == 4 + id % 5)
+        assert(r.getAs[Long]("n_px") == (4 + id % 8) * (4 + id % 5))
+      } else {
+        assert(r.getAs[String]("format") == "raw")
+        assert(r.getAs[Long]("width") == 0L)
+        assert(r.getAs[Long]("n_px") > 0L)
+      }
+    }
+  }
+
   test("text_repetition invariants and a hand-checked document") {
     val rows = TextAnalysis.textRepetition(spark, Sf).collect()
     assert(rows.length == Tables.documents(spark, Sf).count())
