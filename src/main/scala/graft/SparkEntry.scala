@@ -87,6 +87,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
     "dedup_embedding_ann" -> ((s, d) => Dedup.dedupEmbeddingAnn(s, d)),
+    "dedup_cross_corpus" -> ((s, d) => Dedup.dedupCrossCorpus(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     // §2.4 similarity
     "sim_bruteforce_topk" -> ((s, d) => Similarity.simBruteforceTopK(s, d)),
@@ -108,6 +109,7 @@ object SparkEntry {
     "pipe_shuffle_pack" -> ((s, d) => TextAnalysis.pipeShufflePack(s, d)),
     "pipe_lm_score" -> (TextAnalysis.pipeLmScore(_, _)),
     "pipe_decontaminate" -> ((s, d) => TextAnalysis.pipeDecontaminate(s, d)),
+    "pipe_decontaminate_bloom" -> ((s, d) => TextAnalysis.pipeDecontaminateBloom(s, d)),
     "text_top_bigrams" -> ((s, d) => TextAnalysis.textTopBigrams(s, d)),
     "text_top_bigrams_sketch" -> ((s, d) => TextAnalysis.textTopBigramsSketch(s, d)),
     "text_repetition" -> (TextAnalysis.textRepetition(_, _)),
@@ -329,6 +331,22 @@ object SparkEntry {
 
   /** Shared CTEs for the ANN oracles: `ex` explodes embeddings to
     * (vec_id, i, x) and `norms` holds per-vector L2 norms. */
+  /** Shared by pipe_decontaminate and its Bloom-pruned scale twin —
+    * the two formulations produce identical results by construction
+    * (Bloom candidates are exactly verified). */
+  private val decontaminateOracleSql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INT), 20) AS g
+      |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 19, 1) + 1)) AS i
+      |        FROM documents)),
+      |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < 10),
+      |cont AS (
+      |  SELECT DISTINCT doc_id FROM sh
+      |  WHERE doc_id >= 10 AND g IN (SELECT g FROM ev))
+      |SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+      |FROM documents d LEFT JOIN cont c USING (doc_id)
+      |WHERE d.doc_id >= 10 ORDER BY d.doc_id""".stripMargin
+
   private val annExNormsSql: String =
     """ex AS (
       |  SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
@@ -604,18 +622,10 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY label, i""".stripMargin,
     // Hash-invariant twin (same argument as dedup_ngram_jaccard): a
     // shared xxhash64'd 20-gram == a shared raw 20-gram substring.
-    "pipe_decontaminate" ->
-      """WITH sh AS (
-        |  SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INT), 20) AS g
-        |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 19, 1) + 1)) AS i
-        |        FROM documents)),
-        |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < 10),
-        |cont AS (
-        |  SELECT DISTINCT doc_id FROM sh
-        |  WHERE doc_id >= 10 AND g IN (SELECT g FROM ev))
-        |SELECT d.doc_id, (c.doc_id IS NOT NULL) AS contaminated
-        |FROM documents d LEFT JOIN cont c USING (doc_id)
-        |WHERE d.doc_id >= 10 ORDER BY d.doc_id""".stripMargin,
+    "pipe_decontaminate" -> decontaminateOracleSql,
+    // the Bloom formulation verifies candidates exactly, so its result
+    // — and oracle — are identical to the exact broadcast path
+    "pipe_decontaminate_bloom" -> decontaminateOracleSql,
     "q37_outer_join" ->
       """WITH u AS (SELECT o_custkey, count(*) AS n_urgent FROM orders
         |  WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
@@ -1315,6 +1325,26 @@ object SparkEntry {
         |  SELECT id_a, id_b, round(d.dot / (na.nrm * nb.nrm), 4) AS cosine
         |  FROM dots d JOIN norms na ON na.vec_id = d.id_a JOIN norms nb ON nb.vec_id = d.id_b)
         |SELECT id_a, id_b, cosine FROM cos WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    // exact all-pairs corpus × reference-set cosine — the reference
+    // side is the same deterministic perturbation family as the
+    // engine recomputes (Dedup.dedupCrossCorpus)
+    "dedup_cross_corpus" ->
+      """WITH ex0 AS (
+        |  SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |ref AS (
+        |  SELECT vec_id + 1000000 AS ref_id,
+        |         x + 0.02 * ((((vec_id * 64 + (i - 1)) * 2654435761) % 2001) - 1000) / 1000.0 AS x, i
+        |  FROM ex0 WHERE vec_id < 64),
+        |cnorm AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex0 GROUP BY 1),
+        |rnorm AS (SELECT ref_id, sqrt(sum(x*x)) AS nrm FROM ref GROUP BY 1),
+        |dots AS (
+        |  SELECT a.vec_id AS id, b.ref_id, sum(a.x * b.x) AS dot
+        |  FROM ex0 a JOIN ref b ON a.i = b.i GROUP BY 1, 2),
+        |cos AS (
+        |  SELECT id, ref_id, round(d.dot / (cn.nrm * rn.nrm), 4) AS cosine
+        |  FROM dots d JOIN cnorm cn ON cn.vec_id = d.id JOIN rnorm rn USING (ref_id))
+        |SELECT id, ref_id, cosine FROM cos WHERE cosine >= 0.9 ORDER BY id, ref_id""".stripMargin,
     // Mirrors TextAnalysis.LangProfiles exactly: per-language hit-rate
     // scores (profile regex count / word count), argmax with Spark's
     // struct-max tie-break (max score, then max language code).

@@ -668,6 +668,54 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Cross-corpus embedding decontamination: every training-corpus
+    * vector within cosine τ of ANY reference-set vector (eval
+    * benchmarks, held-out suites) — the embedding-level counterpart of
+    * [[graft.operators.TextAnalysis.pipeDecontaminate]]. The
+    * reference side here is the planted perturbation family (the same
+    * deterministic construction as [[augmentedEmbeddings]]) so the
+    * τ=0.9 regime is non-vacuous and the DuckDB all-pairs oracle can
+    * recompute it bit-identically.
+    *
+    * Scale shape (the asymmetry is the point): the CORPUS side is
+    * bucketed once, map-only, one narrow (id, bucket) row per vector —
+    * it never explodes, never multi-probes. Only the SMALL reference
+    * side fans out over the radius-2 probe masks (79× a few thousand
+    * rows). Candidates join on bucket, then the codegen'd exact
+    * cosine verifies — false candidates cost verify work, never a
+    * wrong answer. At 100 TB: corpus cost is one scan + one
+    * bucket-keyed join of fixed-width rows; reference cost is
+    * constant. */
+  def dedupCrossCorpus(s: SparkSession, dir: String, tau: Double = 0.9,
+      numPlanes: Int = 12, nPlant: Int = 64, eps: Double = 0.02,
+      refOffset: Long = 1000000L): DataFrame = {
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("long").as("id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val refs = corpus.filter(col("id") < nPlant)
+      .select((col("id") + refOffset).as("ref_id"),
+        expr(s"transform(v, (x, i) -> x + $eps * ((((id * 64 + i) * 2654435761) % 2001) - 1000) / 1000.0)").as("rv"))
+    val planes = Similarity.hyperplanes(numPlanes, 64)
+    val cbuck = corpus
+      .withColumn("bucket", Similarity.lshBucket(col("v"), planes))
+      .select(col("id"), col("bucket"))
+    val masks = Similarity.lshProbeMasks(numPlanes)
+    val rprobes = refs
+      .withColumn("bucket", Similarity.lshBucket(col("rv"), planes))
+      .select(col("ref_id"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val cands = rprobes.join(cbuck, Seq("bucket"))
+      .select("id", "ref_id").distinct()
+    cands
+      .join(corpus, "id")
+      .join(refs, "ref_id")
+      .withColumn("cosine",
+        round(graft.functions.VectorFunctions.cosine_similarity(col("v"), col("rv")), 4))
+      .filter(col("cosine") >= tau)
+      .select("id", "ref_id", "cosine")
+      .orderBy("id", "ref_id")
+  }
+
   def dedupEmbedding(s: SparkSession, dir: String, tau: Double = 0.9, nBlocks: Int = 16): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._

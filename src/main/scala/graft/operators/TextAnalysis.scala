@@ -378,6 +378,52 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Scale twin of [[pipeDecontaminate]] for when the eval shingle set
+    * is too big to broadcast EXACTLY: a Bloom filter over the eval
+    * shingles (KBs per million shingles at 1% FPR, vs 8+ bytes per
+    * exact hash) prunes the corpus shingle stream map-side, and the
+    * exact semi-join then verifies only the surviving candidates — so
+    * Bloom false positives cost a little extra verify work, never a
+    * wrong answer. Output (and oracle) are IDENTICAL to the exact
+    * formulation.
+    *
+    * The probe is Spark's own codegen'd `BloomFilterMightContain`
+    * (the expression behind AQE's injected runtime filters) over a
+    * literal of the serialized filter — no UDF in the hot path. At
+    * 100 TB: the filter builds in one tiny aggregate over the eval
+    * set, ships with the task binary, and the only shuffle left is
+    * the candidate-only distinct. */
+  def pipeDecontaminateBloom(s: SparkSession, dir: String, n: Int = 20,
+                             nEval: Long = 10, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val docs = Tables.documents(s, dir)
+    def shingles(df: DataFrame) = df.select(
+      col("doc_id"),
+      explode(graft.functions.VectorFunctions.ngram_hashes(lower(col("text")), n)).as("sh"))
+    val evalSh = shingles(docs.filter(col("doc_id") < nEval)).select("sh").distinct()
+    // offline build step: distributed treeAggregate → a driver-side
+    // filter sized to the measured distinct count
+    val nDistinct = math.max(evalSh.count(), 1L)
+    val bloom = evalSh.stat.bloomFilter("sh", nDistinct, fpp)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos); bos.toByteArray
+    }
+    val mightContain = GraftColumnBridge.column(BloomFilterMightContain(
+      Literal.create(bloomBytes, org.apache.spark.sql.types.BinaryType),
+      GraftColumnBridge.expression(col("sh"))))
+    val candidates = shingles(docs.filter(col("doc_id") >= nEval))
+      .filter(mightContain)
+    val contaminated = candidates
+      .join(broadcast(evalSh), Seq("sh"), "left_semi")
+      .select("doc_id").distinct()
+    docs.filter(col("doc_id") >= nEval)
+      .join(contaminated.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("contaminated"), lit(false)).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Training-mix sampler: per-language inclusion rates applied via a
     * deterministic hash threshold — `md5_60(doc_id||lang) % 1e6 <
     * rate·1e6`. This is the 100 TB formulation: the rate table

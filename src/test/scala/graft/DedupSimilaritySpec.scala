@@ -58,6 +58,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact.size >= 64 && exact.forall(_._3 >= 0.99))
   }
 
+  test("dedup_cross_corpus equals the exact corpus × reference scan") {
+    import org.apache.spark.sql.functions._
+    val corpus = Tables.embeddings(spark, Sf)
+      .select(col("vec_id").cast("long").as("id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val refs = corpus.filter(col("id") < 64)
+      .select((col("id") + 1000000L).as("ref_id"),
+        expr("transform(v, (x, i) -> x + 0.02 * ((((id * 64 + i) * 2654435761) % 2001) - 1000) / 1000.0)").as("rv"))
+    val exact = corpus.crossJoin(refs)
+      .withColumn("cosine",
+        round(graft.functions.VectorFunctions.cosine_similarity(col("v"), col("rv")), 4))
+      .filter(col("cosine") >= 0.9)
+      .select("id", "ref_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = Dedup.dedupCrossCorpus(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.size >= 64, "each reference vector must hit its source")
+    assert(lsh == exact, s"missed ${(exact -- lsh).size}, extra ${(lsh -- exact).size}")
+  }
+
   test("dedup clusters: every pair lands in one cluster, keepers are cluster minima") {
     val pairs = Dedup.dedupNgramJaccard(spark, Sf).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))

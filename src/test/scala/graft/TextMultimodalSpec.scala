@@ -130,6 +130,19 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pipe_decontaminate_bloom matches the exact broadcast formulation row-for-row") {
+    val exact = TextAnalysis.pipeDecontaminate(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    val bloom = TextAnalysis.pipeDecontaminateBloom(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).toSet
+    assert(bloom == exact)
+    assert(exact.exists(_._2), "contamination fixture is vacuous — no contaminated docs")
+    // the probe must be Spark's codegen'd bloom expression, not a UDF
+    val plan = TextAnalysis.pipeDecontaminateBloom(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+  }
+
   test("text_repetition invariants and a hand-checked document") {
     val rows = TextAnalysis.textRepetition(spark, Sf).collect()
     assert(rows.length == Tables.documents(spark, Sf).count())
