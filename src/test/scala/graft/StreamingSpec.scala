@@ -1,6 +1,7 @@
 package graft
 
-import graft.streaming.EventStream
+import graft.operators.Dedup
+import graft.streaming.{EventStream, StreamingIngest}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -210,6 +211,87 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     query.stop()
     assert(flags == Map(1000L -> true, 1001L -> false, 1002L -> true, 1003L -> false))
+  }
+
+  test("deduped ingest loop: persisted-state dedup + exactly-once sink + corpus append, crash-safe") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    val shardMod = 13L // params private to this test → private state tables
+    val base = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+    new java.io.File(srcDir).mkdirs()
+
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val shard = docs.filter(_._1 % shardMod == 0).sortBy(_._1)
+    val corpusDocs = docs.filter(_._1 % shardMod != 0).sortBy(_._1)
+    // 3 arrival batches. Batch 0 also carries two texts ALREADY IN THE
+    // CORPUS under fresh synthetic ids (upstream scraped a known doc
+    // again) — rejected by the state probe. Batch 2 RE-DELIVERS two of
+    // batch 0's docs (an at-least-once upstream) — by then their
+    // signatures sit in the state, so they are rejected as the
+    // duplicates they are.
+    val corpusDups = corpusDocs.take(2).map { case (_, t) => (7000000L, t) }
+      .zipWithIndex.map { case ((id, t), i) => (id + i, t) }
+    val batches = Seq(
+      shard.zipWithIndex.filter(_._2 % 3 == 0).map(_._1) ++ corpusDups,
+      shard.zipWithIndex.filter(_._2 % 3 == 1).map(_._1),
+      shard.zipWithIndex.filter(_._2 % 3 == 2).map(_._1) ++
+        shard.zipWithIndex.filter(_._2 % 3 == 0).map(_._1).take(2))
+    // no exact-dup texts exist inside the corpus table at this SF, so
+    // every real shard doc is accepted exactly once; the rejections
+    // are the corpus-dup arrivals and the re-deliveries
+    val expected = shard.map(_._1).toSet
+    assert(corpusDups.size == 2 && expected.size >= 30)
+
+    val schema = StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))
+    def writeSrc(rows: Seq[(Long, String)]): Unit = {
+      import spark.implicits._
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    def src = spark.readStream.schema(schema).parquet(srcDir)
+    Dedup.corpusStateTables(spark, Sf, shardMod = shardMod) // build state once
+
+    // batch 0 clean; batch 1 crashes AFTER the sink write and corpus
+    // append but BEFORE the commit — the worst replay window
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    writeSrc(batches(0))
+    val q1 = StreamingIngest.dedupedIngest(Sf, src, outDir, ckpt, shardMod = shardMod,
+      afterBatch = { id =>
+        if (id >= 1 && crashed.compareAndSet(false, true))
+          throw new RuntimeException("injected crash after all effects, before commit")
+      })
+    q1.processAllAvailable()
+    writeSrc(batches(1))
+    try { q1.processAllAvailable(); q1.awaitTermination() } catch { case _: Exception => () }
+    assert(crashed.get, "crash injection never fired")
+
+    val q2 = StreamingIngest.dedupedIngest(Sf, src, outDir, ckpt, shardMod = shardMod)
+    q2.processAllAvailable() // replays batch 1
+    writeSrc(batches(2))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val outRows = spark.read.parquet(outDir).select("doc_id", "batch_id")
+      .collect().map(r => (r.getLong(0), r.getAs[Number]("batch_id").longValue))
+    val out = outRows.map(_._1).toSeq
+    assert(out.distinct.size == out.size, s"sink has duplicates: $out")
+    assert(out.toSet == expected,
+      s"missing ${expected -- out.toSet}, extra ${out.toSet -- expected}")
+    // re-delivered docs stayed under their FIRST batch's partition
+    val redelivered = shard.zipWithIndex.filter(_._2 % 3 == 0).map(_._1._1).take(2)
+    redelivered.foreach { id =>
+      assert(outRows.find(_._1 == id).get._2 == 0L, s"doc $id rewritten by a later batch")
+    }
+    // corpus-dup arrivals never made it in
+    assert(!out.exists(_ >= 7000000L))
+    // the corpus state holds each accepted doc's signature exactly once
+    val (_, hashesT) = Dedup.corpusStateTables(spark, Sf, shardMod = shardMod)
+    val appended = spark.table(hashesT)
+      .filter(col("doc_id") % shardMod === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(appended.distinct.size == appended.size, "state has duplicate signatures")
+    assert(appended.toSet == expected)
   }
 
   test("exactly-once sink: crash between write and commit, restart, no dup/loss") {
