@@ -428,6 +428,172 @@ object SimhashKernel {
   }
 }
 
+/** Sign-LSH home bucket of an array<double> vector: one bit per
+  * hyperplane (sign of the dot product — equivalently of the cosine,
+  * since the norms are positive), packed into a long. The planes ride
+  * along as a codegen reference object instead of `numPlanes × dim`
+  * plan literals — at the corpus-adaptive plane counts the literal
+  * formulation ballooned task binaries to 8.8 MiB and codegen'd
+  * megabyte-scale methods; this is one array lookup. */
+case class LshBucket(child: Expression, planes: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lsh_bucket"
+
+  @transient private lazy val dim: Int = if (planes.isEmpty) 0 else planes(0).length
+  @transient private lazy val flat: Array[Double] = planes.flatten
+
+  override def nullSafeEval(a: Any): Any =
+    LshKernel.bucket(a.asInstanceOf[ArrayData], flat, planes.length, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("lshPlanesFlat", flat, "double[]")
+    defineCodeGen(ctx, ev, x =>
+      s"graft.functions.LshKernel.bucket($x, $pRef, ${planes.length}, $dim)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** MARGIN-GUIDED multi-probe set (Lv et al., "Multi-Probe LSH") as ONE
+  * fused kernel call: the probe set for a vector is its own bucket
+  * plus the buckets reached by flipping subsets (size ≤ 2) of the
+  * `flip` planes where the vector's |cosine margin| is SMALLEST — the
+  * planes a true neighbor could actually sit across. Probe volume is
+  * 1 + flip + C(flip,2) — CONSTANT in the plane count — so the plane
+  * count is free to grow with the corpus (holding bucket occupancy
+  * flat) without the probe fan-out growing with it; exhaustive
+  * radius-2 probing pays O(numPlanes²) per vector and prunes nothing
+  * the margins don't.
+  *
+  * Why an Expression and not composed columns: the margins array
+  * feeding both the bucket and a rank-sort feeding 22 XOR masks is
+  * exactly the shape Catalyst's CollapseProject re-inlines — each
+  * `element_at(ranked, j)` re-expanded the whole array_sort over nP
+  * cosines, each with its own copy of the plane literals (measured:
+  * 8.8 MiB task binaries, dedup_embedding_ann 58 s at the 10× replica
+  * scale vs 1.1 s for this kernel's plan at sf0.1). Margins, bucket,
+  * partial selection, and mask family here are one JIT'd pass. */
+case class LshProbeBuckets(child: Expression, planes: Array[Array[Double]], flip: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) =>
+      if (flip >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"$prettyName requires flip >= 1, got $flip")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_probe_buckets"
+
+  @transient private lazy val dim: Int = if (planes.isEmpty) 0 else planes(0).length
+  @transient private lazy val flat: Array[Double] = planes.flatten
+  @transient private lazy val invNorms: Array[Double] = planes.map { p =>
+    var s = 0.0; var i = 0
+    while (i < p.length) { s += p(i) * p(i); i += 1 }
+    val n = math.sqrt(s)
+    if (n == 0.0) 0.0 else 1.0 / n
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    LshKernel.probeBuckets(a.asInstanceOf[ArrayData], flat, invNorms, planes.length, dim, flip)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("lshPlanesFlat", flat, "double[]")
+    val nRef = ctx.addReferenceObj("lshInvNorms", invNorms, "double[]")
+    defineCodeGen(ctx, ev, x =>
+      s"graft.functions.LshKernel.probeBuckets($x, $pRef, $nRef, ${planes.length}, $dim, $flip)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** JVM kernel for [[LshBucket]] / [[LshProbeBuckets]] — standalone
+  * object so the mirror class exposes true statics for generated
+  * code. Sign convention: bit p set iff dot(v, plane_p) >= 0,
+  * identical to the cosine formulation (division by the positive
+  * norms cannot change the sign). Margin ranking multiplies |dot| by
+  * the plane's inverse norm — the vector's own norm is a common
+  * positive factor across planes, so the ranking equals the
+  * |cosine| ranking; ties break toward the lower plane index. */
+object LshKernel {
+  def bucket(v: ArrayData, planesFlat: Array[Double], nP: Int, dim: Int): Long = {
+    val n = math.min(dim, v.numElements())
+    var b = 0L
+    var p = 0
+    while (p < nP) {
+      val off = p * dim
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getDouble(i) * planesFlat(off + i); i += 1 }
+      if (dot >= 0) b |= 1L << p
+      p += 1
+    }
+    b
+  }
+
+  def probeBuckets(v: ArrayData, planesFlat: Array[Double], invNorms: Array[Double],
+                   nP: Int, dim: Int, flip0: Int): ArrayData = {
+    val n = math.min(dim, v.numElements())
+    val m = new Array[Double](nP)
+    var bucket = 0L
+    var p = 0
+    while (p < nP) {
+      val off = p * dim
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += v.getDouble(i) * planesFlat(off + i); i += 1 }
+      if (dot >= 0) bucket |= 1L << p
+      m(p) = math.abs(dot) * invNorms(p)
+      p += 1
+    }
+    // partial selection of the `flip` lowest-|margin| plane indices
+    // (strict < keeps ties on the lower index, matching the
+    // (|margin|, index) struct-sort formulation it replaces)
+    val flip = math.min(flip0, nP)
+    val sel = new Array[Int](flip)
+    val used = new Array[Boolean](nP)
+    var k = 0
+    while (k < flip) {
+      var best = -1
+      var bm = Double.PositiveInfinity
+      var j = 0
+      while (j < nP) {
+        if (!used(j) && m(j) < bm) { bm = m(j); best = j }
+        j += 1
+      }
+      used(best) = true
+      sel(k) = best
+      k += 1
+    }
+    val out = new Array[Long](1 + flip + flip * (flip - 1) / 2)
+    out(0) = bucket
+    var w = 1
+    var a = 0
+    while (a < flip) { out(w) = bucket ^ (1L << sel(a)); w += 1; a += 1 }
+    a = 0
+    while (a < flip) {
+      var b2 = a + 1
+      while (b2 < flip) {
+        out(w) = bucket ^ (1L << sel(a)) ^ (1L << sel(b2))
+        w += 1
+        b2 += 1
+      }
+      a += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 object VectorFunctions {
   /** Column API: cosine_similarity(a, b) for array<double> columns. */
   def cosine_similarity(a: Column, b: Column): Column =
@@ -448,6 +614,15 @@ object VectorFunctions {
   /** Column API: 64-bit SimHash of a token array. */
   def simhash64(c: Column): Column =
     GraftColumnBridge.column(Simhash64(GraftColumnBridge.expression(c)))
+
+  /** Column API: sign-LSH home bucket against a fixed plane family. */
+  def lsh_bucket(v: Column, planes: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(LshBucket(GraftColumnBridge.expression(v), planes))
+
+  /** Column API: margin-guided multi-probe bucket set (home bucket
+    * first) against a fixed plane family. */
+  def lsh_probe_buckets(v: Column, planes: Array[Array[Double]], flip: Int): Column =
+    GraftColumnBridge.column(LshProbeBuckets(GraftColumnBridge.expression(v), planes, flip))
 
   /** Column API: full minhash signature of a shingle-hash array. */
   def minhash_signature(c: Column, numPerms: Int): Column =

@@ -629,35 +629,58 @@ object Dedup {
     * sign-LSH bucketed candidates + the codegen'd exact-cosine verify —
     * the sub-quadratic DEFAULT for τ-threshold near-dup at 100 TB,
     * with blocked-exact [[dedupEmbedding]] kept as the oracle-scale
-    * twin. Candidates: 12 hyperplane sign bits → 4096 buckets, one
-    * narrow (id, bucket) table, radius-2 multi-probe (79 XOR masks) on
-    * the probe side; a pair within 2 differing sign bits always shares
-    * a probed bucket. Measured over the exact splitmix plane family:
-    * every planted pair differs by ≤2 bits at sf0.001/0.01/0.1, so
-    * candidate recall is 1.0 here and the DuckDB all-pairs oracle
-    * hash-verifies the output. Verification is exact cosine on the
-    * candidate pairs only — the probe set prunes, never scores.
-    * Shuffle volume: corpus once for bucketing, (id, bucket) probe
-    * join, two id-keyed array fetches for the survivors — the corpus
-    * bodies never join all-pairs. At production cosine ≥0.9 (angle
-    * ≤26°) the per-plane split probability is ≤0.144, so 12-plane
-    * radius-2 keeps ≥92% recall per table; tighter dups (0.99 → 8°)
-    * sit at ≥99.9% — and the candidate stage stays linear in corpus
-    * size either way. */
+    * twin. Candidates: hyperplane sign bits (plane count adaptive to
+    * corpus size — see below) → one narrow (id, bucket) row per
+    * vector, plus a MARGIN-GUIDED multi-probe set
+    * ([[Similarity.lshProbeBuckets]]): each vector probes the 22
+    * buckets reached by flipping ≤2 of its 6 lowest-|margin| planes —
+    * the planes a true neighbor can actually sit across. Probe volume
+    * is constant in the plane count, so occupancy and fan-out BOTH
+    * stay flat as the corpus grows. Measured over the exact splitmix
+    * plane family: candidate recall is 1.0 vs the all-pairs scan at
+    * sf0.001/0.01/0.1 (spec + DuckDB hash oracle) and 1.0 on the
+    * planted ground truth at the 10× replica scale. Verification is
+    * exact cosine on candidates only — the probe set prunes, never
+    * scores. Shuffle volume: corpus once for bucketing, (id, bucket)
+    * probe join, two id-keyed array fetches for the survivors — the
+    * corpus bodies never join all-pairs. */
   def dedupEmbeddingAnn(s: SparkSession, dir: String, tau: Double = 0.9,
-      numPlanes: Int = 12): DataFrame = {
+      numPlanes: Int = 0): DataFrame = {
     val all = augmentedEmbeddings(s, dir)
-    val planes = Similarity.hyperplanes(numPlanes, 64)
+    // numPlanes <= 0 → corpus-count-adaptive: hold expected bucket
+    // occupancy ~2 so within-bucket candidate pairs stay LINEAR in
+    // corpus size (fixed planes made occupancy — and the candidate
+    // join — grow quadratically: measured 1.1 s → 21.3 s across one
+    // data decade before this). ceil(log2(n/2)) resolves to exactly
+    // the oracle-verified 12 planes at all three driver SFs; extra
+    // planes only engage beyond them, where correctness is covered by
+    // the planted-pair ground truth instead of the all-pairs oracle.
+    val nP =
+      if (numPlanes > 0) numPlanes
+      else {
+        val n = Tables.rowCount(s, dir, "embeddings") + 64
+        math.max(12, math.ceil(math.log(n / 2.0) / math.log(2.0)).toInt)
+      }
+    val planes = Similarity.hyperplanes(nP, 64)
     val ids = all
       .withColumn("bucket", Similarity.lshBucket(col("v"), planes))
       .select("id", "bucket")
-    val masks = Similarity.lshProbeMasks(numPlanes)
-    val probes = ids.select(col("id").as("id_a"),
-      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    // margin-guided probe set: constant 22 buckets per vector (flip=6)
+    // regardless of plane count — a pair is a candidate when EITHER
+    // endpoint's probe set reaches the other's home bucket
+    val probes = all
+      .select(col("id").as("id_a"),
+        explode(Similarity.lshProbeBuckets(col("v"), planes, flip = 6)).as("bucket"))
+    // margin-guided probes are ASYMMETRIC (each vector flips ITS OWN
+    // low-margin planes), so both directions must survive to the pair
+    // normalization — an id_a < id_b filter before it would silently
+    // drop pairs only the larger id's probes reach
     val cands = probes
       .join(ids.select(col("id").as("id_b"), col("bucket")), Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .filter(col("id_a") =!= col("id_b"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .distinct()
     cands
       .join(all.select(col("id").as("id_a"), col("v").as("va")), "id_a")
       .join(all.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
@@ -699,11 +722,9 @@ object Dedup {
     val cbuck = corpus
       .withColumn("bucket", Similarity.lshBucket(col("v"), planes))
       .select(col("id"), col("bucket"))
-    val masks = Similarity.lshProbeMasks(numPlanes)
     val rprobes = refs
-      .withColumn("bucket", Similarity.lshBucket(col("rv"), planes))
       .select(col("ref_id"),
-        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+        explode(Similarity.lshProbeBuckets(col("rv"), planes, flip = 6)).as("bucket"))
     val cands = rprobes.join(cbuck, Seq("bucket"))
       .select("id", "ref_id").distinct()
     cands

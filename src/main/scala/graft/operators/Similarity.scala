@@ -123,13 +123,26 @@ object Similarity {
       (for (i <- 0 until numPlanes; j <- (i + 1) until numPlanes) yield (1L << i) | (1L << j)))
 
   /** Sign-LSH bucket id: one bit per hyperplane (sign of the dot
-    * product — equivalently of the cosine), packed into a long — a
-    * pure codegen'd expression over the vector column. */
+    * product — equivalently of the cosine), packed into a long — one
+    * codegen'd kernel call ([[graft.functions.LshBucket]]); the plane
+    * family rides along as a codegen reference object instead of
+    * numPlanes × dim plan literals. */
   private[operators] def lshBucket(v: Column, planes: Array[Array[Double]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
-      when(cosine(v, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+    graft.functions.VectorFunctions.lsh_bucket(v, planes)
+
+  /** MARGIN-GUIDED multi-probe (Lv et al., "Multi-Probe LSH"): the
+    * probe set for a vector is its own bucket plus the buckets reached
+    * by flipping subsets (size ≤ 2) of the `flip` planes where the
+    * vector's |cosine margin| is SMALLEST — the planes a true neighbor
+    * could actually sit across. Probe volume is 1 + flip + C(flip,2)
+    * — CONSTANT in the plane count — so the plane count is free to
+    * grow with the corpus (holding bucket occupancy flat) without the
+    * probe fan-out growing with it. One fused codegen'd kernel call
+    * ([[graft.functions.LshProbeBuckets]] — see its scaladoc for why
+    * the composed-column formulation collapsed into 8.8 MiB plans). */
+  private[operators] def lshProbeBuckets(v: Column, planes: Array[Array[Double]],
+                                         flip: Int): Column =
+    graft.functions.VectorFunctions.lsh_probe_buckets(v, planes, flip)
 
   /** ANN top-k via IVF (inverted-file) coarse quantization against the
     * frozen [[IvfCodebook]] (spherical k-means trained offline on a

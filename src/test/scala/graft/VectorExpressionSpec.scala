@@ -91,4 +91,73 @@ class VectorExpressionSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1)"), s"fell out of codegen:\n$plan")
   }
+
+  test("lsh_bucket matches the per-plane cosine-sign formulation") {
+    import spark.implicits._
+    val planes = graft.operators.Similarity.lshPlanes(12, 8)
+    val rnd = new scala.util.Random(7)
+    val df = Seq.fill(50)(Array.fill(8)(rnd.nextGaussian())).toDF("v")
+    val got = df.select(col("v"), VectorFunctions.lsh_bucket(col("v"), planes).as("b"))
+      .collect()
+    got.foreach { r =>
+      val v = r.getSeq[Double](0).toArray
+      var expect = 0L
+      planes.zipWithIndex.foreach { case (p, i) =>
+        val dot = v.zip(p).map { case (x, y) => x * y }.sum
+        if (dot >= 0) expect |= 1L << i
+      }
+      assert(r.getLong(1) == expect)
+    }
+  }
+
+  test("lsh_probe_buckets: home bucket first, constant fan-out, low-margin flips only") {
+    import spark.implicits._
+    val nP = 16
+    val flip = 6
+    val planes = graft.operators.Similarity.lshPlanes(nP, 8)
+    def invNorm(p: Array[Double]) = 1.0 / math.sqrt(p.map(x => x * x).sum)
+    val rnd = new scala.util.Random(11)
+    val df = Seq.fill(40)(Array.fill(8)(rnd.nextGaussian())).toDF("v")
+    val got = df.select(col("v"),
+      VectorFunctions.lsh_bucket(col("v"), planes).as("home"),
+      VectorFunctions.lsh_probe_buckets(col("v"), planes, flip).as("probes"))
+      .collect()
+    got.foreach { r =>
+      val v = r.getSeq[Double](0).toArray
+      val home = r.getLong(1)
+      val probes = r.getSeq[Long](2)
+      // shape: 1 + flip + C(flip,2) buckets, home first, all distinct
+      assert(probes.length == 1 + flip + flip * (flip - 1) / 2)
+      assert(probes.head == home)
+      assert(probes.distinct.length == probes.length)
+      // every probe flips a subset (size <= 2) of the `flip` lowest-|margin| planes
+      val margins = planes.map(p => math.abs(v.zip(p).map { case (x, y) => x * y }.sum) * invNorm(p))
+      val lowSet = margins.zipWithIndex.sortBy { case (m, i) => (m, i) }.take(flip).map(_._2).toSet
+      probes.tail.foreach { b =>
+        val flipped = (0 until nP).filter(i => ((b ^ home) >> i & 1L) == 1L)
+        assert(flipped.nonEmpty && flipped.size <= 2 && flipped.forall(lowSet))
+      }
+    }
+  }
+
+  test("lsh_probe_buckets covers every bucket within hamming radius 2 of the low-margin planes when flip >= numPlanes") {
+    import spark.implicits._
+    val nP = 5
+    val planes = graft.operators.Similarity.lshPlanes(nP, 8)
+    val rnd = new scala.util.Random(13)
+    val df = Seq.fill(10)(Array.fill(8)(rnd.nextGaussian())).toDF("v")
+    // flip beyond numPlanes clamps to numPlanes → exhaustive radius-2 family
+    val got = df.select(
+      VectorFunctions.lsh_bucket(col("v"), planes).as("home"),
+      VectorFunctions.lsh_probe_buckets(col("v"), planes, 32).as("probes"))
+      .collect()
+    got.foreach { r =>
+      val home = r.getLong(0)
+      val probes = r.getSeq[Long](1).toSet
+      val expect = (Seq(home)
+        ++ (0 until nP).map(i => home ^ (1L << i))
+        ++ (for (i <- 0 until nP; j <- (i + 1) until nP) yield home ^ (1L << i) ^ (1L << j))).toSet
+      assert(probes == expect)
+    }
+  }
 }
