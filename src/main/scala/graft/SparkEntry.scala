@@ -87,6 +87,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
     "dedup_embedding_ann" -> ((s, d) => Dedup.dedupEmbeddingAnn(s, d)),
+    "dedup_semantic" -> ((s, d) => Dedup.dedupSemantic(s, d)),
     "dedup_cross_corpus" -> ((s, d) => Dedup.dedupCrossCorpus(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     // §2.4 similarity
@@ -430,6 +431,52 @@ object SparkEntry {
        |  SELECT p.qid, a.vec_id FROM probes p
        |  JOIN assign a ON a.bucket = p.bucket WHERE a.vec_id <> p.qid),
        |${annScoringTailSql(k)}""".stripMargin
+  }
+
+  /** DuckDB replica of [[operators.Dedup.dedupSemantic]]: the frozen
+    * [[operators.IvfCodebook]] centroids are inlined so both engines
+    * quantize every (augmented) vector to the same IVF cell, compare
+    * only within-cell pairs, and drop the same higher-id members. */
+  private def semanticOracleSql(tau: Double): String = {
+    val cb = operators.IvfCodebook.centroids
+    val centValues = (for (ci <- cb.indices; i <- cb(ci).indices)
+      yield s"($ci, ${i + 1}, ${cb(ci)(i)})").mkString(", ")
+    s"""WITH cents(cidx, i, w) AS (VALUES $centValues),
+       |ex0 AS (
+       |  SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |ex AS (
+       |  SELECT vec_id, x, i FROM ex0
+       |  UNION ALL
+       |  SELECT vec_id + 1000000,
+       |         x + 0.02 * ((((vec_id * 64 + (i - 1)) * 2654435761) % 2001) - 1000) / 1000.0, i
+       |  FROM ex0 WHERE vec_id < 64),
+       |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY vec_id),
+       |cnorms AS (SELECT cidx, sqrt(sum(w*w)) AS cnrm FROM cents GROUP BY cidx),
+       |cdot AS (
+       |  SELECT e.vec_id, c.cidx, sum(e.x * c.w) AS dot
+       |  FROM ex e JOIN cents c ON e.i = c.i GROUP BY 1, 2),
+       |ccos AS (
+       |  SELECT cd.vec_id, cd.cidx, cd.dot / (n.nrm * cn.cnrm) AS c
+       |  FROM cdot cd JOIN norms n ON n.vec_id = cd.vec_id
+       |  JOIN cnorms cn ON cn.cidx = cd.cidx),
+       |assign AS (
+       |  SELECT vec_id, cidx AS cell FROM (
+       |    SELECT vec_id, cidx,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cidx) AS rn
+       |    FROM ccos) WHERE rn = 1),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dot
+       |  FROM assign sa JOIN assign sb ON sb.cell = sa.cell AND sb.vec_id > sa.vec_id
+       |  JOIN ex a ON a.vec_id = sa.vec_id
+       |  JOIN ex b ON b.vec_id = sb.vec_id AND b.i = a.i
+       |  GROUP BY 1, 2),
+       |drops AS (
+       |  SELECT DISTINCT id_b AS vec_id FROM pairs
+       |  JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
+       |  WHERE round(dot / (na.nrm * nb.nrm), 4) >= $tau)
+       |SELECT a.vec_id AS id, a.cell::BIGINT AS cell, (d.vec_id IS NOT NULL) AS dropped
+       |FROM assign a LEFT JOIN drops d USING (vec_id) ORDER BY id""".stripMargin
   }
 
   /** DuckDB replica of [[operators.Dedup.dedupMinhashLsh]]: the
@@ -1325,6 +1372,7 @@ object SparkEntry {
         |  SELECT id_a, id_b, round(d.dot / (na.nrm * nb.nrm), 4) AS cosine
         |  FROM dots d JOIN norms na ON na.vec_id = d.id_a JOIN norms nb ON nb.vec_id = d.id_b)
         |SELECT id_a, id_b, cosine FROM cos WHERE cosine >= 0.9 ORDER BY id_a, id_b""".stripMargin,
+    "dedup_semantic" -> semanticOracleSql(tau = 0.9),
     // exact all-pairs corpus × reference-set cosine — the reference
     // side is the same deterministic perturbation family as the
     // engine recomputes (Dedup.dedupCrossCorpus)

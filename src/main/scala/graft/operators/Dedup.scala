@@ -691,6 +691,42 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    * data-efficient learning at web-scale through semantic
+    * deduplication"): quantize every embedding to its IVF cell against
+    * the frozen offline [[IvfCodebook]] — the SAME argmax-centroid-
+    * cosine assignment as [[Similarity.simIvfAnn]], so the oracle
+    * replays it bit-for-bit — then compare pairs ONLY within a cell
+    * and drop every member with a LOWER-id within-cell neighbor at
+    * cosine ≥ τ (the paper keeps one representative per semantic
+    * cluster; lowest id is the deterministic choice). Work is
+    * Σ_cells n_c² instead of n²: nlist is the scale lever — grow it
+    * ~√n (re-fit offline, as [[graft.tools.FitIvfCodebook]] does) and
+    * balanced cells hold the compare volume near n^1.5 while the
+    * assignment stays one map-only codegen'd scan. The corpus
+    * shuffles exactly once, on the cell id; no all-pairs join exists
+    * at any scale. Runs over the same augmented corpus as
+    * [[dedupEmbedding]] so the planted copies make the drop set
+    * non-trivial at every SF. */
+  def dedupSemantic(s: SparkSession, dir: String, tau: Double = 0.9,
+                    codebook: Array[Array[Double]] = IvfCodebook.centroids): DataFrame = {
+    val assigned = augmentedEmbeddings(s, dir)
+      .withColumn("cell", Similarity.ivfCell(col("v"), codebook))
+    val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
+    val drops = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(graft.functions.VectorFunctions.cosine_similarity(col("va"), col("vb")), 4)
+        >= tau)
+      .select(col("id_b").as("id"))
+      .distinct()
+    assigned
+      .join(drops.withColumn("is_dup", lit(true)), Seq("id"), "left")
+      .select(col("id"), col("cell").cast("long").as("cell"),
+        coalesce(col("is_dup"), lit(false)).as("dropped"))
+      .orderBy("id")
+  }
+
   /** Cross-corpus embedding decontamination: every training-corpus
     * vector within cosine τ of ANY reference-set vector (eval
     * benchmarks, held-out suites) — the embedding-level counterpart of

@@ -144,6 +144,21 @@ object Similarity {
                                          flip: Int): Column =
     graft.functions.VectorFunctions.lsh_probe_buckets(v, planes, flip)
 
+  /** (cosine, -cell) structs over the codebook: array_max picks the
+    * max centroid cosine, ties → lowest cell index. Shared by the IVF
+    * query path and [[Dedup.dedupSemantic]] so every consumer (and
+    * the DuckDB oracles) quantizes identically. */
+  private[operators] def ivfCellStructs(v: Column,
+                                        codebook: Array[Array[Double]]): Column =
+    array(codebook.zipWithIndex.map { case (c, i) =>
+      struct(cosine(v, array(c.map(lit): _*)).as("ccos"), lit(-i).as("negidx"))
+    }: _*)
+
+  /** Hard IVF cell assignment (argmax centroid cosine, ties → lowest
+    * cell) as one map-only expression. */
+  private[operators] def ivfCell(v: Column, codebook: Array[Array[Double]]): Column =
+    (-array_max(ivfCellStructs(v, codebook)).getField("negidx")).cast("int")
+
   /** ANN top-k via IVF (inverted-file) coarse quantization against the
     * frozen [[IvfCodebook]] (spherical k-means trained offline on a
     * sample by [[graft.tools.FitIvfCodebook]] — the production IVF
@@ -159,10 +174,7 @@ object Similarity {
                 codebook: Array[Array[Double]] = IvfCodebook.centroids): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    // (cosine, -cell) structs: array_max picks the max cosine, ties → lowest cell
-    val cells = array(codebook.zipWithIndex.map { case (c, i) =>
-      struct(cosine(col("v"), array(c.map(lit): _*)).as("ccos"), lit(-i).as("negidx"))
-    }: _*)
+    val cells = ivfCellStructs(col("v"), codebook)
     val assigned = e.withColumn("bucket", (-array_max(cells).getField("negidx")).cast("int"))
     val probes = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), explode(cells).as("p"))

@@ -58,6 +58,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact.size >= 64 && exact.forall(_._3 >= 0.99))
   }
 
+  test("dedup_semantic drops exactly the higher-id members of within-cell near-dup pairs") {
+    import org.apache.spark.sql.functions._
+    val out = Dedup.dedupSemantic(spark, Sf).collect()
+    val cellOf = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dropped = out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    // reconstruct the expected drop set from the operator's own cell
+    // assignment + the exact cosine over the same augmented corpus
+    val vecs = Dedup.augmentedEmbeddings(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val ids = vecs.keys.toArray.sorted
+    val expected = (for {
+      bi <- ids.indices.iterator
+      ai <- 0 until bi
+      if cellOf(ids(ai)) == cellOf(ids(bi))
+      if BigDecimal(cos(vecs(ids(ai)), vecs(ids(bi)))).setScale(4, BigDecimal.RoundingMode.HALF_UP) >= 0.9
+    } yield ids(bi)).toSet
+    assert(dropped == expected,
+      s"missing ${(expected -- dropped).size}, extra ${(dropped -- expected).size}")
+    // the planted copies make the drop set non-trivial: a planted copy
+    // sharing its source's cell must always be dropped
+    val plantedSameCell = ids.filter(id => id >= 1000000L &&
+      cellOf.get(id - 1000000L).contains(cellOf(id)))
+    assert(plantedSameCell.nonEmpty && plantedSameCell.forall(dropped))
+  }
+
   test("dedup_cross_corpus equals the exact corpus × reference scan") {
     import org.apache.spark.sql.functions._
     val corpus = Tables.embeddings(spark, Sf)
