@@ -86,8 +86,8 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
-    "dedup_embedding_ann" -> ((s, d) => Dedup.dedupEmbeddingAnn(s, d)),
-    "dedup_semantic" -> ((s, d) => Dedup.dedupSemantic(s, d)),
+    "dedup_embedding_ann" -> ((s, d) => Dedup.dedupEmbeddingAnn(s, d, augmentPlanted = true)),
+    "dedup_semantic" -> ((s, d) => Dedup.dedupSemantic(s, d, augmentPlanted = true)),
     "dedup_cross_corpus" -> ((s, d) => Dedup.dedupCrossCorpus(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     // §2.4 similarity

@@ -301,29 +301,29 @@ object Dedup {
     val bandsT = s"graft_corpus_bands_$key"
     val hashesT = s"graft_corpus_hashes_$key"
     val corpus = Tables.documents(s, dir).filter(col("doc_id") % shardMod =!= 0)
+    // A compaction that crashed between its rename-aside and rename-in
+    // leaves the live name absent while the only complete copy (appended
+    // shards included) sits under `_compacting_old` — restore it BEFORE
+    // the exists-check below decides to rebuild from base docs, which
+    // would silently lose every appended shard signature.
+    graft.sources.Sources.restoreInterruptedCompaction(s, bandsT)
+    graft.sources.Sources.restoreInterruptedCompaction(s, hashesT)
     // The in-memory catalog forgets tables across JVMs while the
     // warehouse directory persists; saveAsTable refuses to create over
-    // an orphaned location, so drop the stale directory (purely
-    // derived state) before rebuilding.
-    def clearOrphanedLocation(table: String): Unit = {
-      val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
-      val loc = java.nio.file.Paths.get(wh, table)
-      if (java.nio.file.Files.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(loc)
-        try walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
-    }
+    // an orphaned location, so drop the stale directory (purely derived
+    // state) before rebuilding. Shared with Sources so both sites use
+    // the catalog's LOWERCASED directory name — the generated table
+    // name embeds the dir slug, and a verbatim (mixed-case) path here
+    // would never match the on-disk directory, leaving the orphan to
+    // fail the rebuild's saveAsTable.
     if (!s.catalog.tableExists(bandsT)) {
-      clearOrphanedLocation(bandsT)
+      graft.sources.Sources.clearOrphanedLocation(s, bandsT)
       graft.sources.Sources.writeBucketed(
         bandTuples(corpus, n, numPerms, rowsPerBand),
         bandsT, bandKeyCols(rowsPerBand), numBuckets)
     }
     if (!s.catalog.tableExists(hashesT)) {
-      clearOrphanedLocation(hashesT)
+      graft.sources.Sources.clearOrphanedLocation(s, hashesT)
       graft.sources.Sources.writeBucketed(
         corpus.select(col("doc_id"), xxhash64(col("text")).as("h64"), md5(col("text")).as("h128")),
         hashesT, Seq("h64", "h128"), numBuckets)
@@ -352,25 +352,34 @@ object Dedup {
     * shard — are what the loop-closure spec pins. */
   def appendShardToCorpus(s: SparkSession, dir: String, shardDocIds: DataFrame,
                           n: Int = 9, numPerms: Int = 32, rowsPerBand: Int = 4,
-                          shardMod: Long = 10, numBuckets: Int = 8): Unit = {
+                          shardMod: Long = 10, numBuckets: Int = 8,
+                          afterBands: () => Unit = () => ()): Unit = {
     val (bandsT, hashesT) = corpusStateTables(s, dir, n, numPerms, rowsPerBand, shardMod, numBuckets)
-    // Idempotent under ingest retries: a doc_id already present in the
-    // state tables is skipped, so re-running a failed/duplicated daily
-    // append cannot grow the state. The membership check is one
-    // column-pruned map-only scan of the hashes table against the
-    // broadcast shard ids — the same O(corpus-scan, shard-sized
+    // Idempotent under ingest retries, PER TABLE: each append anti-joins
+    // against the doc_ids already present in ITS OWN table, so a crash
+    // between the two appends (bands written, hashes not) is REPAIRED
+    // by the retry — the bands append no-ops, the hashes append fills
+    // in the gap — instead of duplicating band rows. (A single shared
+    // membership check that read only hashesT, which is written second,
+    // re-appended the bands after exactly that crash window.) Each
+    // check is one column-pruned map-only scan of the table against
+    // the broadcast shard ids — the same O(corpus-scan, shard-sized
     // output) class as the probe itself, nothing shuffles.
-    val already = s.table(hashesT).select("doc_id")
-      .join(broadcast(shardDocIds.select("doc_id")), Seq("doc_id"), "left_semi")
-      .distinct()
-    val docs = Tables.documents(s, dir)
+    val shard = Tables.documents(s, dir)
       .join(shardDocIds, Seq("doc_id"), "left_semi")
-      .join(broadcast(already), Seq("doc_id"), "left_anti")
+    def fresh(table: String): DataFrame = {
+      val already = s.table(table).select("doc_id")
+        .join(broadcast(shardDocIds.select("doc_id")), Seq("doc_id"), "left_semi")
+        .distinct()
+      shard.join(broadcast(already), Seq("doc_id"), "left_anti")
+    }
     graft.sources.Sources.writeBucketed(
-      bandTuples(docs, n, numPerms, rowsPerBand),
+      bandTuples(fresh(bandsT), n, numPerms, rowsPerBand),
       bandsT, bandKeyCols(rowsPerBand), numBuckets, mode = "append")
+    afterBands() // test seam: crash window between the two appends
     graft.sources.Sources.writeBucketed(
-      docs.select(col("doc_id"), xxhash64(col("text")).as("h64"), md5(col("text")).as("h128")),
+      fresh(hashesT)
+        .select(col("doc_id"), xxhash64(col("text")).as("h64"), md5(col("text")).as("h128")),
       hashesT, Seq("h64", "h128"), numBuckets, mode = "append")
   }
 
@@ -605,6 +614,14 @@ object Dedup {
     * (chunking) + queries × nBlocks — no O(n²) rows materialize.
     * Exact NN is inherently quadratic COMPUTE; the sub-quadratic
     * scale path is the LSH/IVF family in [[Similarity]]. */
+  /** The embeddings table as (id, v) with double-precision vectors —
+    * the unadorned corpus every embedding-dedup operator runs over by
+    * default. */
+  private[graft] def baseEmbeddings(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("long").as("id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+
   /** The embeddings corpus plus deterministically-perturbed copies of
     * the first `nPlant` vectors (id + plantOffset, x_i + eps·u_i with
     * u_i = ((id·64+i)·2654435761 mod 2001 − 1000)/1000, an integer-hash
@@ -612,13 +629,14 @@ object Dedup {
     * has no real near-dups (measured max pairwise cosine 0.60 at
     * sf0.1), so the planted copies land at cosine ≈0.9956–0.997 —
     * the regime a production τ=0.9 near-dup pass actually targets —
-    * while every unplanted pair stays below ~0.68. Shared by
-    * [[dedupEmbeddingAnn]] and its exact spec twin. */
+    * while every unplanted pair stays below ~0.68. BENCH/ORACLE GROUND
+    * TRUTH ONLY: operators take it via an explicit `augmentPlanted`
+    * opt-in (the registry and specs set it; the default is the real
+    * corpus, so a production caller never sees phantom pairs against
+    * vectors that don't exist in their data). */
   private[graft] def augmentedEmbeddings(s: SparkSession, dir: String,
       nPlant: Int = 64, eps: Double = 0.02, plantOffset: Long = 1000000L): DataFrame = {
-    val base = Tables.embeddings(s, dir)
-      .select(col("vec_id").cast("long").as("id"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val base = baseEmbeddings(s, dir)
     val planted = base.filter(col("id") < nPlant)
       .select((col("id") + plantOffset).as("id"),
         expr(s"transform(v, (x, i) -> x + $eps * ((((id * 64 + i) * 2654435761) % 2001) - 1000) / 1000.0)").as("v"))
@@ -643,10 +661,16 @@ object Dedup {
     * exact cosine on candidates only — the probe set prunes, never
     * scores. Shuffle volume: corpus once for bucketing, (id, bucket)
     * probe join, two id-keyed array fetches for the survivors — the
-    * corpus bodies never join all-pairs. */
+    * corpus bodies never join all-pairs.
+    *
+    * `augmentPlanted` injects the deterministic planted near-dup
+    * family of [[augmentedEmbeddings]] — ground-truth plumbing for the
+    * oracle/bench registry and the recall specs ONLY. The default is
+    * the real corpus: a production caller gets pairs among their own
+    * vectors, never phantom pairs against synthesized ids. */
   def dedupEmbeddingAnn(s: SparkSession, dir: String, tau: Double = 0.9,
-      numPlanes: Int = 0): DataFrame = {
-    val all = augmentedEmbeddings(s, dir)
+      numPlanes: Int = 0, augmentPlanted: Boolean = false): DataFrame = {
+    val all = if (augmentPlanted) augmentedEmbeddings(s, dir) else baseEmbeddings(s, dir)
     // numPlanes <= 0 → corpus-count-adaptive: hold expected bucket
     // occupancy ~2 so within-bucket candidate pairs stay LINEAR in
     // corpus size (fixed planes made occupancy — and the candidate
@@ -658,7 +682,7 @@ object Dedup {
     val nP =
       if (numPlanes > 0) numPlanes
       else {
-        val n = Tables.rowCount(s, dir, "embeddings") + 64
+        val n = Tables.rowCount(s, dir, "embeddings") + (if (augmentPlanted) 64 else 0)
         math.max(12, math.ceil(math.log(n / 2.0) / math.log(2.0)).toInt)
       }
     val planes = Similarity.hyperplanes(nP, 64)
@@ -705,12 +729,18 @@ object Dedup {
     * balanced cells hold the compare volume near n^1.5 while the
     * assignment stays one map-only codegen'd scan. The corpus
     * shuffles exactly once, on the cell id; no all-pairs join exists
-    * at any scale. Runs over the same augmented corpus as
-    * [[dedupEmbedding]] so the planted copies make the drop set
-    * non-trivial at every SF. */
+    * at any scale.
+    *
+    * `augmentPlanted` injects the same planted near-dup family as
+    * [[dedupEmbeddingAnn]]'s opt-in (the registry/spec ground truth
+    * that makes the drop set non-trivial at every SF; note the exact
+    * [[dedupEmbedding]] runs UNAUGMENTED — the planted family belongs
+    * to the ANN/semantic oracle plumbing only). Default is the real
+    * corpus: production callers never see synthesized ids. */
   def dedupSemantic(s: SparkSession, dir: String, tau: Double = 0.9,
-                    codebook: Array[Array[Double]] = IvfCodebook.centroids): DataFrame = {
-    val assigned = augmentedEmbeddings(s, dir)
+                    codebook: Array[Array[Double]] = IvfCodebook.centroids,
+                    augmentPlanted: Boolean = false): DataFrame = {
+    val assigned = (if (augmentPlanted) augmentedEmbeddings(s, dir) else baseEmbeddings(s, dir))
       .withColumn("cell", Similarity.ivfCell(col("v"), codebook))
     val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
     val b = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
@@ -739,8 +769,10 @@ object Dedup {
     * Scale shape (the asymmetry is the point): the CORPUS side is
     * bucketed once, map-only, one narrow (id, bucket) row per vector —
     * it never explodes, never multi-probes. Only the SMALL reference
-    * side fans out over the radius-2 probe masks (79× a few thousand
-    * rows). Candidates join on bucket, then the codegen'd exact
+    * side fans out, over the margin-guided probe set (22 buckets per
+    * reference vector: flipping ≤2 of its 6 lowest-|margin| planes —
+    * constant fan-out × a few thousand rows). Candidates join on
+    * bucket, then the codegen'd exact
     * cosine verifies — false candidates cost verify work, never a
     * wrong answer. At 100 TB: corpus cost is one scan + one
     * bucket-keyed join of fixed-width rows; reference cost is

@@ -70,7 +70,7 @@ object Sources {
   /** Delete a managed-table directory left behind by a previous JVM:
     * the in-memory catalog forgot the table but saveAsTable refuses to
     * create over the orphaned location. Purely-derived state only. */
-  private def clearOrphanedLocation(s: SparkSession, table: String): Unit = {
+  private[graft] def clearOrphanedLocation(s: SparkSession, table: String): Unit = {
     val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir")).getPath
     val loc = java.nio.file.Paths.get(wh, table.toLowerCase)
     if (java.nio.file.Files.exists(loc)) {
@@ -100,6 +100,7 @@ object Sources {
     * tables) to halve that bound. */
   def compactBucketed(s: SparkSession, table: String, bucketCols: Seq[String],
                       numBuckets: Int): Unit = {
+    restoreInterruptedCompaction(s, table)
     val tmp = s"${table}_compacting"
     s.sql(s"DROP TABLE IF EXISTS $tmp")
     clearOrphanedLocation(s, tmp)
@@ -117,7 +118,35 @@ object Sources {
       case Some(v) => s.conf.set(k, v)
       case None => s.conf.unset(k)
     }
-    s.sql(s"DROP TABLE $table")
+    // Swap via rename-aside, never DROP-then-RENAME: a crash between a
+    // drop and the rename-in would leave the live name absent, and the
+    // next state-table lookup would silently rebuild from base data —
+    // losing every appended shard signature and re-admitting documents
+    // the dedup gate had already accepted. With rename-aside, every
+    // crash window leaves the data recoverable: before the first rename
+    // the live table is untouched; between the renames the old copy
+    // survives under `_compacting_old` (restoreInterruptedCompaction
+    // renames it back); after the second rename the fresh table is live
+    // and only the obsolete copy remains to be dropped.
+    val old = s"${table}_compacting_old"
+    s.sql(s"DROP TABLE IF EXISTS $old") // stale only if `table` is live (restored above)
+    clearOrphanedLocation(s, old)
+    s.sql(s"ALTER TABLE $table RENAME TO $old")
     s.sql(s"ALTER TABLE $tmp RENAME TO $table")
+    s.sql(s"DROP TABLE $old")
+  }
+
+  /** Recovery half of [[compactBucketed]]'s rename-aside swap: if a
+    * previous compaction crashed after renaming the live table aside
+    * but before renaming the fresh copy in, the only complete copy
+    * sits under `<table>_compacting_old`. Rename it back BEFORE any
+    * exists-check decides to rebuild the table from scratch (state
+    * tables rebuild from base data only — appended shards would be
+    * silently lost). Call sites: compactBucketed itself and
+    * [[graft.operators.Dedup.corpusStateTables]]'s rebuild gate. */
+  private[graft] def restoreInterruptedCompaction(s: SparkSession, table: String): Unit = {
+    val old = s"${table}_compacting_old"
+    if (!s.catalog.tableExists(table) && s.catalog.tableExists(old))
+      s.sql(s"ALTER TABLE $old RENAME TO $table")
   }
 }

@@ -61,9 +61,14 @@ object StreamingIngest {
         if (fs.exists(hPath)) {
           // replay of a batch whose sink write already committed: the
           // partition IS the accepted set — re-drive the idempotent
-          // append from it instead of re-gating against mutated state
+          // append from it instead of re-gating against mutated state.
+          // Read with the batch's EXPLICIT schema: a fully-redelivered
+          // batch commits an accepted set of zero rows, i.e. _SUCCESS
+          // with no data files, and schema inference over that would
+          // throw on every replay — a poison pill that wedges the
+          // stream on a batch that only needs an empty no-op append.
           Dedup.appendShardToCorpus(spark, dir,
-            spark.read.parquet(partDir).select("doc_id"),
+            spark.read.schema(batch.schema).parquet(partDir).select("doc_id"),
             shardMod = shardMod, numBuckets = numBuckets)
         } else {
           // within-batch dedup, deterministically (min doc_id per text

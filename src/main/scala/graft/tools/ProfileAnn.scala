@@ -43,9 +43,9 @@ object ProfileAnn {
       .distinct()
     val nc = timed("candidates (probe join + distinct)")(cands.count())
     println(s"[ann] candidate pairs: $nc")
-    val out = timed("full query")(Dedup.dedupEmbeddingAnn(spark, dir).count())
+    val out = timed("full query")(Dedup.dedupEmbeddingAnn(spark, dir, augmentPlanted = true).count())
     println(s"[ann] verified pairs: $out")
-    val out2 = timed("full query (2nd run)")(Dedup.dedupEmbeddingAnn(spark, dir).count())
+    val out2 = timed("full query (2nd run)")(Dedup.dedupEmbeddingAnn(spark, dir, augmentPlanted = true).count())
     println(s"[ann] verified pairs: $out2")
     spark.stop()
   }

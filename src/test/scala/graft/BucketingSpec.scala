@@ -137,6 +137,55 @@ class BucketingSpec extends SparkSpec {
     assert(Dedup.dedupIncrementalPersisted(spark, Sf, shardMod = shardMod).collect().toSeq == flagsAfter)
   }
 
+  test("append crash between the bands and hashes appends is repaired, not duplicated, on retry") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val shardMod = 19L // params private to this test → private state tables
+    val (bandsT, hashesT) = Dedup.corpusStateTables(spark, Sf, shardMod = shardMod)
+    val shardIds = Tables.documents(spark, Sf)
+      .filter(col("doc_id") % shardMod === 0).select("doc_id")
+    val nShard = shardIds.count()
+    def bandRows = spark.table(bandsT).filter(col("doc_id") % shardMod === 0).count()
+    def hashRows = spark.table(hashesT).filter(col("doc_id") % shardMod === 0).count()
+    assert(nShard > 0 && bandRows == 0 && hashRows == 0)
+    // crash AFTER the bands append lands, BEFORE the hashes append —
+    // the window where a shared membership check (reading only the
+    // hashes table) would re-append every band row on retry
+    intercept[RuntimeException] {
+      Dedup.appendShardToCorpus(spark, Sf, shardIds, shardMod = shardMod,
+        afterBands = () => throw new RuntimeException("injected crash between appends"))
+    }
+    assert(bandRows == nShard * 8 && hashRows == 0) // 32 perms / 4 rows-per-band
+    // retry fills in the missing hashes half WITHOUT duplicating bands
+    Dedup.appendShardToCorpus(spark, Sf, shardIds, shardMod = shardMod)
+    assert(bandRows == nShard * 8, "retry re-appended band rows for already-banded docs")
+    assert(hashRows == nShard)
+    // and a further retry is a full no-op
+    Dedup.appendShardToCorpus(spark, Sf, shardIds, shardMod = shardMod)
+    assert(bandRows == nShard * 8 && hashRows == nShard)
+  }
+
+  test("interrupted compaction swap: lookup restores the aside copy instead of rebuilding without appends") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val shardMod = 23L // params private to this test
+    val shardIds = Tables.documents(spark, Sf)
+      .filter(col("doc_id") % shardMod === 0).select("doc_id")
+    val (_, hashesT) = Dedup.corpusStateTables(spark, Sf, shardMod = shardMod)
+    Dedup.appendShardToCorpus(spark, Sf, shardIds, shardMod = shardMod)
+    val nShard = shardIds.count()
+    def appended = spark.table(hashesT).filter(col("doc_id") % shardMod === 0).count()
+    assert(nShard > 0 && appended == nShard)
+    // simulate a compaction that crashed between rename-aside and
+    // rename-in: the live name is absent, the only complete copy
+    // (appended shard included) sits under _compacting_old
+    spark.sql(s"ALTER TABLE $hashesT RENAME TO ${hashesT}_compacting_old")
+    val (_, hashesT2) = Dedup.corpusStateTables(spark, Sf, shardMod = shardMod)
+    assert(hashesT2 == hashesT)
+    assert(appended == nShard,
+      "state was rebuilt from base docs — appended shard signatures silently lost")
+  }
+
   test("dedup_incremental_persisted matches the recompute formulation row-for-row") {
     import graft.operators.Dedup
     val persisted = Dedup.dedupIncrementalPersisted(spark, Sf).collect()

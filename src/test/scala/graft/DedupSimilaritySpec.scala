@@ -49,7 +49,7 @@ class DedupSimilaritySpec extends SparkSpec {
       .filter(col("cosine") >= 0.9)
       .select("id_a", "id_b", "cosine")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val ann = Dedup.dedupEmbeddingAnn(spark, Sf)
+    val ann = Dedup.dedupEmbeddingAnn(spark, Sf, augmentPlanted = true)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(exact.nonEmpty, "augmentation must plant near-dup pairs")
     assert(ann == exact,
@@ -60,7 +60,7 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("dedup_semantic drops exactly the higher-id members of within-cell near-dup pairs") {
     import org.apache.spark.sql.functions._
-    val out = Dedup.dedupSemantic(spark, Sf).collect()
+    val out = Dedup.dedupSemantic(spark, Sf, augmentPlanted = true).collect()
     val cellOf = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
     val dropped = out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
     // reconstruct the expected drop set from the operator's own cell

@@ -337,4 +337,62 @@ class StreamingSpec extends SparkSpec {
     assert(ids == (1L to 9L), s"expected exactly 1..9, got $ids") // no dup, no loss
     assert(out.select("batch_id").distinct().count() == 3)
   }
+
+  test("replay of a fully-redelivered (empty-accept) batch recovers instead of wedging the stream") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    // a batch whose docs are ALL rejected commits a partition holding
+    // _SUCCESS and zero data files; if a crash then lands before the
+    // commit-log record, every replay re-reads that partition — a
+    // schema-inference read would throw there forever (poison pill)
+    val shardMod = 29L // params private to this test → private state tables
+    val base = java.nio.file.Files.createTempDirectory("graft-emptyb").toString
+    val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+    new java.io.File(srcDir).mkdirs()
+    val schema = StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))
+    def writeSrc(rows: Seq[(Long, String)]): Unit = {
+      import spark.implicits._
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(srcDir)
+    }
+    def src = spark.readStream.schema(schema).parquet(srcDir)
+    Dedup.corpusStateTables(spark, Sf, shardMod = shardMod) // build state once
+    val docs = Tables.documents(spark, Sf).filter(col("doc_id") % shardMod === 0)
+      .select("doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).take(6).toSeq
+    assert(docs.nonEmpty)
+
+    // batch 0 accepts the docs; batch 1 is a FULL re-delivery (accepted
+    // set empty) and crashes after all effects, before the commit
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    writeSrc(docs)
+    val q1 = StreamingIngest.dedupedIngest(Sf, src, outDir, ckpt, shardMod = shardMod,
+      afterBatch = { id =>
+        if (id >= 1 && crashed.compareAndSet(false, true))
+          throw new RuntimeException("injected crash on the empty-accept batch")
+      })
+    q1.processAllAvailable()
+    writeSrc(docs) // full re-delivery → empty accepted set
+    try { q1.processAllAvailable(); q1.awaitTermination() } catch { case _: Exception => () }
+    assert(crashed.get, "crash injection never fired")
+    val emptyPart = new java.io.File(outDir, "batch_id=1")
+    assert(emptyPart.exists && new java.io.File(emptyPart, "_SUCCESS").exists)
+    // whether an empty write leaves zero part files or one empty part
+    // file is plan-dependent (AQE empty-relation propagation) — force
+    // the worst shape, _SUCCESS with NO data files, which is the same
+    // empty accepted set either way
+    emptyPart.listFiles.filter(_.getName.endsWith(".parquet")).foreach(f => assert(f.delete()))
+    assert(!emptyPart.listFiles.exists(_.getName.endsWith(".parquet")))
+
+    // restart: batch 1 must replay as an empty-manifest no-op, then the
+    // stream must keep processing new arrivals
+    val q2 = StreamingIngest.dedupedIngest(Sf, src, outDir, ckpt, shardMod = shardMod)
+    q2.processAllAvailable()
+    writeSrc(Seq((9000001L, "a genuinely new document for the recovery batch")))
+    q2.processAllAvailable()
+    q2.stop()
+    val out = spark.read.parquet(outDir).select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out.distinct.size == out.size, s"sink has duplicates: $out")
+    assert(out.toSet == docs.map(_._1).toSet + 9000001L,
+      s"stream did not recover past the empty-accept replay: $out")
+  }
 }
