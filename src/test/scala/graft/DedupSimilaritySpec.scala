@@ -58,6 +58,62 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exact.size >= 64 && exact.forall(_._3 >= 0.99))
   }
 
+  test("dedup_embedding_ann recall holds when the ADAPTIVE plane count engages (nP > 12)") {
+    import org.apache.spark.sql.functions._
+    // The corpus-adaptive plane count only exceeds the oracle-verified
+    // 12 beyond the driver SFs (n/2 > 4096), where the all-pairs DuckDB
+    // oracle can't follow — so correctness there needs its own gate.
+    // Build a 10k-vector deterministic corpus: ids 5000..5199 are
+    // eps-perturbed copies of 0..199 (in-base true pairs at cos≈0.9998,
+    // sitting at arbitrary bucket margins), everything else i.i.d.
+    // gaussian (cross cosines concentrate in ±0.125·k, so τ=0.9 keeps
+    // exactly the planted families). Assert: ANN output restricted to a
+    // sampled slice EQUALS the exact scan of that slice vs the whole
+    // corpus — candidate recall 1.0 with more planes than the spec'd
+    // SFs ever use.
+    val n = 10000
+    val dim = 64
+    assert(math.ceil(math.log((n + 64) / 2.0) / math.log(2.0)).toInt > 12,
+      "test corpus too small to engage the adaptive plane count")
+    val dir = java.nio.file.Files.createTempDirectory("graft-annadapt").toString
+    def gauss(seed: Int): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextGaussian())
+    }
+    val vecs: Array[Array[Double]] = (0 until n).map { i =>
+      if (i >= 5000 && i < 5200) {
+        val src = gauss(i - 5000); val p = gauss(i)
+        src.zip(p).map { case (x, e) => x + 0.02 * e }
+      } else gauss(i)
+    }.toArray
+    import spark.implicits._
+    vecs.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.map(_.toFloat)) }.toSeq
+      .toDF("vec_id", "embedding")
+      .repartition(8).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val ann = Dedup.dedupEmbeddingAnn(spark, dir, augmentPlanted = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sampled slice: both planted families, their augmented copies, and
+    // a spread of arbitrary ids
+    val slice = ((0 until 200) ++ (5000 until 5200) ++ (0 until n by 251))
+      .map(_.toLong).toSet ++ (1000000L until 1000064L)
+    val all = Dedup.augmentedEmbeddings(spark, dir)
+    val sliceDf = all.filter(col("id").isInCollection(slice))
+      .select(col("id").as("id_a"), col("v").as("va"))
+    val exact = sliceDf.crossJoin(all.select(col("id").as("id_b"), col("v").as("vb")))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(round(graft.functions.VectorFunctions.cosine_similarity(col("va"), col("vb")), 4) >= 0.9)
+      .select(least(col("id_a"), col("id_b")).as("a"), greatest(col("id_a"), col("id_b")).as("b"))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // both planted families must be non-trivially present
+    assert(exact.size >= 264, s"expected >=264 true slice pairs, got ${exact.size}")
+    val annSlice = ann.filter { case (a, b) => slice(a) || slice(b) }
+    assert(exact == annSlice,
+      s"adaptive-plane ANN missed ${(exact -- annSlice).size}, extra ${(annSlice -- exact).size}")
+  }
+
   test("dedup_semantic drops exactly the higher-id members of within-cell near-dup pairs") {
     import org.apache.spark.sql.functions._
     val out = Dedup.dedupSemantic(spark, Sf, augmentPlanted = true).collect()
