@@ -172,6 +172,40 @@ object TextAnalysis {
       i => array_min(slice(hs, i + lit(1), lit(w)))))
   }
 
+  /** Winnowing on the oracle-reproducible md5-60 hash family: the
+    * identical window-minimum scheme as [[winnowFingerprints]], but
+    * each position's n-gram hash is the 60-bit md5 prefix DuckDB
+    * recomputes bit-for-bit (`('0x'||substr(md5(x),1,15))::BIGINT`) —
+    * turning winnowing from spec-only into a hash-verified query. The
+    * rolling-hash form stays the production hot path (one O(len) pass
+    * vs O(len·n) md5 slicing); this twin exists so the SCHEME (window
+    * minima, then distinct) is oracle-checked end to end. */
+  def winnowFingerprintsMd5(textCol: Column, n: Int = 8, w: Int = 4): Column = {
+    val lowered = lower(textCol)
+    val hs = transform(
+      sequence(lit(1), greatest(length(lowered) - lit(n - 1), lit(1))),
+      i => conv(substring(md5(lowered.substr(i, lit(n))), 1, 15), 16, 10).cast("long"))
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(hs) - w, lit(0))),
+      i => array_min(slice(hs, i + lit(1), lit(w)))))
+  }
+
+  /** `text_winnow`: per-document winnowing-fingerprint projection
+    * (count / min / max of the distinct selected fingerprints) on the
+    * md5-60 family — the oracle-checkable face of the winnow scheme.
+    * Map-only; at 100 TB the fingerprint arrays never shuffle (a
+    * plagiarism-index consumer would explode + groupBy fingerprint,
+    * which shuffles fixed-width longs only). */
+  def textWinnow(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), winnowFingerprintsMd5(col("text")).as("fps"))
+      .select(
+        col("doc_id"),
+        size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("min_fp"),
+        array_max(col("fps")).as("max_fp"))
+      .orderBy("doc_id")
+
   /** Unigram-LM quality score: mean log10 unigram probability of each
     * document under the corpus's own unigram distribution — the
     * classic LM-filter signal (low score = gibberish / boilerplate).
