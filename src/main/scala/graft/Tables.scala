@@ -19,10 +19,14 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame = apply(s, dir, "part")
   def nation(s: SparkSession, dir: String): DataFrame = apply(s, dir, "nation")
   def region(s: SparkSession, dir: String): DataFrame = apply(s, dir, "region")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark
-    * only reads as a long via `spark.sql.legacy.parquet.nanosAsLong`
-    * (set in Verify/Bench sessions). Normalize back to a timestamp so
-    * downstream operators are type-agnostic about the source session. */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (readable only
+    * as a long via `spark.sql.legacy.parquet.nanosAsLong`) and, in newer
+    * generator output, as TIMESTAMP(MICROS) with isAdjustedToUTC=false,
+    * which Spark 4 surfaces as TIMESTAMP_NTZ. Normalize both to plain
+    * TIMESTAMP so downstream operators (`unix_micros`, event-time
+    * watermarks, epoch casts) are agnostic to the generator's choice.
+    * Sessions here run with UTC session timezone, so the NTZ→TZ cast is
+    * a wall-clock identity — the same instants DuckDB sees. */
   def events(s: SparkSession, dir: String): DataFrame = {
     val df = apply(s, dir, "events")
     df.schema("ts").dataType match {
@@ -32,6 +36,9 @@ object Tables {
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }
