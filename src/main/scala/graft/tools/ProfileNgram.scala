@@ -20,7 +20,7 @@ object ProfileNgram {
     def time[T](label: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
-      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2f s (n=$r)")
       r
     }
 
@@ -48,17 +48,25 @@ object ProfileNgram {
     ordered.cache().count()
 
     val ex = ordered
-      .withColumn("sh", explode(
-        slice(col("by_rarity"), lit(1), (col("sz") - ceil(col("sz") * tau) + 1).cast("int"))))
-      .select("doc_id", "sz", "sh")
+      .select(col("doc_id"), col("sz"),
+        posexplode(slice(col("by_rarity"), lit(1), (col("sz") - ceil(col("sz") * tau) + 1).cast("int"))))
+      .select(col("doc_id"), col("sz"), (col("pos") + 1).as("rk"), col("col").as("sh"))
     time("5 prefix explode")(ex.count())
 
-    val cands = ex.select(col("doc_id").as("id_a"), col("sz").as("pa"), col("sh"))
-      .join(ex.select(col("doc_id").as("id_b"), col("sz").as("pb"), col("sh")), Seq("sh"))
+    val joined = ex.select(col("doc_id").as("id_a"), col("sz").as("pa"), col("rk").as("ra"), col("sh"))
+      .join(ex.select(col("doc_id").as("id_b"), col("sz").as("pb"), col("rk").as("rb"), col("sh")), Seq("sh"))
       .filter(col("id_a") < col("id_b") &&
         col("pa") >= ceil(col("pb") * tau) && col("pb") >= ceil(col("pa") * tau))
-      .select("id_a", "id_b").distinct()
-    time("6 candidate join+distinct")(cands.count())
+      .groupBy("id_a", "id_b")
+      .agg(min("ra").as("ia"), min("rb").as("ib"),
+        first("pa").as("pa"), first("pb").as("pb"))
+    time("6a length-filtered pairs")(joined.count())
+    val tFrac = tau / (1.0 + tau)
+    val cands = joined
+      .filter(lit(1) + least(col("pa") - col("ia"), col("pb") - col("ib")) >=
+        lit(tFrac) * (col("pa") + col("pb")) - lit(1e-9))
+      .select("id_a", "id_b")
+    time("6b positional filter")(cands.count())
     cands.cache().count()
 
     val withSets = cands
