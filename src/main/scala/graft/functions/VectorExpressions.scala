@@ -525,6 +525,82 @@ case class LshProbeBuckets(child: Expression, planes: Array[Array[Double]], flip
   * the plane's inverse norm — the vector's own norm is a common
   * positive factor across planes, so the ranking equals the
   * |cosine| ranking; ties break toward the lower plane index. */
+/** Hard IVF cell assignment (argmax centroid cosine, ties → lowest
+  * cell index) against a fixed codebook, as ONE kernel loop. Replaces
+  * the `array_max` over per-centroid `(cosine, -idx)` struct literals,
+  * whose expression tree grew LINEARLY with nlist — at the re-fit
+  * codebook sizes the nlist lever needs (√n cells), the struct
+  * formulation fell out of whole-stage codegen and assignment cost
+  * scaled with the codebook instead of the corpus (measured on the
+  * 10× replica set: 2.9 s at nlist=16 → 24.7 s at nlist=141 for the
+  * SAME within-cell work). The codebook rides along as a codegen
+  * reference object, exactly like [[LshBucket]]'s plane family.
+  *
+  * Bit-identical to the struct formulation for real inputs: the
+  * per-centroid cosine runs the same accumulate order as
+  * [[CosineSimilarity]], and strict `>` keeps the first (lowest-index)
+  * cell on exact ties, matching `array_max`'s `(ccos, -idx)` order.
+  * (Degenerate difference: the struct path orders -0.0 < 0.0 and
+  * NaN largest; the kernel treats -0.0 == 0.0 and never selects NaN —
+  * unreachable for finite embeddings and a zero-free codebook.) */
+case class IvfCell(child: Expression, centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "ivf_cell"
+
+  @transient private lazy val dim: Int = if (centroids.isEmpty) 0 else centroids(0).length
+  @transient private lazy val flat: Array[Double] = centroids.flatten
+
+  override def nullSafeEval(a: Any): Any =
+    IvfKernel.cell(a.asInstanceOf[ArrayData], flat, centroids.length, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCentroidsFlat", flat, "double[]")
+    defineCodeGen(ctx, ev, x =>
+      s"graft.functions.IvfKernel.cell($x, $cRef, ${centroids.length}, $dim)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object IvfKernel {
+  def cell(v: ArrayData, flat: Array[Double], k: Int, dim: Int): Int = {
+    val n = math.min(dim, v.numElements())
+    // |v|² accumulates in the same element order as CosineSimilarity's
+    // interleaved loop — addition order decides the double, so the
+    // cosines below match the struct formulation bit-for-bit
+    var nx = 0.0
+    var i = 0
+    while (i < n) { val xi = v.getDouble(i); nx += xi * xi; i += 1 }
+    var best = Double.NegativeInfinity
+    var bestIdx = 0
+    var c = 0
+    while (c < k) {
+      val off = c * dim
+      var dot = 0.0
+      var ny = 0.0
+      i = 0
+      while (i < n) {
+        val xi = v.getDouble(i); val yi = flat(off + i)
+        dot += xi * yi; ny += yi * yi
+        i += 1
+      }
+      val denom = math.sqrt(nx) * math.sqrt(ny)
+      val cos = if (denom == 0.0) 0.0 else dot / denom
+      if (cos > best) { best = cos; bestIdx = c }
+      c += 1
+    }
+    bestIdx
+  }
+}
+
 object LshKernel {
   def bucket(v: ArrayData, planesFlat: Array[Double], nP: Int, dim: Int): Long = {
     val n = math.min(dim, v.numElements())
@@ -623,6 +699,10 @@ object VectorFunctions {
     * first) against a fixed plane family. */
   def lsh_probe_buckets(v: Column, planes: Array[Array[Double]], flip: Int): Column =
     GraftColumnBridge.column(LshProbeBuckets(GraftColumnBridge.expression(v), planes, flip))
+
+  /** Column API: hard IVF cell assignment against a fixed codebook. */
+  def ivf_cell(v: Column, centroids: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(IvfCell(GraftColumnBridge.expression(v), centroids))
 
   /** Column API: full minhash signature of a shingle-hash array. */
   def minhash_signature(c: Column, numPerms: Int): Column =

@@ -660,13 +660,24 @@ object Dedup {
     * TRUTH ONLY: operators take it via an explicit `augmentPlanted`
     * opt-in (the registry and specs set it; the default is the real
     * corpus, so a production caller never sees phantom pairs against
-    * vectors that don't exist in their data). */
+    * vectors that don't exist in their data).
+    *
+    * The `pmod(id, 2^20)` inside the ramp is overflow armor, not
+    * semantics: it is an identity for every real input (id < nPlant ≤
+    * 2^20, so the oracle SQL — which has no pmod — is unchanged), but
+    * keeps the multiply inside a long when the expression is evaluated
+    * speculatively on LARGE ids. That happens in practice: a downstream
+    * join's inferred `isnotnull(cell)` constraint is pushed through the
+    * union into this branch, and FilterExec evaluates null-intolerant
+    * predicates BEFORE the `id < nPlant` conjunct — at replica-scale
+    * ids (~9·10⁸) the unguarded ramp overflowed ANSI long arithmetic
+    * and killed the job (found on the 10× set, round 8). */
   private[graft] def augmentedEmbeddings(s: SparkSession, dir: String,
       nPlant: Int = 64, eps: Double = 0.02, plantOffset: Long = 1000000L): DataFrame = {
     val base = baseEmbeddings(s, dir)
     val planted = base.filter(col("id") < nPlant)
       .select((col("id") + plantOffset).as("id"),
-        expr(s"transform(v, (x, i) -> x + $eps * ((((id * 64 + i) * 2654435761) % 2001) - 1000) / 1000.0)").as("v"))
+        expr(s"transform(v, (x, i) -> x + $eps * ((((pmod(id, 1048576) * 64 + i) * 2654435761) % 2001) - 1000) / 1000.0)").as("v"))
     base.union(planted)
   }
 
@@ -812,7 +823,7 @@ object Dedup {
         expr("transform(embedding, x -> cast(x as double))").as("v"))
     val refs = corpus.filter(col("id") < nPlant)
       .select((col("id") + refOffset).as("ref_id"),
-        expr(s"transform(v, (x, i) -> x + $eps * ((((id * 64 + i) * 2654435761) % 2001) - 1000) / 1000.0)").as("rv"))
+        expr(s"transform(v, (x, i) -> x + $eps * ((((pmod(id, 1048576) * 64 + i) * 2654435761) % 2001) - 1000) / 1000.0)").as("rv"))
     val planes = Similarity.hyperplanes(numPlanes, 64)
     val cbuck = corpus
       .withColumn("bucket", Similarity.lshBucket(col("v"), planes))

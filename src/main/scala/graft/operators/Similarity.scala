@@ -155,9 +155,15 @@ object Similarity {
     }: _*)
 
   /** Hard IVF cell assignment (argmax centroid cosine, ties → lowest
-    * cell) as one map-only expression. */
-  private[operators] def ivfCell(v: Column, codebook: Array[Array[Double]]): Column =
-    (-array_max(ivfCellStructs(v, codebook)).getField("negidx")).cast("int")
+    * cell) as one map-only fused kernel ([[graft.functions.IvfCell]])
+    * whose cost per row is O(nlist·dim) arithmetic with a
+    * codebook-size-independent expression tree — the form that keeps
+    * the nlist lever usable (the former struct/array_max expression
+    * grew with nlist and fell out of codegen at re-fit codebook
+    * sizes). `private[graft]` so the measurement tools (nlist-lever
+    * profiling) can assign against re-fit codebooks. */
+  private[graft] def ivfCell(v: Column, codebook: Array[Array[Double]]): Column =
+    graft.functions.VectorFunctions.ivf_cell(v, codebook)
 
   /** ANN top-k via IVF (inverted-file) coarse quantization against the
     * frozen [[IvfCodebook]] (spherical k-means trained offline on a
@@ -174,8 +180,11 @@ object Similarity {
                 codebook: Array[Array[Double]] = IvfCodebook.centroids): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    // corpus side: fused-kernel assignment (scales with corpus, not
+    // with the expression tree); the struct form survives only on the
+    // nQueries-row probe side below, which needs per-cell scores
     val cells = ivfCellStructs(col("v"), codebook)
-    val assigned = e.withColumn("bucket", (-array_max(cells).getField("negidx")).cast("int"))
+    val assigned = e.withColumn("bucket", ivfCell(col("v"), codebook))
     val probes = e.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("v").as("qv"), explode(cells).as("p"))
       .withColumn("pr", row_number().over(
