@@ -121,7 +121,9 @@ object SparkEntry {
     "mm_meta" -> (Multimodal.mmMeta(_, _)),
     "mm_decode" -> (Multimodal.mmDecodeChecked(_, _)),
     "mm_decode_real" -> (Multimodal.mmDecodeReal(_, _)),
+    "mm_decode_wav" -> (Multimodal.mmDecodeWav(_, _)),
     "mm_frame_sample" -> ((s, d) => Multimodal.mmFrameSampleChecked(s, d)),
+    "text_winnow" -> (TextAnalysis.textWinnow(_, _)),
     // §2.1 reference ML surface
     "ml_train_predict" -> (mlTrainPredict(_, _)),
     "ml_feature_vectorize" -> (mlFeatureVectorize(_, _)),
@@ -1180,6 +1182,57 @@ object SparkEntry {
         |  GROUP BY doc_id
         |)
         |SELECT * FROM pngrows UNION ALL SELECT * FROM rawrows ORDER BY doc_id""".stripMargin,
+    // the WAV rows' expected decode output in closed form (PCM samples
+    // are a deterministic function of doc_id — see Multimodal.wavBytes;
+    // PCM is lossless so the JDK decoder must recover them exactly);
+    // raw rows mirror the stub byte-sum. n_bytes is PCM data length
+    // (2·n_samples) for audio rows, so no RIFF container knowledge
+    // leaks into the oracle.
+    "mm_decode_wav" ->
+      """WITH wav AS (
+        |  SELECT doc_id, 16 + doc_id % 16 AS n, 1 + doc_id % 7 AS step
+        |  FROM documents WHERE doc_id % 5 = 0
+        |),
+        |samples AS (
+        |  SELECT w.doc_id, ((s.i * w.step * 257 + w.doc_id) % 65536) - 32768 AS v
+        |  FROM wav w CROSS JOIN range(0, 32) s(i) WHERE s.i < w.n
+        |),
+        |wavrows AS (
+        |  SELECT doc_id, 'wav' AS format, count(*)::BIGINT AS n_samples,
+        |         sum(v)::BIGINT AS sum_s, min(v)::BIGINT AS min_s,
+        |         max(v)::BIGINT AS max_s, (2 * count(*))::BIGINT AS n_bytes
+        |  FROM samples GROUP BY doc_id
+        |),
+        |rawrows AS (
+        |  SELECT doc_id, 'raw' AS format, 0::BIGINT AS n_samples,
+        |         sum(unicode(substr(text, CAST(i AS INT), 1)))::BIGINT AS sum_s,
+        |         0::BIGINT AS min_s, 0::BIGINT AS max_s,
+        |         max(strlen(text))::BIGINT AS n_bytes
+        |  FROM (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i
+        |        FROM documents WHERE doc_id % 5 <> 0)
+        |  GROUP BY doc_id
+        |)
+        |SELECT * FROM wavrows UNION ALL SELECT * FROM rawrows ORDER BY doc_id""".stripMargin,
+    // winnowing on the md5-60 family: window minima over the n-gram
+    // hash sequence, then distinct — the scheme itself (not just the
+    // library column) oracle-checked end to end
+    "text_winnow" ->
+      """WITH hs AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+        |      i -> ('0x' || substr(md5(substr(lower(text), CAST(i AS INT), 8)), 1, 15))::BIGINT) AS h
+        |  FROM documents
+        |),
+        |fps AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(0, greatest(len(h) - 4, 0) + 1),
+        |      i -> list_aggregate(h[CAST(i + 1 AS INT):CAST(i + 4 AS INT)], 'min'))) AS fp
+        |  FROM hs
+        |)
+        |SELECT doc_id, len(fp)::BIGINT AS n_fp,
+        |       list_aggregate(fp, 'min') AS min_fp,
+        |       list_aggregate(fp, 'max') AS max_fp
+        |FROM fps ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
       ("""WITH b AS (
         |  SELECT doc_id, CAST((i-1)//64 AS BIGINT) AS frame_idx,

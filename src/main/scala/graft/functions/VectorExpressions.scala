@@ -233,6 +233,148 @@ object NgramHashes {
   }
 }
 
+/** All byte-window n-gram hashes on the ORACLE-REPRODUCIBLE md5-60
+  * family, one kernel pass per row — the codegen'd replacement for
+  * `transform(sequence(...), i -> conv(substring(md5(substr(text, i,
+  * n)), 1, 15), 16, 10))`: that HOF chain is interpreted (higher-order
+  * lambdas never codegen), re-runs the inner `lower()`/substr per
+  * position, and allocates a digest per call. Byte windows equal char
+  * windows on ASCII corpora (same caveat as [[NgramHashes]]); the md5
+  * runs on a reused ThreadLocal digest over the in-place byte slice.
+  * Emits `len <= n` → one hash of the whole string, else `len - n + 1`
+  * window hashes — mirroring the substring formulation's position
+  * count, so the DuckDB oracle replays it bit-for-bit. */
+case class Md5NgramHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) =>
+        if (!right.foldable)
+          TypeCheckResult.TypeCheckFailure(s"$prettyName requires a literal window size")
+        else right.eval() match {
+          case n: Integer if n >= 1 => TypeCheckResult.TypeCheckSuccess
+          case other => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires window size >= 1, got $other")
+        }
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int), got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_ngram_hashes"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val bytes = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Md5NgramHashes.hashes(bytes, b.asInstanceOf[Int]))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, nn) =>
+      s"""
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.Md5NgramHashes.hashes($s.getBytes(), $nn));
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Md5NgramHashes {
+  def hashes(bytes: Array[Byte], n: Int): Array[Long] = {
+    val len = bytes.length
+    if (len <= n) Array(SimhashKernel.hash60Slice(bytes, 0, len))
+    else {
+      val out = new Array[Long](len - n + 1)
+      var i = 0
+      while (i <= len - n) {
+        out(i) = SimhashKernel.hash60Slice(bytes, i, n)
+        i += 1
+      }
+      out
+    }
+  }
+}
+
+/** Distinct sliding-window-of-`w` minima of an array<long> column —
+  * the winnow SELECTION step as one monotonic-deque pass (O(m) total)
+  * instead of `transform(sequence(...), i -> array_min(slice(hs, i+1,
+  * w)))` (interpreted, O(m·w), one slice allocation per window — at
+  * sf0.1 that HOF step alone held `text_winnow` at 1.8 s in a single
+  * task). Output order is first occurrence in window order, matching
+  * `array_distinct` over the per-window minima sequence; windows are
+  * the `m − w + 1` full slices (one whole-array window when m < w),
+  * exactly the `sequence(0, greatest(m − w, 0))` slice family. */
+case class WinnowMinima(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), IntegerType) =>
+        if (!right.foldable)
+          TypeCheckResult.TypeCheckFailure(s"$prettyName requires a literal window size")
+        else right.eval() match {
+          case w: Integer if w >= 1 => TypeCheckResult.TypeCheckSuccess
+          case other => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires window size >= 1, got $other")
+        }
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<bigint>, int), got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_minima"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      WinnowMinima.minima(a.asInstanceOf[ArrayData], b.asInstanceOf[Int]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (h, w) =>
+      s"""
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.WinnowMinima.minima($h, $w));
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object WinnowMinima {
+  def minima(h: ArrayData, w: Int): Array[Long] = {
+    val m = h.numElements()
+    if (m == 0) return Array.empty[Long]
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (m <= w) {
+      var mn = h.getLong(0)
+      var i = 1
+      while (i < m) { val v = h.getLong(i); if (v < mn) mn = v; i += 1 }
+      seen.add(mn)
+    } else {
+      // monotonic deque of candidate indices; ties pop the earlier
+      // index, which leaves the same minimum VALUE per window — the
+      // only thing the distinct set observes
+      val dq = new Array[Int](m)
+      var head = 0; var tail = 0
+      var i = 0
+      while (i < m) {
+        val v = h.getLong(i)
+        while (tail > head && h.getLong(dq(tail - 1)) >= v) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) seen.add(h.getLong(dq(head)))
+        i += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    out
+  }
+}
+
 /** The full minhash signature of a shingle-hash array in ONE map-side
   * pass — `numPerms` running minima of `(h % p · a_i + b_i) % p` over
   * the array, with the same splitmix permutation constants
@@ -391,6 +533,19 @@ object SimhashKernel {
     val d = md.get()
     d.reset()
     val dig = d.digest(bytes)
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (dig(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
+  /** [[hash60]] over a byte slice — the window form, digesting
+    * in-place so the n-gram scan below never copies a window. */
+  def hash60Slice(bytes: Array[Byte], off: Int, len: Int): Long = {
+    val d = md.get()
+    d.reset()
+    d.update(bytes, off, len)
+    val dig = d.digest()
     var h = 0L
     var i = 0
     while (i < 8) { h = (h << 8) | (dig(i) & 0xffL); i += 1 }
@@ -686,6 +841,18 @@ object VectorFunctions {
     GraftColumnBridge.column(
       NgramHashes(GraftColumnBridge.expression(c),
         org.apache.spark.sql.catalyst.expressions.Literal(n)))
+
+  /** Column API: all n-gram md5-60 hashes of a string column. */
+  def md5_ngram_hashes(c: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      Md5NgramHashes(GraftColumnBridge.expression(c),
+        org.apache.spark.sql.catalyst.expressions.Literal(n)))
+
+  /** Column API: distinct sliding-window minima of a hash array. */
+  def winnow_minima(c: Column, w: Int): Column =
+    GraftColumnBridge.column(
+      WinnowMinima(GraftColumnBridge.expression(c),
+        org.apache.spark.sql.catalyst.expressions.Literal(w)))
 
   /** Column API: 64-bit SimHash of a token array. */
   def simhash64(c: Column): Column =

@@ -219,7 +219,113 @@ object Multimodal {
   private[graft] def sniffFormat(bytes: Array[Byte]): String =
     if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8) "jpeg"
     else if (bytes.length >= 4 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') "png"
+    else if (bytes.length >= 12 && bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E') "wav"
     else "raw"
+
+  // --- real codec path #2: WAV via javax.sound.sampled (also inside
+  // the JDK — the audio modality with zero new dependencies) -----------
+
+  /** Synthesizes a REAL, valid RIFF/WAVE payload (PCM signed 16-bit
+    * little-endian mono @ 8 kHz) whose samples are a closed-form
+    * function of `docId` — the [[pngBytes]] trick for the audio
+    * modality: `n = 16 + id%16` samples,
+    * `sample(i) = ((i·(1 + id%7)·257 + id) mod 65536) − 32768`.
+    * PCM is lossless, so a correct decoder must recover these
+    * exactly, and a SQL oracle can aggregate them without a codec. */
+  private[graft] def wavBytes(docId: Long): Array[Byte] = {
+    val n = (16 + docId % 16).toInt
+    val step = (1 + docId % 7).toInt
+    val pcm = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) {
+      val v = (((i.toLong * step * 257 + docId) % 65536L) - 32768L).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode: hands the bytes to the JDK's WAV reader and
+    * reduces the PCM stream to (n_samples, sum, min, max). None when
+    * the bytes aren't decodable 16-bit mono PCM — caller degrades to
+    * the raw path instead of failing the partition. */
+  private[graft] def decodeWav(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || fmt.isBigEndian ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+      else {
+        val data = ais.readAllBytes()
+        val n = data.length / 2
+        if (n == 0) None
+        else {
+          var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+          var i = 0
+          while (i < n) {
+            val v = (((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort).toLong
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            i += 1
+          }
+          Some((n.toLong, sum, mn, mx))
+        }
+      }
+    } catch { case _: Exception => None }
+
+  private val wavSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("format", StringType),
+    StructField("n_samples", LongType),
+    StructField("sum_s", LongType),
+    StructField("min_s", LongType),
+    StructField("max_s", LongType),
+    StructField("n_bytes", LongType)))
+
+  /** Mixed real/stub AUDIO decode (`mm_decode_wav`): every 5th
+    * document carries a real synthesized WAV, the rest raw UTF-8
+    * bytes; dispatch on the sniffed RIFF/WAVE magic, decode through
+    * the in-JDK codec, degrade to the raw byte-sum path on corrupt
+    * payloads. Same map-only 100 TB shape as [[mmDecodeReal]] —
+    * payload bytes never leave their partition — making the
+    * multimodal story two-modality with zero new dependencies.
+    * `n_bytes` is decoder-derived PCM data length (2·n_samples) for
+    * audio rows and payload length for raw rows, so the oracle needs
+    * no knowledge of the RIFF container layout. */
+  def mmDecodeWav(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(wavSchema)
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val payload =
+            if (id % 5 == 0) wavBytes(id)
+            else r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          def rawRow = {
+            var sum = 0L; var i = 0
+            while (i < payload.length) { sum += payload(i) & 0xff; i += 1 }
+            Row(id, "raw", 0L, sum, 0L, 0L, payload.length.toLong)
+          }
+          sniffFormat(payload) match {
+            case "wav" =>
+              decodeWav(payload) match {
+                case Some((n, sum, mn, mx)) => Row(id, "wav", n, sum, mn, mx, 2 * n)
+                case None => rawRow
+              }
+            case _ => rawRow
+          }
+        }
+      }(enc)
+      .orderBy("doc_id")
+  }
 
   private val realSchema = StructType(Seq(
     StructField("doc_id", LongType),

@@ -165,40 +165,61 @@ object TextAnalysis {
     * ~2/(w+1). Built on the codegen'd `ngram_hashes`; pure map-side
     * array expressions (hash-valued output → spec-checked, not
     * oracle-checked). */
-  def winnowFingerprints(textCol: Column, n: Int = 8, w: Int = 4): Column = {
-    val hs = graft.functions.VectorFunctions.ngram_hashes(lower(textCol), n)
+  def winnowFingerprints(textCol: Column, n: Int = 8, w: Int = 4): Column =
+    winnowSelectMinima(
+      graft.functions.VectorFunctions.ngram_hashes(lower(textCol), n), w)
+
+  /** The winnow SELECTION step alone: distinct window-of-`w` minima
+    * over an n-gram hash array, as the codegen'd monotonic-deque
+    * kernel [[graft.functions.WinnowMinima]] (one O(m) pass). The
+    * first formulation — `transform(sequence(...), i ->
+    * array_min(slice(hs, i+1, w)))` with `hs` a Scala `val` — had two
+    * compounding traps: a `val` only aliases the expression SUBTREE,
+    * so the whole hash pass re-evaluated inside the window lambda
+    * body (O(positions²) per document — a >600 s single-task stall at
+    * sf0.1), and even with the hash array bound in its own
+    * projection, the interpreted per-window slice/min step still held
+    * `text_winnow` at 1.8 s. The kernel form makes both moot: every
+    * argument evaluates once, 0.87 s end to end — the single-task
+    * md5 pass itself (1.45M window digests at sf0.1). */
+  def winnowSelectMinima(hs: Column, w: Int = 4): Column =
+    graft.functions.VectorFunctions.winnow_minima(hs, w)
+
+  /** The HOF reference formulation of [[winnowSelectMinima]] — kept
+    * (like [[Dedup.minhashAggs]]) as the independent twin the
+    * property spec pins the kernel against. */
+  private[graft] def winnowSelectMinimaHof(hs: Column, w: Int = 4): Column =
     array_distinct(transform(
       sequence(lit(0), greatest(size(hs) - w, lit(0))),
       i => array_min(slice(hs, i + lit(1), lit(w)))))
-  }
 
   /** Winnowing on the oracle-reproducible md5-60 hash family: the
     * identical window-minimum scheme as [[winnowFingerprints]], but
     * each position's n-gram hash is the 60-bit md5 prefix DuckDB
     * recomputes bit-for-bit (`('0x'||substr(md5(x),1,15))::BIGINT`) —
     * turning winnowing from spec-only into a hash-verified query. The
-    * rolling-hash form stays the production hot path (one O(len) pass
-    * vs O(len·n) md5 slicing); this twin exists so the SCHEME (window
-    * minima, then distinct) is oracle-checked end to end. */
-  def winnowFingerprintsMd5(textCol: Column, n: Int = 8, w: Int = 4): Column = {
-    val lowered = lower(textCol)
-    val hs = transform(
-      sequence(lit(1), greatest(length(lowered) - lit(n - 1), lit(1))),
-      i => conv(substring(md5(lowered.substr(i, lit(n))), 1, 15), 16, 10).cast("long"))
-    array_distinct(transform(
-      sequence(lit(0), greatest(size(hs) - w, lit(0))),
-      i => array_min(slice(hs, i + lit(1), lit(w)))))
-  }
+    * rolling-hash form stays the production hot path (one O(len)
+    * rolling pass vs O(len·n) md5 slicing); this twin exists so the
+    * SCHEME (window minima, then distinct) is oracle-checked end to
+    * end. Takes the hash array from the codegen'd
+    * [[graft.functions.Md5NgramHashes]] kernel (one O(len) pass, a
+    * reused digest — the HOF-chain formulation it replaced was both
+    * interpreted and body-re-evaluated) and selects through
+    * [[winnowSelectMinima]]. */
+  def winnowFingerprintsMd5(hs: Column, w: Int = 4): Column =
+    winnowSelectMinima(hs, w)
 
   /** `text_winnow`: per-document winnowing-fingerprint projection
     * (count / min / max of the distinct selected fingerprints) on the
-    * md5-60 family — the oracle-checkable face of the winnow scheme.
-    * Map-only; at 100 TB the fingerprint arrays never shuffle (a
-    * plagiarism-index consumer would explode + groupBy fingerprint,
-    * which shuffles fixed-width longs only). */
+    * md5-60 family — the oracle-checkable face of the winnow scheme,
+    * both steps through codegen'd kernels. Map-only; at 100 TB the
+    * fingerprint arrays never shuffle (a plagiarism-index consumer
+    * would explode + groupBy fingerprint, which shuffles fixed-width
+    * longs only). */
   def textWinnow(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), winnowFingerprintsMd5(col("text")).as("fps"))
+      .select(col("doc_id"), winnowFingerprintsMd5(
+        graft.functions.VectorFunctions.md5_ngram_hashes(lower(col("text")), 8)).as("fps"))
       .select(
         col("doc_id"),
         size(col("fps")).cast("long").as("n_fp"),

@@ -58,6 +58,30 @@ class TextMultimodalSpec extends SparkSpec {
     assert(fps(0).size < docs.head.getString(0).length / 2)
   }
 
+  test("winnow kernels match the HOF reference formulation on real docs") {
+    import org.apache.spark.sql.functions._
+    // both kernels (md5-60 n-gram hash pass, deque window minima) vs
+    // the interpreted transform/sequence/slice formulations they
+    // replaced — element-for-element, order included
+    val both = Tables.documents(spark, Sf)
+      .select(col("doc_id"), lower(col("text")).as("lt"))
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.md5_ngram_hashes(col("lt"), 8).as("hk"),
+        transform(
+          sequence(lit(1), greatest(length(col("lt")) - lit(7), lit(1))),
+          i => conv(substring(md5(col("lt").substr(i, lit(8))), 1, 15), 16, 10).cast("long")).as("hr"))
+      .select(col("doc_id"), col("hk"), col("hr"),
+        TextAnalysis.winnowSelectMinima(col("hk")).as("wk"),
+        TextAnalysis.winnowSelectMinimaHof(col("hk")).as("wr"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"md5 ngram kernel diverged for doc ${r.getLong(0)}")
+      assert(r.getSeq[Long](3) == r.getSeq[Long](4),
+        s"winnow minima kernel diverged for doc ${r.getLong(0)}")
+    }
+  }
+
   test("text_stats: tokens ≥ words, chars equal source length") {
     val rows = TextAnalysis.textStats(spark, Sf).collect()
     rows.foreach { r =>
@@ -126,6 +150,44 @@ class TextMultimodalSpec extends SparkSpec {
         assert(r.getAs[String]("format") == "raw")
         assert(r.getAs[Long]("width") == 0L)
         assert(r.getAs[Long]("n_px") > 0L)
+      }
+    }
+  }
+
+  test("wav codec: synthesized payload is a real RIFF/WAVE and decodes back exactly") {
+    for (id <- Seq(0L, 5L, 123L * 5)) {
+      val bytes = Multimodal.wavBytes(id)
+      assert(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')
+      assert(Multimodal.sniffFormat(bytes) == "wav")
+      val n = (16 + id % 16).toInt; val step = (1 + id % 7).toInt
+      val samples = (0 until n).map(i => ((i.toLong * step * 257 + id) % 65536L) - 32768L)
+      // PCM is lossless: the JDK decoder must recover the exact samples
+      assert(Multimodal.decodeWav(bytes)
+        .contains((n.toLong, samples.sum, samples.min, samples.max)))
+    }
+  }
+
+  test("wav codec: corrupt audio bytes degrade to the raw path, not a failure") {
+    // sniffs as WAV (RIFF/WAVE magic intact) but the chunk body is garbage
+    val corrupt = "RIFF0000WAVE".getBytes ++ Array[Byte](1, 2, 3, 4, 5)
+    assert(Multimodal.sniffFormat(corrupt) == "wav")
+    assert(Multimodal.decodeWav(corrupt).isEmpty)
+  }
+
+  test("mm_decode_wav dispatches: real WAV decode for every 5th doc, stub for the rest") {
+    val rows = Multimodal.mmDecodeWav(spark, Sf).collect()
+    assert(rows.length == Tables.documents(spark, Sf).count())
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 5 == 0) {
+        assert(r.getAs[String]("format") == "wav")
+        assert(r.getAs[Long]("n_samples") == 16 + id % 16)
+        assert(r.getAs[Long]("n_bytes") == 2 * (16 + id % 16))
+        assert(r.getAs[Long]("min_s") >= -32768L && r.getAs[Long]("max_s") <= 32767L)
+      } else {
+        assert(r.getAs[String]("format") == "raw")
+        assert(r.getAs[Long]("n_samples") == 0L)
+        assert(r.getAs[Long]("n_bytes") > 0L)
       }
     }
   }
