@@ -94,6 +94,7 @@ object SparkEntry {
     "sim_bruteforce_topk" -> ((s, d) => Similarity.simBruteforceTopK(s, d)),
     "sim_lsh_ann" -> ((s, d) => Similarity.simLshAnn(s, d)),
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
+    "sim_ivf_ann_persisted" -> ((s, d) => Similarity.simIvfAnnPersisted(s, d)),
     "emb_centroids" -> (Similarity.embCentroids(_, _)),
     "emb_quantize" -> (Similarity.embQuantize(_, _)),
     // §2.5 text analysis
@@ -1317,6 +1318,11 @@ object SparkEntry {
     // bits), then candidates/cosine/rank mirror the Spark plan.
     "sim_lsh_ann" -> lshOracleSql(nQueries = 5, k = 10, numPlanes = 6, dim = 64),
     "sim_ivf_ann" -> ivfOracleSql(nQueries = 5, k = 10, nprobe = 4),
+    // identical output contract to sim_ivf_ann (same codebook, same
+    // tie order) probed against the persisted partitioned index —
+    // shares the generated oracle verbatim, the persisted-state
+    // pattern dedup_incremental_persisted established
+    "sim_ivf_ann_persisted" -> ivfOracleSql(nQueries = 5, k = 10, nprobe = 4),
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,

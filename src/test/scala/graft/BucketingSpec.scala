@@ -215,4 +215,23 @@ class BucketingSpec extends SparkSpec {
     assert(plan.contains("dynamicpruningexpression"),
       s"expected a runtime partition-pruning subquery in the fact scan:\n$plan")
   }
+
+  test("persisted IVF index: identical results to the inline path, partition-pruned scan") {
+    import graft.operators.Similarity
+    val inline = Similarity.simIvfAnn(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val persisted = Similarity.simIvfAnnPersisted(spark, Sf)
+    val got = persisted.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    // same codebook + tie order → row-identical, which is what lets
+    // the entry share sim_ivf_ann's DuckDB oracle verbatim
+    assert(got == inline,
+      s"persisted-index ANN diverged from the inline path: ${got.diff(inline).take(3)}")
+    // the index scan must be pruned to the probed cells at runtime:
+    // the probe side is only known after the per-query top-nprobe
+    // ranking, so this is DPP, not static pruning
+    val plan = persisted.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"expected the probe join to runtime-prune the index partitions:\n$plan")
+  }
 }
