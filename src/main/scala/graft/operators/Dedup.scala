@@ -807,14 +807,21 @@ object Dedup {
     * Scale shape (the asymmetry is the point): the CORPUS side is
     * bucketed once, map-only, one narrow (id, bucket) row per vector —
     * it never explodes, never multi-probes. Only the SMALL reference
-    * side fans out, over the margin-guided probe set (22 buckets per
-    * reference vector: flipping ≤2 of its 6 lowest-|margin| planes —
-    * constant fan-out × a few thousand rows). Candidates join on
-    * bucket, then the codegen'd exact
-    * cosine verifies — false candidates cost verify work, never a
-    * wrong answer. At 100 TB: corpus cost is one scan + one
-    * bucket-keyed join of fixed-width rows; reference cost is
-    * constant. */
+    * side fans out — over the COMPLETE Hamming-≤2 ball of its bucket
+    * (1 + nP + C(nP,2) = 79 literal XOR masks at nP=12; the reference
+    * side is constant-size, so exhaustive beats clever here).
+    * Margin-guided probing (the two-sided ANN's trick) is NOT enough
+    * one-sided: round 8's regenerated corpus produced a true pair at
+    * bucket Hamming distance 1 whose crossed plane ranked outside the
+    * reference's 6 lowest |margins| — missed, 63/64 rows. The full
+    * ball makes every ≤2-plane-sign difference a guaranteed
+    * candidate; only Hamming-≥3 pairs escape the prune (an eps=0.02
+    * perturbation crossing 3 of 12 planes — measured zero escapes at
+    * sf0.001/0.01/0.1 and the 10× replica). Candidates join on
+    * bucket, then the codegen'd exact cosine verifies — false
+    * candidates cost verify work, never a wrong answer. At 100 TB:
+    * corpus cost is one scan + one bucket-keyed join of fixed-width
+    * rows; reference cost is constant. */
   def dedupCrossCorpus(s: SparkSession, dir: String, tau: Double = 0.9,
       numPlanes: Int = 12, nPlant: Int = 64, eps: Double = 0.02,
       refOffset: Long = 1000000L): DataFrame = {
@@ -828,9 +835,15 @@ object Dedup {
     val cbuck = corpus
       .withColumn("bucket", Similarity.lshBucket(col("v"), planes))
       .select(col("id"), col("bucket"))
+    // complete Hamming-≤2 ball: home bucket + every 1- and 2-plane flip
+    val masks: Seq[Long] = 0L +:
+      ((0 until numPlanes).map(p => 1L << p) ++
+        (for (i <- 0 until numPlanes; j <- (i + 1) until numPlanes)
+          yield (1L << i) | (1L << j)))
     val rprobes = refs
+      .withColumn("rbucket", Similarity.lshBucket(col("rv"), planes))
       .select(col("ref_id"),
-        explode(Similarity.lshProbeBuckets(col("rv"), planes, flip = 6)).as("bucket"))
+        explode(array(masks.map(m => col("rbucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val cands = rprobes.join(cbuck, Seq("bucket"))
       .select("id", "ref_id").distinct()
     cands
