@@ -248,9 +248,41 @@ object Multimodal {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    wavWriter.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
     bos.toByteArray
+  }
+
+  /** The WAVE SPI writer, loaded once per JVM — same per-call
+    * `AudioSystem.write` provider-scan cost as the reader side. */
+  @transient private lazy val wavWriter: javax.sound.sampled.spi.AudioFileWriter = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala
+      .find(_.isFileTypeSupported(javax.sound.sampled.AudioFileFormat.Type.WAVE))
+      .getOrElse(sys.error("no WAVE AudioFileWriter installed in this JRE"))
+  }
+
+  /** The installed WAV/audio SPI readers, loaded ONCE per JVM.
+    * `AudioSystem.getAudioInputStream` re-runs the synchronized
+    * ServiceLoader provider scan on EVERY call — measured as the
+    * dominant cost of `mm_decode_wav` at the 10× replica scale (20×
+    * wall at 10× data, 32 threads contending on the scan). Caching
+    * the readers through the same public SPI AudioSystem itself uses
+    * keeps the real JDK codec and drops the per-payload lookup. */
+  @transient private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+  }
+
+  private def audioStreamOf(bytes: Array[Byte]): Option[javax.sound.sampled.AudioInputStream] = {
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      try return Some(r.getAudioInputStream(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => () } // not this provider's format — try the next
+    }
+    None
   }
 
   /** REAL audio decode: hands the bytes to the JDK's WAV reader and
@@ -259,8 +291,7 @@ object Multimodal {
     * the raw path instead of failing the partition. */
   private[graft] def decodeWav(bytes: Array[Byte]): Option[(Long, Long, Long, Long)] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val ais = audioStreamOf(bytes).getOrElse(return None)
       val fmt = ais.getFormat
       if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || fmt.isBigEndian ||
         fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
