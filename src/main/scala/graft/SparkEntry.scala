@@ -103,6 +103,7 @@ object SparkEntry {
     "text_langid" -> (TextAnalysis.textLangId(_, _)),
     "text_fingerprint" -> (TextAnalysis.textFingerprint(_, _)),
     "pipe_quality_filter" -> ((s, d) => TextAnalysis.pipeQualityFilter(s, d)),
+    "pipe_pii_scrub" -> (TextAnalysis.pipePiiScrub(_, _)),
     "pipe_corpus_stats" -> (TextAnalysis.pipeCorpusStats(_, _)),
     "pipe_train_mix" -> ((s, d) => TextAnalysis.pipeTrainMix(s, d)),
     "pipe_lang_sampling_weights" -> ((s, d) => TextAnalysis.pipeLangSamplingWeights(s, d)),
@@ -1118,6 +1119,25 @@ object SparkEntry {
         |WHERE len(regexp_extract_all(text, '\S+')) >= 30
         |  AND len(regexp_extract_all(text, '[A-Za-z]')) / greatest(length(text), 1) >= 0.6
         |ORDER BY doc_id""".stripMargin,
+    // the planted contact line is a closed-form function of doc_id, so
+    // both engines synthesize the identical raw string; the scrub fp is
+    // md5 over the identically-redacted text
+    "pipe_pii_scrub" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      text || ' contact user' || doc_id || '@example.com from 10.' ||
+        |      (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.' || (doc_id % 200 + 1)
+        |    ELSE text END AS raw
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips,
+        |  md5(regexp_replace(regexp_replace(raw,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS clean_fp
+        |FROM raw ORDER BY doc_id""".stripMargin,
     "pipe_corpus_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
         | sum(length(text))::BIGINT AS total_chars,

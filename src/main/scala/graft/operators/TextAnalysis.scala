@@ -118,6 +118,40 @@ object TextAnalysis {
       .select(col("doc_id"), col("words"), round(col("alpha_ratio"), 4).as("alpha_ratio"))
       .orderBy("doc_id")
 
+  /** PII scrubbing (`pipe_pii_scrub`) — the redaction pass every
+    * public-data pipeline runs before training: emails → `<EMAIL>`,
+    * IPv4 literals → `<IP>`, counted per document. The synthetic
+    * corpus carries no PII, so every 7th document gets a
+    * DETERMINISTIC planted contact line (id-derived address and IP —
+    * the closed-form-payload trick the multimodal codecs use), making
+    * the scrub non-vacuous and the expected output computable by the
+    * SQL oracle without regex agreement on anything but the planted
+    * forms. All codegen'd `regexp_replace`/`regexp_extract_all` —
+    * map-only, one scan at 100 TB. The conservative patterns
+    * (explicit charset email, dotted-quad with word bounds) behave
+    * identically under Java regex and RE2 on this content; a
+    * production deployment would swap in its compliance team's
+    * pattern pack, same plan shape. */
+  def pipePiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    Tables.documents(s, dir)
+      .withColumn("raw",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com from 10."), col("doc_id") % 256,
+            lit("."), (col("doc_id") * 7) % 256,
+            lit("."), col("doc_id") % 200 + 1))
+          .otherwise(col("text")))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("raw"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(ipRe), lit(0))).cast("long").as("n_ips"),
+        md5(regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"), ipRe, "<IP>"))
+          .as("clean_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Text normalization: lowercase, collapse whitespace runs, strip
     * leading/trailing space — the canonical pre-dedup canonical form.
     * Pure codegen'd expressions, map-only. */

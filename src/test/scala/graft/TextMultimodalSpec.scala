@@ -192,6 +192,34 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pipe_pii_scrub: planted PII found and redacted; scrub is idempotent") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.pipePiiScrub(spark, Sf).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      if (id % 7 == 0) {
+        assert(r.getAs[Long]("n_emails") == 1L && r.getAs[Long]("n_ips") == 1L,
+          s"doc $id: planted contact line not fully detected")
+      } else {
+        assert(r.getAs[Long]("n_emails") == 0L && r.getAs[Long]("n_ips") == 0L,
+          s"doc $id: phantom PII in clean text")
+      }
+    }
+    // idempotent: redacting already-redacted text changes nothing —
+    // the replacement tokens must not themselves match the patterns
+    import spark.implicits._
+    val once = Seq("reach user7@example.com at 10.1.2.3 ok").toDF("text")
+      .select(regexp_replace(regexp_replace(col("text"),
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>").as("clean"))
+    val c1 = once.collect()(0).getString(0)
+    val c2 = once.select(regexp_replace(regexp_replace(col("clean"),
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+      "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>").as("c2"))
+      .collect()(0).getString(0)
+    assert(c1 == "reach <EMAIL> at <IP> ok" && c2 == c1)
+  }
+
   test("pipe_decontaminate_bloom matches the exact broadcast formulation row-for-row") {
     val exact = TextAnalysis.pipeDecontaminate(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getBoolean(1))).toSet
