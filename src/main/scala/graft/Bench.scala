@@ -182,8 +182,12 @@ object Bench {
     // map) where a harness can read it directly.
     // A subset run (explicit args) must not clobber the committed
     // full-surface map — it is both the round artifact and the
-    // time-drift baseline for the next full run.
-    val outFiles = if (args.nonEmpty) Seq("target/bench.json")
+    // time-drift baseline for the next full run. Neither must a run
+    // with failures: a fail-fast query's near-zero timing would
+    // become the drift baseline and every later honest run would
+    // read as a regression (the round-7 failure mode, now surfaced
+    // via `failed` but previously still persisted).
+    val outFiles = if (args.nonEmpty || failed.nonEmpty) Seq("target/bench.json")
                    else Seq("target/bench.json", "bench_out.json")
     for (p <- outFiles) {
       try {

@@ -831,6 +831,22 @@ object Dedup {
     val refs = corpus.filter(col("id") < nPlant)
       .select((col("id") + refOffset).as("ref_id"),
         expr(s"transform(v, (x, i) -> x + $eps * ((((pmod(id, 1048576) * 64 + i) * 2654435761) % 2001) - 1000) / 1000.0)").as("rv"))
+    dedupCrossCorpusRefs(s, dir, refs, tau, numPlanes)
+  }
+
+  /** [[dedupCrossCorpus]] against a CALLER-SUPPLIED reference set —
+    * the production entry point: `refs` is any DataFrame with
+    * `ref_id: long, rv: array<double>` (an eval benchmark's
+    * embeddings, a held-out suite). The planted construction above
+    * remains the registry/oracle default only; the decontamination
+    * machinery itself (corpus bucketed once map-only, reference side
+    * fanned over the complete Hamming-≤2 ball, exact cosine verify)
+    * is reference-set-agnostic. */
+  def dedupCrossCorpusRefs(s: SparkSession, dir: String, refs: DataFrame,
+      tau: Double = 0.9, numPlanes: Int = 12): DataFrame = {
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id").cast("long").as("id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
     val planes = Similarity.hyperplanes(numPlanes, 64)
     val cbuck = corpus
       .withColumn("bucket", Similarity.lshBucket(col("v"), planes))

@@ -211,13 +211,17 @@ object Similarity {
     * partitions (runtime partition pruning — the probe join's
     * broadcast side seeds a `dynamicpruningexpression` on the index
     * scan, plan-asserted in BucketingSpec). Idempotent: rebuilt only
-    * if absent; the name embeds dir slug + hash and the codebook
-    * size, so distinct parameterizations never alias. */
+    * if absent; the name embeds dir slug + hash and a CONTENT hash
+    * of the codebook (not just its size — two same-nlist codebooks,
+    * e.g. a re-fit one, must never alias a stale index), so distinct
+    * parameterizations never alias. */
   def ivfIndexTable(s: SparkSession, dir: String,
                     codebook: Array[Array[Double]] = IvfCodebook.centroids): String = {
     val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
     val dirTag = (scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff).toHexString
-    val table = s"graft_ivf_index_${slug}_${dirTag}_k${codebook.length}_v1"
+    val cbTag = (scala.util.hashing.MurmurHash3.arrayHash(
+      codebook.map(java.util.Arrays.hashCode)) & 0x7fffffff).toHexString
+    val table = s"graft_ivf_index_${slug}_${dirTag}_k${codebook.length}_c${cbTag}_v1"
     if (!s.catalog.tableExists(table)) {
       graft.sources.Sources.clearOrphanedLocation(s, table)
       Tables.embeddings(s, dir)

@@ -164,6 +164,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh == exact, s"missed ${(exact -- lsh).size}, extra ${(lsh -- exact).size}")
   }
 
+  test("dedup_cross_corpus accepts an arbitrary caller-supplied reference set") {
+    import org.apache.spark.sql.functions._
+    // a production-shaped reference set unrelated to the planted
+    // construction: exact copies of three corpus vectors (must hit at
+    // cosine 1.0) plus one scaled copy (cosine-invariant, must also
+    // hit) — verified against the exact cross-scan
+    val corpus = Tables.embeddings(spark, Sf)
+      .select(col("vec_id").cast("long").as("id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val refs = corpus.filter(col("id").isin(7L, 19L, 42L))
+      .select((col("id") + 500L).as("ref_id"), col("v").as("rv"))
+      .unionAll(corpus.filter(col("id") === 42L)
+        .select(lit(999L).as("ref_id"),
+          expr("transform(v, x -> x * 3.0)").as("rv")))
+    val exact = corpus.crossJoin(refs)
+      .withColumn("cosine",
+        round(graft.functions.VectorFunctions.cosine_similarity(col("v"), col("rv")), 4))
+      .filter(col("cosine") >= 0.9)
+      .select("id", "ref_id", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Dedup.dedupCrossCorpusRefs(spark, Sf, refs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.exists { case (id, rid, c) => id == 42L && rid == 999L && c == 1.0 },
+      "scaled copy must match its source at cosine 1.0")
+    assert(got == exact, s"missed ${(exact -- got).size}, extra ${(got -- exact).size}")
+  }
+
   test("dedup clusters: every pair lands in one cluster, keepers are cluster minima") {
     val pairs = Dedup.dedupNgramJaccard(spark, Sf).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))

@@ -192,6 +192,21 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("corpus invariant backing the mm_decode*/raw byte-sum oracles: non-empty ASCII text") {
+    // the mm_decode / mm_decode_wav 'raw' oracles sum unicode() code
+    // points per character and unnest over range(1, length+1) — both
+    // are only equal to the Spark-side UTF-8 byte sum when every doc
+    // has non-empty, pure-ASCII text. A testdata regeneration that
+    // breaks that must fail HERE with a named cause, not as an opaque
+    // oracle hash mismatch (ADVICE r8).
+    import org.apache.spark.sql.functions._
+    val bad = Tables.documents(spark, Sf)
+      .filter(length(col("text")) === 0 || col("text").rlike("[^\\x00-\\x7F]"))
+      .count()
+    assert(bad == 0L,
+      s"$bad documents have empty or non-ASCII text; the mm_decode* raw oracles assume neither")
+  }
+
   test("pipe_pii_scrub: planted PII found and redacted; scrub is idempotent") {
     import org.apache.spark.sql.functions._
     val rows = TextAnalysis.pipePiiScrub(spark, Sf).collect()
