@@ -104,6 +104,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.textFingerprint(_, _)),
     "pipe_quality_filter" -> ((s, d) => TextAnalysis.pipeQualityFilter(s, d)),
     "pipe_pii_scrub" -> (TextAnalysis.pipePiiScrub(_, _)),
+    "pipe_tokenize" -> (TextAnalysis.pipeTokenize(_, _)),
     "pipe_corpus_stats" -> (TextAnalysis.pipeCorpusStats(_, _)),
     "pipe_train_mix" -> ((s, d) => TextAnalysis.pipeTrainMix(s, d)),
     "pipe_lang_sampling_weights" -> ((s, d) => TextAnalysis.pipeLangSamplingWeights(s, d)),
@@ -339,6 +340,13 @@ object SparkEntry {
   /** Shared by pipe_decontaminate and its Bloom-pruned scale twin —
     * the two formulations produce identical results by construction
     * (Bloom candidates are exactly verified). */
+  /** The frozen BPE vocab as a DuckDB VALUES list — the oracle reads
+    * the SAME constants the Spark kernel compiles in, so there is
+    * nothing to drift. */
+  private val bpeVocabSql: String =
+    graft.functions.BpeVocab.tokens.zipWithIndex
+      .map { case (t, i) => s"($i, '${t.replace("'", "''")}')" }.mkString(", ")
+
   private val decontaminateOracleSql: String =
     """WITH sh AS (
       |  SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INT), 20) AS g
@@ -1138,6 +1146,57 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS clean_fp
         |FROM raw ORDER BY doc_id""".stripMargin,
+    // the oracle replays maximal-munch BPE encode against the SAME
+    // frozen vocab (inlined as VALUES, like the minhash permutations):
+    // a per-(word, position) longest-match table, then a recursive CTE
+    // walks each word position-by-position; the positional checksum
+    // certifies the full token SEQUENCE, not just counts
+    "pipe_tokenize" ->
+      s"""WITH RECURSIVE vocab(id, tok) AS (
+        |  SELECT * FROM (VALUES $bpeVocabSql) v(id, tok)
+        |),
+        |words AS (
+        |  SELECT doc_id, i AS wi, ws[i] AS w
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS i
+        |        FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ws
+        |              FROM documents))
+        |  WHERE length(ws[i]) > 0
+        |),
+        |pos AS (
+        |  SELECT doc_id, wi, w, unnest(range(1, length(w)+1)) AS p FROM words
+        |),
+        |m AS (
+        |  SELECT p.doc_id, p.wi, p.p,
+        |         coalesce(max_by(v.id, length(v.tok)), -1) AS tid,
+        |         coalesce(max(length(v.tok)), 1) AS mlen
+        |  FROM pos p LEFT JOIN vocab v
+        |    ON substr(p.w, CAST(p.p AS INT), length(v.tok)) = v.tok
+        |  GROUP BY p.doc_id, p.wi, p.p
+        |),
+        |steps(doc_id, wi, p, tid, mlen) AS (
+        |  SELECT doc_id, wi, p, tid, mlen FROM m WHERE p = 1
+        |  UNION ALL
+        |  SELECT m2.doc_id, m2.wi, m2.p, m2.tid, m2.mlen
+        |  FROM steps s JOIN m m2
+        |    ON m2.doc_id = s.doc_id AND m2.wi = s.wi AND m2.p = s.p + s.mlen
+        |),
+        |ord AS (
+        |  SELECT doc_id, tid,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY wi, p) AS o
+        |  FROM steps
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(t.n_tokens, 0)::BIGINT AS n_tokens,
+        |  coalesce(t.n_unk, 0)::BIGINT AS n_unk,
+        |  coalesce(t.sum_ids, 0)::BIGINT AS sum_ids,
+        |  coalesce(t.checksum, 0)::BIGINT AS checksum
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS n_unk,
+        |         sum(tid) AS sum_ids,
+        |         sum(o * tid) AS checksum
+        |  FROM ord GROUP BY doc_id) t USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "pipe_corpus_stats" ->
       """SELECT lang, source, count(*) AS n_docs,
         | sum(length(text))::BIGINT AS total_chars,

@@ -858,6 +858,10 @@ object VectorFunctions {
   def simhash64(c: Column): Column =
     GraftColumnBridge.column(Simhash64(GraftColumnBridge.expression(c)))
 
+  /** Column API: BPE token ids against the frozen [[BpeVocab]]. */
+  def bpe_token_ids(c: Column): Column =
+    GraftColumnBridge.column(BpeTokenIds(GraftColumnBridge.expression(c)))
+
   /** Column API: sign-LSH home bucket against a fixed plane family. */
   def lsh_bucket(v: Column, planes: Array[Array[Double]]): Column =
     GraftColumnBridge.column(LshBucket(GraftColumnBridge.expression(v), planes))

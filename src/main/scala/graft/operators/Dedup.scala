@@ -530,13 +530,12 @@ object Dedup {
 
   // --- clusters ------------------------------------------------------
 
-  /** Connected components over a near-dup pair list by iterative
-    * min-label propagation: every node adopts the smallest label in
-    * its neighborhood until fixpoint. Converges in O(cluster
-    * diameter) rounds — near-dup clusters are shallow, so a handful
-    * of joins; each round shuffles only (id, label) pairs. The
-    * driver-side loop checks a single count per round (no data
-    * collected).
+  /** Connected components over a near-dup pair list by alternating
+    * large-star/small-star contraction (see
+    * [[connectedComponentsLoop]]): O(log² n) rounds regardless of
+    * component diameter; each round shuffles only the O(|E|) edge
+    * rows. The driver-side loop checks one fingerprint aggregate per
+    * round (no data collected).
     *
     * Small-graph fast path: the near-dup edge set is O(duplicates),
     * not O(corpus) — usually a vanishing fraction. At or below
@@ -571,47 +570,95 @@ object Dedup {
     connectedComponentsLoop(pairEdges, maxIter)
   }
 
-  /** Distributed min-label propagation — the >driverEdgeCap path. */
-  private[graft] def connectedComponentsLoop(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    // Undirected edge list, both directions. The near-dup edge set is
-    // orders of magnitude smaller than the corpus, so the iterative
-    // loop runs on a handful of partitions — per-iteration task
-    // overhead, not data volume, is the cost driver here.
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  /** Distributed connected components — the >driverEdgeCap path —
+    * by ALTERNATING LARGE-STAR / SMALL-STAR contraction (Kiveris et
+    * al. 2014, "Connected Components in MapReduce and Beyond",
+    * Algorithm 5). The previous min-label propagation here converged
+    * in O(component diameter) rounds, which is fine for shallow
+    * near-dup cliques but SILENTLY MISLABELS any component deeper
+    * than maxIter — at 100 TB a transitive near-dup chain (doc A ~ B
+    * ~ C ~ …) of depth 21 would have split into two clusters with no
+    * error. Star contraction halves component height geometrically
+    * (O(log² n) rounds regardless of diameter: a 4,096-hop chain
+    * converges in ~12 alternations where min-label needed 4,096), and
+    * non-convergence within maxIter now throws instead of returning
+    * wrong labels.
+    *
+    *  - large-star: each node u links every LARGER neighbor to
+    *    m = min(Γ(u) ∪ u) — moves deep subtrees directly under local
+    *    minima without ever growing the edge count.
+    *  - small-star: orient edges (larger → smaller); each node links
+    *    its smaller neighbors and itself to its minimum — flattens
+    *    the remaining short paths into stars.
+    *
+    * Fixpoint: the edge set stops changing; every non-minimum node
+    * then holds exactly one edge to its component minimum. Each round
+    * shuffles only the O(|E|) edge rows on their endpoint keys; no
+    * adjacency list is ever collected (a hub node's Γ(u) stays a
+    * grouped aggregate, never an array). The convergence probe is a
+    * count + order-independent xxhash64 fingerprint in ONE aggregate
+    * per half-round; lineage is truncated per round via lazy
+    * localCheckpoint so round N's planning doesn't re-analyze rounds
+    * 1..N-1. */
+  private[graft] def connectedComponentsLoop(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    // The near-dup edge set is orders of magnitude smaller than the
+    // corpus, so the loop runs on a handful of partitions — per-round
+    // task overhead, not data volume, is the cost driver here.
+    // single use (final join); pairs itself is cached by the caller
+    val nodes = pairs.select(col("id_a").as("id"))
+      .unionAll(pairs.select(col("id_b").as("id"))).distinct()
+    var edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
       .coalesce(4)
-      .cacheTracked
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .cacheTracked
-    // Labels only ever decrease, so sum(label) strictly decreases
-    // until fixpoint — a one-aggregate convergence probe instead of a
-    // join + count per round.
-    var prevSum = labels.agg(sum("label")).collect().head.getLong(0)
-    var iter = 0
-    var converged = false
-    while (iter < maxIter && !converged) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("label", "nl"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("nl")).as("nmin"))
-      // Lazy local checkpoint: the convergence probe below is the
-      // materializing action, and the lineage is truncated so round
-      // N's plan doesn't re-analyze rounds 1..N-1 (per-round planning
-      // stays flat over the iteration).
-      val updated = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(false)
-      val newSum = updated.agg(sum("label")).collect().head.getLong(0)
-      labels.unpersist()
-      labels = updated
-      converged = newSum == prevSum
-      prevSum = newSum
-      iter += 1
-      if (sys.env.contains("GRAFT_CC_VERBOSE")) println(s"[cc] round $iter sum=$newSum")
+      .localCheckpoint(false)
+    def largeStar(e: DataFrame): DataFrame = {
+      val bidir = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = bidir.groupBy("u").agg(least(col("u"), min("v")).as("m"))
+      bidir.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
     }
-    edges.unpersist()
-    labels
+    def smallStar(e: DataFrame): DataFrame = {
+      val oriented = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = oriented.groupBy("u").agg(min("v").as("m"))
+      oriented.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionAll(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    // (count, sum-of-row-hashes): order-independent edge-set
+    // fingerprint; a collision (≈2⁻⁶⁴ per round) could only stop one
+    // round early on an ALREADY star-shaped remainder, and the final
+    // one-edge-per-node shape is what the equality specs pin.
+    def probe(e: DataFrame): (Long, java.math.BigDecimal) = {
+      // decimal accumulator: full-range xxhash64 values overflow an
+      // ANSI-mode long sum after a handful of rows
+      val r = e.agg(count(lit(1)),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)"))).collect().head
+      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    var prev = probe(edges)
+    var iter = 0
+    var converged = prev._1 == 0L
+    while (iter < maxIter && !converged) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      val cur = probe(next)
+      edges = next
+      converged = cur == prev
+      prev = cur
+      iter += 1
+      if (sys.env.contains("GRAFT_CC_VERBOSE"))
+        println(s"[cc] round $iter edges=${cur._1}")
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter star rounds — raise maxIter")
+    // fixpoint edges are (node → component min); minima label themselves
+    nodes
+      .join(edges.select(col("u").as("id"), col("v").as("label")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("label"))
   }
 
   /** Full dedup pipeline output: near-dup pairs (n-gram Jaccard) →

@@ -261,6 +261,35 @@ object TextAnalysis {
         array_max(col("fps")).as("max_fp"))
       .orderBy("doc_id")
 
+  /** Real subword tokenization — the highest-frequency LLM-pipeline
+    * primitive: BPE encode of every document against the frozen
+    * offline-fit [[graft.functions.BpeVocab]] (maximal-munch against
+    * merge-derived units; unknown chars → UNK = −1), via the
+    * codegen'd [[graft.functions.BpeTokenIds]] kernel. Replaces the
+    * regex token APPROXIMATIONS (`text_stats` counts words, this
+    * counts model tokens — the unit training budgets are priced in).
+    * Per-doc outputs are order-pinning aggregates of the id sequence
+    * (the positional checksum fixes the full token stream, so the
+    * DuckDB oracle — which replays maximal munch with a recursive
+    * CTE over the same inlined vocab — certifies sequence equality,
+    * not just counts). Map-only, one fused loop per document, no
+    * shuffle; at 100 TB this is exactly the shape a tokenize-and-
+    * count pass over a corpus must have. */
+  def pipeTokenize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.VectorFunctions.bpe_token_ids(lower(col("text"))).as("ids"))
+      .select(
+        col("doc_id"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        size(filter(col("ids"), _ === -1)).cast("long").as("n_unk"),
+        aggregate(col("ids"), lit(0L), (a, x) => a + x.cast("long")).as("sum_ids"),
+        // Σ (1-based position) · id — pins order, not just the multiset
+        aggregate(transform(col("ids"),
+            (x, i) => (i.cast("long") + 1L) * x.cast("long")),
+          lit(0L), (a, x) => a + x).as("checksum"))
+      .orderBy("doc_id")
+
   /** Unigram-LM quality score: mean log10 unigram probability of each
     * document under the corpus's own unigram distribution — the
     * classic LM-filter signal (low score = gibberish / boilerplate).

@@ -191,6 +191,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == exact, s"missed ${(exact -- got).size}, extra ${(got -- exact).size}")
   }
 
+  test("distributed star-contraction components equal driver union-find on the same graph") {
+    // force BOTH paths over the identical real pair list: driverEdgeCap=0
+    // routes through the iterative large-star/small-star loop,
+    // Long.MaxValue through the driver union-find fast path
+    val pairs = Dedup.dedupNgramJaccard(spark, Sf).cache()
+    val viaLoop = Dedup.connectedComponents(pairs, driverEdgeCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaUf = Dedup.connectedComponents(pairs, driverEdgeCap = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaLoop.nonEmpty && viaLoop == viaUf,
+      s"loop-only ${(viaLoop -- viaUf).size}, uf-only ${(viaUf -- viaLoop).size}")
+    pairs.unpersist()
+  }
+
+  test("star contraction labels a deep chain correctly in logarithmic rounds") {
+    // a 4000-hop path (diameter 4000) — the old min-label propagation
+    // needed one round per hop and SILENTLY split this into ~200
+    // clusters at maxIter=20; star contraction must label all nodes 0
+    // within its default round budget, and convergence failure throws
+    import org.apache.spark.sql.functions.col
+    val n = 4000L
+    val chain = spark.range(0, n - 1).select(col("id").as("id_a"), (col("id") + 1L).as("id_b"))
+    val labels = Dedup.connectedComponents(chain.toDF, driverEdgeCap = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(labels.length == n)
+    assert(labels.forall(_._2 == 0L),
+      s"${labels.count(_._2 != 0L)} of $n chain nodes not labeled with the component min")
+  }
+
   test("dedup clusters: every pair lands in one cluster, keepers are cluster minima") {
     val pairs = Dedup.dedupNgramJaccard(spark, Sf).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))

@@ -192,6 +192,43 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("BPE kernel: maximal munch, UNK fallback, whitespace handling") {
+    import graft.functions.{BpeTokenize, BpeVocab}
+    val id = BpeVocab.tokens.zipWithIndex.toMap
+    // whole fitted words encode as single tokens
+    assert(BpeTokenize.encode("customer").toSeq == Seq(id("customer")))
+    assert(BpeTokenize.encode("the fast query").toSeq ==
+      Seq(id("the"), id("fast"), id("query")))
+    // unseen word falls back to subword units: "joins" = "join" + "s"
+    assert(BpeTokenize.encode("joins").toSeq == Seq(id("join"), id("s")))
+    // unknown char → UNK(-1) consuming one char, then recovery
+    assert(BpeTokenize.encode("a✗b").toSeq == Seq(id("a"), -1, id("b")))
+    // whitespace runs (tab/newline) split words, never emit tokens
+    assert(BpeTokenize.encode("  key\t\nrow  ").toSeq == Seq(id("key"), id("row")))
+    assert(BpeTokenize.encode("").isEmpty && BpeTokenize.encode("   ").isEmpty)
+    // maximal munch prefers the longest match at each position:
+    // "tables" = "table" + "s", never "t,a,b,l,e,s" or "ab"-first
+    assert(BpeTokenize.encode("tables").toSeq == Seq(id("table"), id("s")))
+  }
+
+  test("pipe_tokenize: per-doc aggregates are consistent and kernel-derived") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.pipeTokenize(spark, Sf).collect()
+    assert(rows.length == Tables.documents(spark, Sf).count())
+    // recompute one doc's aggregates from the raw kernel output
+    val doc = Tables.documents(spark, Sf).orderBy("doc_id").limit(1)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).head
+    val ids = graft.functions.BpeTokenize.encode(doc._2.toLowerCase)
+    val r0 = rows.find(_.getAs[Long]("doc_id") == doc._1).get
+    assert(r0.getAs[Long]("n_tokens") == ids.length)
+    assert(r0.getAs[Long]("n_unk") == ids.count(_ == -1))
+    assert(r0.getAs[Long]("sum_ids") == ids.map(_.toLong).sum)
+    assert(r0.getAs[Long]("checksum") ==
+      ids.zipWithIndex.map { case (x, i) => (i + 1L) * x }.sum)
+    // the word-salad corpus is fully in-vocab: zero UNKs corpus-wide
+    assert(rows.map(_.getAs[Long]("n_unk")).sum == 0L)
+  }
+
   test("corpus invariant backing the mm_decode*/raw byte-sum oracles: non-empty ASCII text") {
     // the mm_decode / mm_decode_wav 'raw' oracles sum unicode() code
     // points per character and unnest over range(1, length+1) — both
