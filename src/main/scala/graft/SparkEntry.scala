@@ -126,6 +126,7 @@ object SparkEntry {
     "mm_decode_real" -> (Multimodal.mmDecodeReal(_, _)),
     "mm_decode_wav" -> (Multimodal.mmDecodeWav(_, _)),
     "mm_frame_sample" -> ((s, d) => Multimodal.mmFrameSampleChecked(s, d)),
+    "mm_frame_sample_gif" -> ((s, d) => Multimodal.mmFrameSampleGif(s, d)),
     "text_winnow" -> (TextAnalysis.textWinnow(_, _)),
     // §2.1 reference ML surface
     "ml_train_predict" -> (mlTrainPredict(_, _)),
@@ -1328,6 +1329,42 @@ object SparkEntry {
         |SELECT doc_id, frame_idx, count(*) OVER (PARTITION BY doc_id)::BIGINT AS n_frames,
         |       c0, c1, c2, c3
         |FROM frames ORDER BY doc_id, frame_idx""".stripMargin),
+    // the GIF frames' expected decode output in closed form (per-frame
+    // pixels are a deterministic function of doc_id — see
+    // Multimodal.gifBytes; the grayscale palette is an identity map,
+    // so GIF's palette indirection is lossless); raw rows mirror the
+    // 64-byte block framing with a per-block byte sum
+    "mm_frame_sample_gif" ->
+      """WITH gif AS (
+        |  SELECT doc_id, 2 + doc_id % 4 AS nf, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+        |  FROM documents WHERE doc_id % 5 = 0
+        |),
+        |gifrows AS (
+        |  SELECT g.doc_id, f.f AS frame_idx, 'gif' AS format, g.nf::BIGINT AS n_frames,
+        |         g.w::BIGINT AS width, g.h::BIGINT AS height,
+        |         sum((x.x + 3 * y.y + 5 * f.f + g.doc_id) % 256)::BIGINT AS sum_px
+        |  FROM gif g
+        |  CROSS JOIN range(0, 5) f(f)
+        |  CROSS JOIN range(0, 8) x(x)
+        |  CROSS JOIN range(0, 6) y(y)
+        |  WHERE f.f < g.nf AND f.f % 2 = 0 AND x.x < g.w AND y.y < g.h
+        |  GROUP BY g.doc_id, f.f, g.nf, g.w, g.h
+        |),
+        |rawrows AS (
+        |  SELECT doc_id, b AS frame_idx, 'raw' AS format,
+        |         max(nb)::BIGINT AS n_frames, 0::BIGINT AS width, 0::BIGINT AS height,
+        |         sum(cp)::BIGINT AS sum_px
+        |  FROM (
+        |    SELECT doc_id, CAST((i-1)//64 AS BIGINT) AS b,
+        |           CAST(ceil(length(text) / 64.0) AS BIGINT) AS nb,
+        |           unicode(substr(text, CAST(i AS INT), 1)) AS cp
+        |    FROM (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i
+        |          FROM documents WHERE doc_id % 5 <> 0))
+        |  WHERE b % 4 = 0
+        |  GROUP BY doc_id, b
+        |)
+        |SELECT * FROM gifrows UNION ALL SELECT * FROM rawrows
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "ml_feature_vectorize" ->
       """SELECT l_orderkey, l_linenumber,
         | (1 + CASE WHEN l_discount <> 0 THEN 1 ELSE 0 END

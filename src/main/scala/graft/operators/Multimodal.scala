@@ -404,6 +404,156 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // --- real codec path #3: animated GIF via javax.imageio (the
+  // multi-frame/"video" modality, still zero new dependencies) ---------
+
+  /** Synthesizes a REAL multi-frame animated GIF whose per-frame
+    * pixels are a closed-form function of `docId` — the [[pngBytes]]
+    * trick for the frame-sampled modality:
+    * `nF = 2 + id%4` frames of `w = 4 + id%5` × `h = 3 + id%4`
+    * 8-bit grayscale, `pixel(x,y,f) = (x + 3y + 5f + id) mod 256`.
+    * The palette is an explicit 256-entry identity grayscale
+    * IndexColorModel, so GIF's palette indirection is lossless and a
+    * SQL oracle can sum expected pixels with no codec knowledge. */
+  private[graft] def gifBytes(docId: Long): Array[Byte] = {
+    val nF = (2 + docId % 4).toInt
+    val w = (4 + docId % 5).toInt; val h = (3 + docId % 4).toInt
+    val gray = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, gray, gray, gray)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    // the JDK GIF writer defaults to INTERLACED output, and its
+    // interlace row scheduling drops/zeroes pass rows for images
+    // shorter than a full pass cycle (measured: row 2 of every h ≤ 4
+    // frame decoded as zeros) — force sequential row order
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nF) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          raster.setSample(x, y, 0, ((x + 3 * y + 5 * f + docId) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+      f += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** REAL multi-frame decode: hands the bytes to the JDK's GIF reader
+    * and reduces each frame to (width, height, pixel sum) — grayscale,
+    * so one channel carries the value. None when the bytes aren't a
+    * decodable GIF (corrupt payload → caller degrades to the raw
+    * framing path instead of failing the partition). Reader instances
+    * are per-call (ImageIO readers are not thread-safe) but come from
+    * ImageIO's STATIC plugin registry — a map lookup, not the
+    * per-call ServiceLoader rescan that stalled the WAV path. */
+  private[graft] def decodeGif(bytes: Array[Byte]): Option[Array[(Int, Int, Long)]] = {
+    var iis: javax.imageio.stream.ImageInputStream = null
+    var reader: javax.imageio.ImageReader = null
+    try {
+      iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      reader = readers.next()
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      if (n <= 0) return None
+      val out = new Array[(Int, Int, Long)](n)
+      var i = 0
+      while (i < n) {
+        val img = reader.read(i)
+        var sum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            sum += img.getRGB(x, y) & 0xff // grayscale: any channel
+            x += 1
+          }
+          y += 1
+        }
+        out(i) = (img.getWidth, img.getHeight, sum)
+        i += 1
+      }
+      Some(out)
+    } catch { case _: Exception => None }
+    finally {
+      if (reader != null) reader.dispose()
+      if (iis != null) try iis.close() catch { case _: Exception => () }
+    }
+  }
+
+  /** GIF87a/89a magic sniff, the [[sniffFormat]] entry for the
+    * multi-frame modality. */
+  private[graft] def isGif(bytes: Array[Byte]): Boolean =
+    bytes.length >= 6 && bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == '8' && (bytes(4) == '7' || bytes(4) == '9') && bytes(5) == 'a'
+
+  private val gifSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("frame_idx", LongType),
+    StructField("format", StringType),
+    StructField("n_frames", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("sum_px", LongType)))
+
+  /** Mixed real/stub FRAME SAMPLING (`mm_frame_sample_gif`): every 5th
+    * document carries a real synthesized animated GIF — frames decoded
+    * through the in-JDK multi-frame reader, every `stride`-th frame
+    * kept (the video keyframe-sampling shape); the rest split their
+    * raw UTF-8 bytes into fixed 64-byte blocks and sample those, so
+    * BOTH branches exercise the same sample-then-reduce plumbing. One
+    * map-only pass, frames never leave the partition that decoded
+    * them; a payload that sniffs as GIF but fails to decode degrades
+    * to the raw framing path. Completes the third (multi-frame/video)
+    * modality with a real codec, zero new dependencies. */
+  def mmFrameSampleGif(s: SparkSession, dir: String, stride: Int = 2,
+                       rawFrameBytes: Int = 64, rawStride: Int = 4): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(gifSchema)
+    Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val payload =
+          if (id % 5 == 0) gifBytes(id)
+          else r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        def rawRows = {
+          val frames = payload.grouped(rawFrameBytes).toArray
+          frames.zipWithIndex.filter(_._2 % rawStride == 0).map { case (fr, idx) =>
+            var sum = 0L; var i = 0
+            while (i < fr.length) { sum += fr(i) & 0xff; i += 1 }
+            Row(id, idx.toLong, "raw", frames.length.toLong, 0L, 0L, sum)
+          }.toSeq
+        }
+        if (isGif(payload)) {
+          decodeGif(payload) match {
+            case Some(frames) =>
+              frames.zipWithIndex.filter(_._2 % stride == 0).map { case ((w, h, sum), f) =>
+                Row(id, f.toLong, "gif", frames.length.toLong, w.toLong, h.toLong, sum)
+              }.toSeq
+            case None => rawRows
+          }
+        } else rawRows
+      }(enc)
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Oracle-checkable metadata projection (`mm_meta`): payload size and
     * a prefix of the payload re-decoded to string — DuckDB can compute
     * both from the raw table. */

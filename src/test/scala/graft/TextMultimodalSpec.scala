@@ -174,6 +174,48 @@ class TextMultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav(corrupt).isEmpty)
   }
 
+  test("gif codec: synthesized payload is a real multi-frame GIF and decodes back exactly") {
+    val id = 10L
+    val bytes = Multimodal.gifBytes(id)
+    assert(Multimodal.isGif(bytes), "payload must carry the GIF8xa magic")
+    val frames = Multimodal.decodeGif(bytes).get
+    val nf = (2 + id % 4).toInt; val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
+    assert(frames.length == nf)
+    frames.zipWithIndex.foreach { case ((fw, fh, sum), f) =>
+      assert(fw == w && fh == h)
+      val expect = (for (y <- 0 until h; x <- 0 until w)
+        yield (x + 3 * y + 5 * f + id) % 256).sum
+      assert(sum == expect, s"frame $f: got $sum, expect $expect")
+    }
+  }
+
+  test("gif codec: corrupt payload degrades to the raw framing path, not a failure") {
+    val corrupt = "GIF89a".getBytes ++ Array[Byte](1, 2, 3)
+    assert(Multimodal.isGif(corrupt))
+    assert(Multimodal.decodeGif(corrupt).isEmpty)
+  }
+
+  test("mm_frame_sample_gif dispatches: real GIF frames for every 5th doc, raw blocks else") {
+    val rows = Multimodal.mmFrameSampleGif(spark, Sf).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.keySet.size == Tables.documents(spark, Sf).count())
+    byDoc.foreach { case (id, rs) =>
+      if (id % 5 == 0) {
+        val nf = 2 + id % 4
+        assert(rs.forall(_.getAs[String]("format") == "gif"))
+        assert(rs.forall(_.getAs[Long]("n_frames") == nf))
+        // every stride-2 frame sampled: indices 0, 2, (4)
+        assert(rs.map(_.getAs[Long]("frame_idx")).sorted.toSeq ==
+          (0L until nf).filter(_ % 2 == 0))
+        assert(rs.forall(r => r.getAs[Long]("width") == 4 + id % 5 &&
+          r.getAs[Long]("height") == 3 + id % 4))
+      } else {
+        assert(rs.forall(r => r.getAs[String]("format") == "raw" &&
+          r.getAs[Long]("frame_idx") % 4 == 0 && r.getAs[Long]("sum_px") > 0))
+      }
+    }
+  }
+
   test("mm_decode_wav dispatches: real WAV decode for every 5th doc, stub for the rest") {
     val rows = Multimodal.mmDecodeWav(spark, Sf).collect()
     assert(rows.length == Tables.documents(spark, Sf).count())
