@@ -380,7 +380,21 @@ object Dedup {
   def appendShardToCorpus(s: SparkSession, dir: String, shardDocIds: DataFrame,
                           n: Int = 9, numPerms: Int = 32, rowsPerBand: Int = 4,
                           shardMod: Long = 10, numBuckets: Int = 8,
-                          afterBands: () => Unit = () => ()): Unit = {
+                          afterBands: () => Unit = () => ()): Unit =
+    appendShardDocs(s, dir,
+      Tables.documents(s, dir).join(shardDocIds, Seq("doc_id"), "left_semi"),
+      n, numPerms, rowsPerBand, shardMod, numBuckets, afterBands)
+
+  /** Text-carrying variant of [[appendShardToCorpus]]: `shardDocs`
+    * already holds (doc_id, text) — the streaming ingest loop's
+    * accepted batch does — so the append skips the id→text recovery
+    * join, which cost ONE FULL DOCUMENTS SCAN PER APPEND TABLE per
+    * batch (the dominant fixed cost the round-8 ingest measurement
+    * attributed to "the two bucketed appends"). */
+  def appendShardDocs(s: SparkSession, dir: String, shardDocs: DataFrame,
+                      n: Int = 9, numPerms: Int = 32, rowsPerBand: Int = 4,
+                      shardMod: Long = 10, numBuckets: Int = 8,
+                      afterBands: () => Unit = () => ()): Unit = {
     val (bandsT, hashesT) = corpusStateTables(s, dir, n, numPerms, rowsPerBand, shardMod, numBuckets)
     // Idempotent under ingest retries, PER TABLE: each append anti-joins
     // against the doc_ids already present in ITS OWN table, so a crash
@@ -392,21 +406,29 @@ object Dedup {
     // check is one column-pruned map-only scan of the table against
     // the broadcast shard ids — the same O(corpus-scan, shard-sized
     // output) class as the probe itself, nothing shuffles.
-    val shard = Tables.documents(s, dir)
-      .join(shardDocIds, Seq("doc_id"), "left_semi")
+    val shard = shardDocs.select(col("doc_id"), col("text"))
     def fresh(table: String): DataFrame = {
       val already = s.table(table).select("doc_id")
-        .join(broadcast(shardDocIds.select("doc_id")), Seq("doc_id"), "left_semi")
+        .join(broadcast(shard.select("doc_id")), Seq("doc_id"), "left_semi")
         .distinct()
       shard.join(broadcast(already), Seq("doc_id"), "left_anti")
     }
+    // Pre-partition each append on its bucket key tuple: repartition's
+    // HashPartitioning is the same murmur3-pmod formula bucketBy uses,
+    // so every write task holds exactly ONE bucket's rows → numBuckets
+    // files per append instead of (shuffle.partitions × buckets) tiny
+    // files — the difference between a state table that accretes ~256
+    // files per micro-batch and one that accretes 8, which every later
+    // probe scan and append membership check has to plan over.
     graft.sources.Sources.writeBucketed(
-      bandTuples(fresh(bandsT), n, numPerms, rowsPerBand),
+      bandTuples(fresh(bandsT), n, numPerms, rowsPerBand)
+        .repartition(numBuckets, bandKeyCols(rowsPerBand).map(col): _*),
       bandsT, bandKeyCols(rowsPerBand), numBuckets, mode = "append")
     afterBands() // test seam: crash window between the two appends
     graft.sources.Sources.writeBucketed(
       fresh(hashesT)
-        .select(col("doc_id"), xxhash64(col("text")).as("h64"), md5(col("text")).as("h128")),
+        .select(col("doc_id"), xxhash64(col("text")).as("h64"), md5(col("text")).as("h128"))
+        .repartition(numBuckets, col("h64"), col("h128")),
       hashesT, Seq("h64", "h128"), numBuckets, mode = "append")
   }
 

@@ -67,8 +67,8 @@ object StreamingIngest {
           // with no data files, and schema inference over that would
           // throw on every replay — a poison pill that wedges the
           // stream on a batch that only needs an empty no-op append.
-          Dedup.appendShardToCorpus(spark, dir,
-            spark.read.schema(batch.schema).parquet(partDir).select("doc_id"),
+          Dedup.appendShardDocs(spark, dir,
+            spark.read.schema(batch.schema).parquet(partDir),
             shardMod = shardMod, numBuckets = numBuckets)
         } else {
           // within-batch dedup, deterministically (min doc_id per text
@@ -88,7 +88,9 @@ object StreamingIngest {
             .cache()
           try {
             accepted.write.mode("overwrite").parquet(partDir)
-            Dedup.appendShardToCorpus(spark, dir, accepted.select("doc_id"),
+            // accepted already carries text — the text-carrying append
+            // skips the per-batch documents-table recovery scans
+            Dedup.appendShardDocs(spark, dir, accepted,
               shardMod = shardMod, numBuckets = numBuckets)
           } finally accepted.unpersist()
         }
