@@ -95,6 +95,7 @@ object SparkEntry {
     "sim_lsh_ann" -> ((s, d) => Similarity.simLshAnn(s, d)),
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
     "sim_ivf_ann_persisted" -> ((s, d) => Similarity.simIvfAnnPersisted(s, d)),
+    "sim_ivf_sq8" -> ((s, d) => Similarity.simIvfSq8(s, d)),
     "emb_centroids" -> (Similarity.embCentroids(_, _)),
     "emb_quantize" -> (Similarity.embQuantize(_, _)),
     // §2.5 text analysis
@@ -1439,6 +1440,8 @@ object SparkEntry {
     // shares the generated oracle verbatim, the persisted-state
     // pattern dedup_incremental_persisted established
     "sim_ivf_ann_persisted" -> ivfOracleSql(nQueries = 5, k = 10, nprobe = 4),
+    // the SQ8-served path re-ranks exactly, recovering the same top-k
+    "sim_ivf_sq8" -> ivfOracleSql(nQueries = 5, k = 10, nprobe = 4),
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.GraftColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, IntegerType, LongType, StringType}
 
 /** Native Catalyst expression for cosine similarity over two
   * array<double> columns, with full whole-stage-codegen support
@@ -66,6 +66,72 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xi = $x.getDouble($i);
          |  double $yi = $y.getDouble($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |}
+         |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
+         |${ev.value} = ($denom == 0.0) ? 0.0 : $dot / $denom;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Asymmetric cosine against int8-quantized codes: query stays
+  * full-precision array<double>, corpus side is array<tinyint> SQ8
+  * codes (code_i = round(x_i / scale)). The per-vector scale CANCELS
+  * in cosine — cos(q, scale·c) = Σq_i·c_i / (|q|·|c|) — so the
+  * serving scan needs ONLY the 1-byte codes, never the scale or the
+  * original floats: the memory-bounded vector-serving trick behind
+  * IVF-SQ8 (Jégou et al. 2011's asymmetric distance computation,
+  * scalar-quantizer variant). Same fused codegen loop as
+  * [[CosineSimilarity]]. */
+case class CosineInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ByteType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<tinyint>), got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_int8"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i)
+      val yi = y.getByte(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    val denom = math.sqrt(nx) * math.sqrt(ny)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      val denom = ctx.freshName("denom")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $x.getDouble($i);
+         |  double $yi = (double) $y.getByte($i);
          |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
          |double $denom = java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny);
@@ -830,6 +896,11 @@ object VectorFunctions {
   def cosine_similarity(a: Column, b: Column): Column =
     GraftColumnBridge.column(
       CosineSimilarity(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  /** Column API: asymmetric cosine of a float query against int8 codes. */
+  def cosine_int8(q: Column, codes: Column): Column =
+    GraftColumnBridge.column(
+      CosineInt8(GraftColumnBridge.expression(q), GraftColumnBridge.expression(codes)))
 
   /** Column API: common-element count of two sorted array<long> columns. */
   def sorted_intersect_count(a: Column, b: Column): Column =

@@ -294,6 +294,85 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Builds (once per dir × codebook) the PERSISTED IVF-SQ8 index:
+    * [[ivfIndexTable]]'s cell-partitioned layout, but each vector
+    * stored as its int8 scalar-quantization CODES (the
+    * [[embQuantize]] scheme: code_i = round(x_i / scale),
+    * scale = max|x|/127) instead of float64s — 1 byte per dimension
+    * in the serving scan, 8× less index I/O per probed cell. The
+    * per-vector scale is NOT stored: it cancels in cosine, which is
+    * the only score the serving path computes. The memory-bounded
+    * vector-database shape (FAISS "IVFx,SQ8"): at 100 TB the hot
+    * index is code bytes only; full-precision vectors are touched
+    * just for the re-rank candidates via an id-keyed map-only
+    * fetch. */
+  def ivfSq8IndexTable(s: SparkSession, dir: String,
+                       codebook: Array[Array[Double]] = IvfCodebook.centroids): String = {
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    val dirTag = (scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff).toHexString
+    val cbTag = (scala.util.hashing.MurmurHash3.arrayHash(
+      codebook.map(java.util.Arrays.hashCode)) & 0x7fffffff).toHexString
+    val table = s"graft_ivf_sq8_index_${slug}_${dirTag}_k${codebook.length}_c${cbTag}_v1"
+    if (!s.catalog.tableExists(table)) {
+      graft.sources.Sources.clearOrphanedLocation(s, table)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("scale",
+          expr("greatest(array_max(transform(v, x -> abs(x))) / 127, 1e-12d)"))
+        .withColumn("codes",
+          expr("transform(v, x -> cast(round(x / scale) as tinyint))"))
+        .withColumn("bucket", ivfCell(col("v"), codebook))
+        .select("vec_id", "codes", "bucket")
+        .write.partitionBy("bucket").format("parquet").saveAsTable(table)
+    }
+    table
+  }
+
+  /** [[simIvfAnn]] served from the SQ8 index — probe the nprobe
+    * nearest cells, score candidates ASYMMETRICALLY (full-precision
+    * query × int8 codes, the codegen'd [[graft.functions.CosineInt8]]
+    * kernel), keep the top `rerank`·k per query by approximate score,
+    * then re-rank exactly against the full-precision vectors fetched
+    * by id (corpus-side map-only scan, candidates broadcast). With
+    * SQ8's ≲0.5% relative cosine error and a 4× over-fetch margin the
+    * exact re-rank recovers [[simIvfAnn]]'s output bit-for-bit, so
+    * this SHARES that operator's DuckDB oracle; the pre-rerank
+    * candidate quality is additionally measured in the spec
+    * (approx-top-k recall), so the margin is a number, not a hope. */
+  def simIvfSq8(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
+                nprobe: Int = 4, rerank: Int = 4,
+                codebook: Array[Array[Double]] = IvfCodebook.centroids): DataFrame = {
+    val idx = s.table(ivfSq8IndexTable(s, dir, codebook))
+    val cells = ivfCellStructs(col("v"), codebook)
+    val probes = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), explode(cells).as("p"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("p.ccos").desc, col("p.negidx").desc)))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), (-col("p.negidx")).cast("int").as("bucket"))
+    val cands = idx.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("acos",
+        graft.functions.VectorFunctions.cosine_int8(col("qv"), col("codes")))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("acos").desc, col("vec_id"))))
+      .filter(col("arn") <= k * rerank)
+      .select(col("qid"), col("qv"), col("vec_id"))
+    // exact re-rank: corpus scanned map-only, candidate set broadcast
+    val exact = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+    exact.join(broadcast(cands), Seq("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("ev")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cosine"),
+        col("rn").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** Per-vector symmetric int8 quantization (the embedding-storage
     * reduction step): scale = max|x|/127, q = round(x/scale), reported
     * as the scale plus max/mean reconstruction error. Pure map-only

@@ -234,4 +234,13 @@ class BucketingSpec extends SparkSpec {
     assert(plan.contains("dynamicpruningexpression"),
       s"expected the probe join to runtime-prune the index partitions:\n$plan")
   }
+
+  test("SQ8 index serving scan is partition-pruned to the probed cells") {
+    import graft.operators.Similarity
+    val served = Similarity.simIvfSq8(spark, Sf)
+    served.collect()
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruningexpression"),
+      s"expected the probe join to runtime-prune the SQ8 index partitions:\n$plan")
+  }
 }

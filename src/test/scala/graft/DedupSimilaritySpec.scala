@@ -279,6 +279,28 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sim_ivf_sq8: exact re-rank recovers sim_ivf_ann's output; approx recall measured") {
+    import org.apache.spark.sql.functions._
+    val exactServe = Similarity.simIvfAnn(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val sq8Serve = Similarity.simIvfSq8(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(sq8Serve == exactServe,
+      s"SQ8-served top-k diverges from float-served: ${sq8Serve.diff(exactServe).take(3)}")
+    // pre-rerank candidate quality: the approximate (int8) top-k per
+    // query must already contain nearly all of the true top-k — the
+    // number that justifies the 4x over-fetch margin
+    val truth = exactServe.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.simIvfSq8(spark, Sf, rerank = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = truth.map { case (q, t) =>
+      approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    info(f"pre-rerank approx recall@10 (rerank=1): $mean%.3f")
+    assert(mean >= 0.9, f"int8 approximate ranking degraded: recall $mean%.3f")
+  }
+
   test("IVF ANN recall vs brute force at k=10") {
     val exact = Similarity.simBruteforceTopK(spark, Sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
