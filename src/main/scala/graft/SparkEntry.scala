@@ -106,6 +106,7 @@ object SparkEntry {
     "pipe_quality_filter" -> ((s, d) => TextAnalysis.pipeQualityFilter(s, d)),
     "pipe_pii_scrub" -> (TextAnalysis.pipePiiScrub(_, _)),
     "pipe_tokenize" -> (TextAnalysis.pipeTokenize(_, _)),
+    "pipe_full_ingest" -> ((s, d) => TextAnalysis.pipeFullIngest(s, d)),
     "pipe_corpus_stats" -> (TextAnalysis.pipeCorpusStats(_, _)),
     "pipe_train_mix" -> ((s, d) => TextAnalysis.pipeTrainMix(s, d)),
     "pipe_lang_sampling_weights" -> ((s, d) => TextAnalysis.pipeLangSamplingWeights(s, d)),
@@ -241,6 +242,70 @@ object SparkEntry {
     s"""WITH ${incrementalCtesSql(n, numPerms, rowsPerBand, shardMod)}
        |SELECT doc_id, exact_dup, near_dup FROM shard_flags
        |ORDER BY doc_id""".stripMargin
+
+  /** The capstone composition's oracle: every stage's existing oracle
+    * formulation (scrub closed form, quality rule on the scrubbed
+    * text, 20-gram decontamination, the shared incremental-dedup
+    * CTEs, the md5-keyed shuffle-pack windows) chained end to end, so
+    * DuckDB replays the WHOLE pipeline's per-doc verdicts and pack
+    * assignments, not just each stage in isolation. */
+  private def fullIngestOracleSql(minWords: Int, minAlpha: Double, nEval: Long,
+                                  nShards: Int, seqLen: Int, seed: Int): String =
+    s"""WITH ${incrementalCtesSql(n = 9, numPerms = 32, rowsPerBand = 4, shardMod = 10)},
+       |scrub AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN
+       |      text || ' contact user' || doc_id || '@example.com from 10.' ||
+       |      (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.' || (doc_id % 200 + 1)
+       |    ELSE text END AS raw
+       |  FROM documents WHERE doc_id % 10 = 0 AND doc_id >= $nEval),
+       |cleaned AS (
+       |  SELECT doc_id,
+       |    (len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+       |     + len(regexp_extract_all(raw, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')))::BIGINT AS n_pii,
+       |    regexp_replace(regexp_replace(raw,
+       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+       |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS clean
+       |  FROM scrub),
+       |q AS (
+       |  SELECT doc_id, n_pii,
+       |    len(regexp_extract_all(clean, '\\S+'))::BIGINT AS words,
+       |    round(len(regexp_extract_all(clean, '[A-Za-z]')) / greatest(length(clean), 1), 4) AS alpha_ratio,
+       |    (len(regexp_extract_all(clean, '\\S+')) >= $minWords
+       |     AND len(regexp_extract_all(clean, '[A-Za-z]')) / greatest(length(clean), 1) >= $minAlpha) AS passed_quality
+       |  FROM cleaned),
+       |dsh AS (
+       |  SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INT), 20) AS g
+       |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 19, 1) + 1)) AS i
+       |        FROM documents)),
+       |ev AS (SELECT DISTINCT g FROM dsh WHERE doc_id < $nEval),
+       |cont AS (
+       |  SELECT DISTINCT doc_id FROM dsh
+       |  WHERE doc_id >= $nEval AND g IN (SELECT g FROM ev)),
+       |flags AS (
+       |  SELECT q.doc_id, q.n_pii, q.words, q.alpha_ratio, q.passed_quality,
+       |    (c.doc_id IS NOT NULL) AS contaminated, sf.exact_dup, sf.near_dup,
+       |    (q.passed_quality AND c.doc_id IS NULL
+       |     AND NOT sf.exact_dup AND NOT sf.near_dup) AS accepted
+       |  FROM q
+       |  LEFT JOIN cont c USING (doc_id)
+       |  JOIN shard_flags sf USING (doc_id)),
+       |keyed AS (
+       |  SELECT doc_id, words, md5(doc_id || ':$seed') AS skey,
+       |    ('0x' || substring(md5(doc_id || ':$seed'), 1, 15))::BIGINT % $nShards AS pack_shard
+       |  FROM flags WHERE accepted),
+       |packd AS (
+       |  SELECT doc_id, pack_shard,
+       |    ((sum(words) OVER (PARTITION BY pack_shard ORDER BY skey, doc_id
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      - words) // $seqLen)::BIGINT AS pack_bin
+       |  FROM keyed)
+       |SELECT f.doc_id, f.n_pii, f.words, f.alpha_ratio, f.passed_quality,
+       |  f.contaminated, f.exact_dup, f.near_dup, f.accepted,
+       |  coalesce(p.pack_shard, -1)::BIGINT AS pack_shard,
+       |  coalesce(p.pack_bin, -1)::BIGINT AS pack_bin
+       |FROM flags f LEFT JOIN packd p USING (doc_id)
+       |ORDER BY f.doc_id""".stripMargin
 
   /** Daily-ingest report oracle: the incremental flags joined with the
     * deterministic quality rule, rolled up per language. */
@@ -562,6 +627,8 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "dedup_incremental" -> incrementalOracleSql(n = 9, numPerms = 32, rowsPerBand = 4, shardMod = 10),
+    "pipe_full_ingest" -> fullIngestOracleSql(minWords = 30, minAlpha = 0.6,
+      nEval = 10, nShards = 4, seqLen = 256, seed = 42),
     // probes persisted corpus state; flags are identical by construction
     "dedup_incremental_persisted" ->
       incrementalOracleSql(n = 9, numPerms = 32, rowsPerBand = 4, shardMod = 10),

@@ -152,6 +152,69 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** The CAPSTONE composition (`pipe_full_ingest`) — the dataset-card
+    * pipeline a user actually runs, chained in ONE plan over the
+    * incoming shard (doc_id % 10 = 0, eval ids excluded):
+    * PII scrub (planted ground truth, redaction) → quality gate on
+    * the SCRUBBED text → eval-set decontamination (20-gram overlap,
+    * [[pipeDecontaminate]]) → corpus dedup probes (exact 192-bit +
+    * minhash band collision, [[Dedup.dedupIncremental]]) →
+    * shuffle-pack of the ACCEPTED docs into (shard, bin) manifest
+    * slots ([[pipeShufflePack]]'s keyed order). One row per incoming
+    * doc: every gate's verdict, the accept decision, and the pack
+    * assignment (−1s when rejected) — end-to-end oracle-checked, so
+    * the COMPOSITION (not just each stage) is hash-verified.
+    *
+    * Plan shape at 100 TB: each gate is the operator it reuses —
+    * map-only scrub/quality, broadcast eval-shingle semi-join,
+    * broadcast-probed corpus scans — then one window over accepted
+    * docs partitioned by pack shard. Nothing new shuffles; the
+    * composition is plan fusion, not materialized stages. */
+  def pipeFullIngest(s: SparkSession, dir: String, minWords: Int = 30,
+                     minAlpha: Double = 0.6, nEval: Long = 10, nShards: Int = 4,
+                     seqLen: Int = 256, seed: Int = 42): DataFrame = {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val shard = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10 === 0 && col("doc_id") >= nEval)
+      .withColumn("raw",
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com from 10."), col("doc_id") % 256,
+            lit("."), (col("doc_id") * 7) % 256,
+            lit("."), col("doc_id") % 200 + 1))
+          .otherwise(col("text")))
+      .withColumn("clean",
+        regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"), ipRe, "<IP>"))
+      .withColumn("n_pii",
+        (size(regexp_extract_all(col("raw"), lit(emailRe), lit(0))) +
+          size(regexp_extract_all(col("raw"), lit(ipRe), lit(0)))).cast("long"))
+      .withColumn("words", nWords(col("clean")))
+      .withColumn("ar", charCount(col("clean"), "[A-Za-z]") / greatest(length(col("clean")), lit(1)))
+    val flagged = shard
+      .join(pipeDecontaminate(s, dir, nEval = nEval), Seq("doc_id"))
+      .join(graft.operators.Dedup.dedupIncremental(s, dir), Seq("doc_id"))
+      .withColumn("passed_quality", col("words") >= minWords && col("ar") >= minAlpha)
+      .withColumn("accepted", col("passed_quality") && !col("contaminated") &&
+        !col("exact_dup") && !col("near_dup"))
+    val w = Window.partitionBy("pack_shard").orderBy("skey", "doc_id")
+    val packed = flagged.filter(col("accepted"))
+      .withColumn("skey", md5(concat_ws(":", col("doc_id"), lit(seed))))
+      .withColumn("pack_shard",
+        pmod(conv(substring(col("skey"), 1, 15), 16, 10).cast("long"), lit(nShards.toLong)))
+      .withColumn("cum", sum(col("words")).over(w))
+      .withColumn("pack_bin", floor((col("cum") - col("words")) / seqLen))
+      .select(col("doc_id"), col("pack_shard"), col("pack_bin"))
+    flagged.join(packed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_pii"), col("words"),
+        round(col("ar"), 4).as("alpha_ratio"),
+        col("passed_quality"), col("contaminated"), col("exact_dup"),
+        col("near_dup"), col("accepted"),
+        coalesce(col("pack_shard"), lit(-1L)).as("pack_shard"),
+        coalesce(col("pack_bin"), lit(-1L)).as("pack_bin"))
+      .orderBy("doc_id")
+  }
+
   /** Text normalization: lowercase, collapse whitespace runs, strip
     * leading/trailing space — the canonical pre-dedup canonical form.
     * Pure codegen'd expressions, map-only. */

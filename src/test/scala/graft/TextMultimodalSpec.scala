@@ -271,6 +271,38 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_unk")).sum == 0L)
   }
 
+  test("pipe_full_ingest: stage verdicts equal the standalone operators; packing covers accepted docs") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.pipeFullIngest(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // shard membership: every incoming doc, eval ids excluded
+    val expectIds = Tables.documents(spark, Sf)
+      .filter(col("doc_id") % 10 === 0 && col("doc_id") >= 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == expectIds)
+    // gate verdicts must equal the standalone operators' outputs
+    val cont = graft.operators.TextAnalysis.pipeDecontaminate(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val dups = graft.operators.Dedup.dedupIncremental(spark, Sf)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getBoolean(2))).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("contaminated") == cont(id), s"doc $id contamination verdict")
+      assert((r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("near_dup")) == dups(id),
+        s"doc $id dedup verdict")
+      val accepted = r.getAs[Boolean]("accepted")
+      assert(accepted == (r.getAs[Boolean]("passed_quality") && !r.getAs[Boolean]("contaminated")
+        && !r.getAs[Boolean]("exact_dup") && !r.getAs[Boolean]("near_dup")))
+      // pack slots exactly for accepted docs
+      assert((r.getAs[Long]("pack_shard") >= 0) == accepted &&
+        (r.getAs[Long]("pack_bin") >= 0) == accepted, s"doc $id pack assignment")
+      if (id % 7 == 0) assert(r.getAs[Long]("n_pii") >= 2, s"doc $id planted PII missed")
+    }
+    // the run must be non-vacuous: both accepted docs and rejections
+    assert(rows.exists(_.getAs[Boolean]("accepted")))
+    assert(rows.exists(r => !r.getAs[Boolean]("accepted")))
+  }
+
   test("corpus invariant backing the mm_decode*/raw byte-sum oracles: non-empty ASCII text") {
     // the mm_decode / mm_decode_wav 'raw' oracles sum unicode() code
     // points per character and unnest over range(1, length+1) — both
