@@ -311,11 +311,14 @@ class TextMultimodalSpec extends SparkSpec {
     // breaks that must fail HERE with a named cause, not as an opaque
     // oracle hash mismatch (ADVICE r8).
     import org.apache.spark.sql.functions._
-    val bad = Tables.documents(spark, Sf)
-      .filter(length(col("text")) === 0 || col("text").rlike("[^\\x00-\\x7F]"))
-      .count()
-    assert(bad == 0L,
-      s"$bad documents have empty or non-ASCII text; the mm_decode* raw oracles assume neither")
+    // both the spec-scale dir and the driver's sf0.01 gate dir
+    for (dir <- Seq(Sf, "/root/testdata/sf0.01")) {
+      val bad = Tables.documents(spark, dir)
+        .filter(length(col("text")) === 0 || col("text").rlike("[^\\x00-\\x7F]"))
+        .count()
+      assert(bad == 0L,
+        s"$bad documents in $dir have empty or non-ASCII text; the mm_decode* raw oracles assume neither")
+    }
   }
 
   test("pipe_pii_scrub: planted PII found and redacted; scrub is idempotent") {
