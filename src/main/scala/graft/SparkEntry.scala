@@ -90,12 +90,14 @@ object SparkEntry {
     "dedup_semantic" -> ((s, d) => Dedup.dedupSemantic(s, d, augmentPlanted = true)),
     "dedup_cross_corpus" -> ((s, d) => Dedup.dedupCrossCorpus(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "dedup_keep_best" -> ((s, d) => Dedup.dedupKeepBest(s, d)),
     // §2.4 similarity
     "sim_bruteforce_topk" -> ((s, d) => Similarity.simBruteforceTopK(s, d)),
     "sim_lsh_ann" -> ((s, d) => Similarity.simLshAnn(s, d)),
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
     "sim_ivf_ann_persisted" -> ((s, d) => Similarity.simIvfAnnPersisted(s, d)),
     "sim_ivf_sq8" -> ((s, d) => Similarity.simIvfSq8(s, d)),
+    "sim_ivf_pq" -> ((s, d) => Similarity.simIvfPq(s, d)),
     "emb_centroids" -> (Similarity.embCentroids(_, _)),
     "emb_quantize" -> (Similarity.embQuantize(_, _)),
     // §2.5 text analysis
@@ -120,6 +122,7 @@ object SparkEntry {
     "text_top_bigrams_sketch" -> ((s, d) => TextAnalysis.textTopBigramsSketch(s, d)),
     "text_repetition" -> (TextAnalysis.textRepetition(_, _)),
     "text_vocab_stats" -> (TextAnalysis.textVocabStats(_, _)),
+    "text_bm25" -> ((s, d) => TextAnalysis.textBm25(s, d)),
     "pipe_length_histogram" -> ((s, d) => TextAnalysis.pipeLengthHistogram(s, d)),
     "pipe_e2e" -> (TextAnalysis.pipeEndToEnd(_, _)),
     // §2.7 multimodal
@@ -510,6 +513,41 @@ object SparkEntry {
        |  SELECT p.qid, a.vec_id FROM probes p
        |  JOIN assign a ON a.bucket = p.bucket WHERE a.vec_id <> p.qid),
        |${annScoringTailSql(k)}""".stripMargin
+  }
+
+  /** DuckDB replica of [[operators.TextAnalysis.textBm25]]: same
+    * whitespace tokenization, same Okapi constants (k1, b), the
+    * query set inlined from [[operators.TextAnalysis.bm25Queries]]
+    * so both engines score identical queries; ln == Spark's log
+    * (both natural, IEEE double). */
+  private def bm25OracleSql(k: Int, k1: Double, b: Double): String = {
+    val qs = operators.TextAnalysis.bm25Queries
+    val qtValues = qs.flatMap { case (qid, ts) => ts.map(t => s"($qid, '$t')") }.mkString(", ")
+    val vocabIn = qs.flatMap(_._2).distinct.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, t FROM (
+       |    SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+       |    FROM documents) WHERE t <> ''),
+       |dl AS (SELECT doc_id, count(*)::DOUBLE AS dl FROM toks GROUP BY 1),
+       |stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+       |qt(qid, term) AS (VALUES $qtValues),
+       |tf AS (
+       |  SELECT doc_id, t AS term, count(*)::DOUBLE AS tf FROM toks
+       |  WHERE t IN ($vocabIn) GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT qt.qid, tf.doc_id,
+       |    sum(ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5))
+       |        * (tf.tf * ${k1 + 1}) / (tf.tf + $k1 * (${1 - b} + $b * dl.dl / stats.avgdl))) AS s
+       |  FROM tf
+       |  JOIN dft USING (term) JOIN qt USING (term) JOIN dl USING (doc_id)
+       |  CROSS JOIN stats
+       |  GROUP BY 1, 2)
+       |SELECT qid, doc_id, score, rank FROM (
+       |  SELECT CAST(qid AS BIGINT) AS qid, doc_id, round(s, 4) AS score,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY s DESC, doc_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $k ORDER BY qid, rank""".stripMargin
   }
 
   /** DuckDB replica of [[operators.Dedup.dedupSemantic]]: the frozen
@@ -914,6 +952,7 @@ object SparkEntry {
         |  sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
         |  round(count(*)::DOUBLE / sum(c), 4) AS type_token_ratio
         |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
+    "text_bm25" -> bm25OracleSql(k = 10, k1 = 1.2, b = 0.75),
     "pipe_length_histogram" ->
       """SELECT CAST(floor(length(text) / 100) * 100 AS BIGINT) AS bucket_lo,
         |  count(*) AS n_docs
@@ -1509,6 +1548,9 @@ object SparkEntry {
     "sim_ivf_ann_persisted" -> ivfOracleSql(nQueries = 5, k = 10, nprobe = 4),
     // the SQ8-served path re-ranks exactly, recovering the same top-k
     "sim_ivf_sq8" -> ivfOracleSql(nQueries = 5, k = 10, nprobe = 4),
+    // the PQ-served path likewise re-ranks exactly from a 32× candidate
+    // margin (8-byte codes are far coarser than SQ8's 64)
+    "sim_ivf_pq" -> ivfOracleSql(nQueries = 5, k = 10, nprobe = 4),
     "text_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
         |FROM documents ORDER BY doc_id""".stripMargin,
@@ -1571,6 +1613,44 @@ object SparkEntry {
         |       d.doc_id = coalesce(l.cluster_id, d.doc_id) AS keep
         |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // dedup_clusters' labeling CTE with the survivor re-ranked by
+    // quality (word count desc, then doc_id): DuckDB's
+    // regexp_extract_all('\S+') length equals Spark's regexp_count
+    // on the same pattern.
+    "dedup_keep_best" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INT), 12) AS g
+        |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 11, 1) + 1)) AS i
+        |        FROM documents)
+        |),
+        |sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM common
+        |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE round(c / (sa.sz + sb.sz - c), 4) >= 0.8
+        |),
+        |edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs
+        |),
+        |reach AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        |),
+        |labels AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id FROM reach GROUP BY src),
+        |lab AS (
+        |  SELECT d.doc_id, coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+        |         len(regexp_extract_all(d.text, '\S+'))::BIGINT AS n_words
+        |  FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id)
+        |SELECT doc_id, cluster_id, n_words,
+        |       row_number() OVER (PARTITION BY cluster_id ORDER BY n_words DESC, doc_id) = 1 AS keep
+        |FROM lab ORDER BY doc_id""".stripMargin,
     // Exact nearest neighbor per vector — the unnest/dot-product
     // pattern proven by the sim_bruteforce_topk oracle, with every
     // vector as a query and rank-1 kept. Tie-break (equal cosine →

@@ -891,6 +891,149 @@ object LshKernel {
   }
 }
 
+/** Product-quantization ENCODE: the m-byte PQ code of an
+  * array<double> vector against the frozen per-subspace codebooks
+  * (Jégou et al. 2011). Each contiguous dsub-dim subvector maps to
+  * its nearest (L2) subspace centroid; ties keep the lowest centroid
+  * id. The codebooks ride along as one flat codegen reference object
+  * ([[LshBucket]]'s pattern), so the expression tree is
+  * codebook-size-independent and the encode scan stays inside
+  * whole-stage codegen — at 100 TB this is the index build's map-only
+  * hot loop (O(m·k·dsub) = O(k·dim) arithmetic per row, emitting m
+  * bytes per vector: a 64× storage cut over float64). */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val m: Int = codebooks.length
+  @transient private lazy val k: Int = codebooks(0).length
+  @transient private lazy val dsub: Int = codebooks(0)(0).length
+  @transient private lazy val flat: Array[Double] = codebooks.flatten.flatten
+
+  override def nullSafeEval(a: Any): Any =
+    PqKernel.encode(a.asInstanceOf[ArrayData], flat, m, k, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCodebooksFlat", flat, "double[]")
+    defineCodeGen(ctx, ev, x =>
+      s"graft.functions.PqKernel.encode($x, $cRef, $m, $k, $dsub)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Asymmetric cosine of a full-precision query against PQ codes: the
+  * corpus vector is reconstructed implicitly as the concatenation of
+  * its m subspace centroids — dot(q, x̂) = Σ_s dot(q_s, cb_s[code_s])
+  * and |x̂|² = Σ_s |cb_s[code_s]|² (subspaces are orthogonal
+  * coordinate blocks, so cross terms vanish). The centroid norms are
+  * PRECOMPUTED once per plan as a reference object, so scoring reads
+  * only the m code bytes per candidate — the PQ serving scan touches
+  * 8 bytes/vector where SQ8 reads 64 and float64 reads 512. Same ADC
+  * idea as [[CosineInt8]], product-quantizer variant. */
+case class CosinePq(left: Expression, right: Expression,
+                    codebooks: Array[Array[Array[Double]]])
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ByteType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, array<tinyint>), got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_pq"
+
+  @transient private lazy val m: Int = codebooks.length
+  @transient private lazy val k: Int = codebooks(0).length
+  @transient private lazy val dsub: Int = codebooks(0)(0).length
+  @transient private lazy val flat: Array[Double] = codebooks.flatten.flatten
+  @transient private lazy val norms2: Array[Double] = codebooks.flatMap(_.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  })
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqKernel.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      flat, norms2, m, k, dsub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("pqCodebooksFlat", flat, "double[]")
+    val nRef = ctx.addReferenceObj("pqNorms2", norms2, "double[]")
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.functions.PqKernel.cosine($x, $y, $cRef, $nRef, $m, $k, $dsub);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** JVM kernel for [[PqEncode]] / [[CosinePq]] — standalone object so
+  * generated code sees true statics. Flat layout:
+  * flat[(s·k + c)·dsub + i] = codebooks(s)(c)(i). */
+object PqKernel {
+  def encode(v: ArrayData, flat: Array[Double], m: Int, k: Int, dsub: Int): ArrayData = {
+    val out = new Array[Byte](m)
+    var s = 0
+    while (s < m) {
+      val base = s * dsub
+      var best = Double.PositiveInfinity
+      var bestIdx = 0
+      var c = 0
+      while (c < k) {
+        val off = (s * k + c) * dsub
+        var d2 = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = v.getDouble(base + i) - flat(off + i)
+          d2 += d * d
+          i += 1
+        }
+        if (d2 < best) { best = d2; bestIdx = c }
+        c += 1
+      }
+      out(s) = bestIdx.toByte
+      s += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def cosine(q: ArrayData, codes: ArrayData, flat: Array[Double], norms2: Array[Double],
+             m: Int, k: Int, dsub: Int): Double = {
+    var dot = 0.0
+    var nq = 0.0
+    var nx2 = 0.0
+    var s = 0
+    while (s < m) {
+      val c = codes.getByte(s) & 0xff
+      val off = (s * k + c) * dsub
+      val base = s * dsub
+      var i = 0
+      while (i < dsub) {
+        val qi = q.getDouble(base + i)
+        dot += qi * flat(off + i)
+        nq += qi * qi
+        i += 1
+      }
+      nx2 += norms2(s * k + c)
+      s += 1
+    }
+    val denom = math.sqrt(nq) * math.sqrt(nx2)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+}
+
 object VectorFunctions {
   /** Column API: cosine_similarity(a, b) for array<double> columns. */
   def cosine_similarity(a: Column, b: Column): Column =
@@ -945,6 +1088,15 @@ object VectorFunctions {
   /** Column API: hard IVF cell assignment against a fixed codebook. */
   def ivf_cell(v: Column, centroids: Array[Array[Double]]): Column =
     GraftColumnBridge.column(IvfCell(GraftColumnBridge.expression(v), centroids))
+
+  /** Column API: m-byte PQ code against the frozen subspace codebooks. */
+  def pq_encode(v: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftColumnBridge.column(PqEncode(GraftColumnBridge.expression(v), codebooks))
+
+  /** Column API: asymmetric cosine of a float query against PQ codes. */
+  def cosine_pq(q: Column, codes: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    GraftColumnBridge.column(
+      CosinePq(GraftColumnBridge.expression(q), GraftColumnBridge.expression(codes), codebooks))
 
   /** Column API: full minhash signature of a shingle-hash array. */
   def minhash_signature(c: Column, numPerms: Int): Column =

@@ -696,6 +696,28 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** [[dedupClusters]] with QUALITY-RANKED survivor selection — the
+    * canonical-document step a production dedup actually ends with:
+    * within each near-dup cluster keep the best member (here: most
+    * words, ties → lowest doc_id), not merely the lowest id. The
+    * min-id convention answers "which rows collapse"; this answers
+    * "which copy do we train on" — e.g. the un-truncated variant of a
+    * boilerplate-wrapped page. Costs one extra (cluster_id)-keyed
+    * window over the labeled corpus; clusters are near-dup-sized
+    * (bounded), so the per-partition window state is tiny and the
+    * shape holds at 100 TB. */
+  def dedupKeepBest(s: SparkSession, dir: String, n: Int = 12, tau: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labeled = dedupClusters(s, dir, n, tau).select("doc_id", "cluster_id")
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), regexp_count(col("text"), lit("\\S+")).cast("long").as("n_words"))
+    labeled.join(words, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cluster_id").orderBy(col("n_words").desc, col("doc_id"))))
+      .select(col("doc_id"), col("cluster_id"), col("n_words"), (col("rk") === 1).as("keep"))
+      .orderBy("doc_id")
+  }
+
   // --- embedding near-dup --------------------------------------------
 
   /** Embedding-cosine nearest neighbor per vector (is_dup flags pairs

@@ -373,6 +373,88 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** Builds (once per dir × codebooks) the PERSISTED IVF-PQ index:
+    * [[ivfIndexTable]]'s cell-partitioned layout with each vector
+    * stored as its m-byte PRODUCT-QUANTIZATION code (the
+    * [[PqCodebook]] scheme: 8 subspaces × 16 centroids → 8 bytes per
+    * 64-dim vector, a 64× cut over float64 and 8× over SQ8). The
+    * FAISS "IVFx,PQ8" shape: at 100 TB the hot index is m code bytes
+    * per vector — small enough to pin in memory at billions of rows —
+    * and full-precision vectors are touched only for the re-rank
+    * candidates. Name embeds content hashes of BOTH quantizers (IVF
+    * centroids and PQ codebooks), so a re-fit of either never
+    * aliases a stale index. */
+  def ivfPqIndexTable(s: SparkSession, dir: String,
+                      codebook: Array[Array[Double]] = IvfCodebook.centroids,
+                      pq: Array[Array[Array[Double]]] = PqCodebook.codebooks): String = {
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    val dirTag = (scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff).toHexString
+    val cbTag = (scala.util.hashing.MurmurHash3.arrayHash(
+      codebook.map(java.util.Arrays.hashCode)) & 0x7fffffff).toHexString
+    val pqTag = (scala.util.hashing.MurmurHash3.arrayHash(
+      pq.map(b => java.util.Arrays.hashCode(b.map(java.util.Arrays.hashCode): Array[Int]))) & 0x7fffffff).toHexString
+    val table = s"graft_ivf_pq_index_${slug}_${dirTag}_k${codebook.length}_c${cbTag}_p${pqTag}_v1"
+    if (!s.catalog.tableExists(table)) {
+      graft.sources.Sources.clearOrphanedLocation(s, table)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("codes", graft.functions.VectorFunctions.pq_encode(col("v"), pq))
+        .withColumn("bucket", ivfCell(col("v"), codebook))
+        .select("vec_id", "codes", "bucket")
+        .write.partitionBy("bucket").format("parquet").saveAsTable(table)
+    }
+    table
+  }
+
+  /** [[simIvfAnn]] served from the PQ index: probe the nprobe nearest
+    * cells, score candidates by ASYMMETRIC-DISTANCE cosine against
+    * the 8-byte codes (the codegen'd [[graft.functions.CosinePq]]
+    * kernel — dot against subspace centroids, norms precomputed),
+    * keep `rerank`·k per query, then re-rank exactly against the
+    * full-precision vectors fetched by id. PQ's coarser
+    * reconstruction (256 centroids per 8-dim subspace, codebook
+    * trained on the sf0.01 sample) needs a far wider over-fetch than
+    * SQ8's 4×: on fully UNSEEN vectors (sf0.1, none in the training
+    * sample) the measured equality threshold is rerank = 24
+    * ([[graft.tools.ProbePqMargin]]); the default 32 carries margin
+    * for corpus regeneration. After the exact re-rank the output
+    * recovers [[simIvfAnn]]'s bit-for-bit, so this SHARES its DuckDB
+    * oracle; pre-rerank recall is additionally asserted in
+    * DedupSimilaritySpec. */
+  def simIvfPq(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
+               nprobe: Int = 4, rerank: Int = 32,
+               codebook: Array[Array[Double]] = IvfCodebook.centroids,
+               pq: Array[Array[Array[Double]]] = PqCodebook.codebooks): DataFrame = {
+    val idx = s.table(ivfPqIndexTable(s, dir, codebook, pq))
+    val cells = ivfCellStructs(col("v"), codebook)
+    val probes = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), explode(cells).as("p"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy("qid").orderBy(col("p.ccos").desc, col("p.negidx").desc)))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("qv"), (-col("p.negidx")).cast("int").as("bucket"))
+    val cands = idx.join(broadcast(probes), Seq("bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("acos",
+        graft.functions.VectorFunctions.cosine_pq(col("qv"), col("codes"), pq))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("acos").desc, col("vec_id"))))
+      .filter(col("arn") <= k * rerank)
+      .select(col("qid"), col("qv"), col("vec_id"))
+    val exact = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("ev"))
+    exact.join(broadcast(cands), Seq("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("ev")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cosine"),
+        col("rn").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** Per-vector symmetric int8 quantization (the embedding-storage
     * reduction step): scale = max|x|/127, q = round(x/scale), reported
     * as the scale plus max/mean reconstruction error. Pure map-only

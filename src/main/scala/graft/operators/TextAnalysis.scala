@@ -506,6 +506,64 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** The fixed BM25 demo query set (qid → terms), shared by the
+    * operator and the generated oracle SQL so both engines score the
+    * identical queries. Terms come from the corpus's generator
+    * vocabulary so every query has real postings. */
+  val bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("hash", "join"),
+    1 -> Seq("window", "sort", "merge"),
+    2 -> Seq("stream", "batch"),
+    3 -> Seq("customer", "query", "filter"),
+    4 -> Seq("vector", "scan"))
+
+  /** BM25 top-k full-text retrieval (Robertson–Spärck Jones; the
+    * `k1`/`b` Okapi form) for a small fixed query set — the
+    * text-search primitive a training-data pipeline uses for
+    * targeted corpus probes (eval-leak hunting, topical slicing).
+    *
+    * Spark-first inverted-list shape WITHOUT materializing an
+    * inverted index: one corpus scan tokenizes and keeps per-doc
+    * length; the postings shuffle is pre-filtered MAP-SIDE to the
+    * query vocabulary (`isin` over a literal set), so what crosses
+    * the wire is only the matched postings — at 100 TB the cost is
+    * proportional to the query terms' document frequency, not the
+    * corpus. Document-frequency and corpus stats are tiny aggregates
+    * broadcast back; scoring and the per-query top-k window touch
+    * only scored (qid, doc) pairs. Exactly SQL-expressible, so the
+    * oracle replays the identical math (ln == log, double division)
+    * in DuckDB. */
+  def textBm25(s: SparkSession, dir: String, k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val vocab = bm25Queries.flatMap(_._2).distinct
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("toks"))
+      .withColumn("dl", size(col("toks")).cast("double"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(vocab: _*))
+      .groupBy("doc_id", "dl", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val qt = bm25Queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }.toDF("qid", "term")
+    tf.join(broadcast(dft), "term")
+      .join(broadcast(qt), "term")
+      .crossJoin(broadcast(stats)) // one-row scalar attach
+      .withColumn("part",
+        log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+          (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("qid", "doc_id").agg(sum("part").as("s"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("s").desc, col("doc_id"))))
+      .filter(col("rank") <= k)
+      .select(col("qid").cast("long").as("qid"), col("doc_id"),
+        round(col("s"), 4).as("score"), col("rank").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** Document-length histogram (dataset-card numbers): fixed 100-char
     * buckets, one partial-aggregated shuffle. */
   def pipeLengthHistogram(s: SparkSession, dir: String, bucketChars: Int = 100): DataFrame =

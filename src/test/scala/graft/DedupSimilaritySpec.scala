@@ -301,6 +301,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(mean >= 0.9, f"int8 approximate ranking degraded: recall $mean%.3f")
   }
 
+  test("sim_ivf_pq: exact re-rank recovers sim_ivf_ann's output; approx recall measured") {
+    val exactServe = Similarity.simIvfAnn(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val pqServe = Similarity.simIvfPq(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(pqServe == exactServe,
+      s"PQ-served top-k diverges from float-served: ${pqServe.diff(exactServe).take(3)}")
+    // pre-rerank candidate quality: how much of the true top-k the
+    // 8-byte codes alone rank into the top k — the number that sizes
+    // the 32x over-fetch margin (well below SQ8's ≥0.9: a 256-centroid
+    // 8-dim subspace is a far coarser reconstruction, and the measured
+    // unseen-vector equality threshold is rerank=24 at sf0.1)
+    val truth = exactServe.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Similarity.simIvfPq(spark, Sf, rerank = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = truth.map { case (q, t) =>
+      approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+    val mean = recalls.sum / recalls.size
+    info(f"pre-rerank approx recall@10 (rerank=1): $mean%.3f")
+    assert(mean >= 0.4, f"PQ approximate ranking degraded: recall $mean%.3f")
+  }
+
   test("IVF ANN recall vs brute force at k=10") {
     val exact = Similarity.simBruteforceTopK(spark, Sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet

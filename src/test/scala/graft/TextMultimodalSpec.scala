@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Multimodal, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, TextAnalysis}
 
 class TextMultimodalSpec extends SparkSpec {
 
@@ -495,6 +495,43 @@ class TextMultimodalSpec extends SparkSpec {
       assert(hap <= ty && ty <= tok)
       assert(math.abs(r.getAs[Double]("type_token_ratio") -
         BigDecimal(ty.toDouble / tok).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+  }
+
+  test("text_bm25: per-query ranks dense, scores descending, hits contain a query term") {
+    val rows = TextAnalysis.textBm25(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.keySet == TextAnalysis.bm25Queries.map(_._1.toLong).toSet)
+    byQ.foreach { case (_, grp) =>
+      val sorted = grp.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to grp.length).toSeq)
+      val scores = sorted.map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, "scores not descending")
+      assert(scores.forall(_ > 0.0))
+    }
+    // every returned doc must actually contain ≥1 term of its query
+    val terms = TextAnalysis.bm25Queries.toMap
+    val texts = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").toLowerCase).toMap
+    rows.foreach { r =>
+      val qts = terms(r.getAs[Long]("qid").toInt)
+      val toks = texts(r.getAs[Long]("doc_id")).split("\\s+").toSet
+      assert(qts.exists(toks.contains), s"doc without query term ranked: $r")
+    }
+  }
+
+  test("dedup_keep_best: one keeper per cluster, keeper has max words (ties min id)") {
+    val rows = Dedup.dedupKeepBest(spark, Sf).collect()
+    val base = Dedup.dedupClusters(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    // same clustering as dedup_clusters, different survivor policy
+    rows.foreach(r => assert(base(r.getAs[Long]("doc_id")) == r.getAs[Long]("cluster_id")))
+    rows.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, grp) =>
+      val keepers = grp.filter(_.getAs[Boolean]("keep"))
+      assert(keepers.length == 1, s"cluster $cid keepers: ${keepers.length}")
+      val best = grp.maxBy(r => (r.getAs[Long]("n_words"), -r.getAs[Long]("doc_id")))
+      assert(keepers.head.getAs[Long]("doc_id") == best.getAs[Long]("doc_id"))
     }
   }
 }
