@@ -107,6 +107,7 @@ object SparkEntry {
     "text_fingerprint" -> (TextAnalysis.textFingerprint(_, _)),
     "pipe_quality_filter" -> ((s, d) => TextAnalysis.pipeQualityFilter(s, d)),
     "pipe_pii_scrub" -> (TextAnalysis.pipePiiScrub(_, _)),
+    "pipe_gopher_gate" -> ((s, d) => TextAnalysis.pipeGopherGate(s, d)),
     "pipe_tokenize" -> (TextAnalysis.pipeTokenize(_, _)),
     "pipe_full_ingest" -> ((s, d) => TextAnalysis.pipeFullIngest(s, d)),
     "pipe_corpus_stats" -> (TextAnalysis.pipeCorpusStats(_, _)),
@@ -953,6 +954,48 @@ object SparkEntry {
         |  round(count(*)::DOUBLE / sum(c), 4) AS type_token_ratio
         |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
     "text_bm25" -> bm25OracleSql(k = 10, k1 = 1.2, b = 0.75),
+    // the Gopher-gate mask: every signal derives from integer counts
+    // both engines compute identically (the text_quality /
+    // text_repetition formulas), compared UNROUNDED against the same
+    // literal thresholds — so the bitmask is exact, not approximate
+    "pipe_gopher_gate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |ws AS (
+        |  SELECT doc_id, len(w)::BIGINT AS n_words, len(list_distinct(w))::BIGINT AS n_distinct
+        |  FROM toks),
+        |meta AS (
+        |  SELECT d.doc_id,
+        |    (length(d.text) - len(regexp_extract_all(d.text, '\s')))::DOUBLE
+        |      / greatest(ws.n_words, 1) AS mwl,
+        |    len(regexp_extract_all(d.text, '[A-Za-z]'))::DOUBLE
+        |      / greatest(length(d.text), 1) AS alpha_ratio,
+        |    len(regexp_extract_all(lower(d.text), '\b(the|a|an|and|or|of|to|in|is|it)\b'))::DOUBLE
+        |      / greatest(ws.n_words, 1) AS stop_ratio
+        |  FROM documents d JOIN ws USING (doc_id)),
+        |bg AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS bigram
+        |  FROM toks, unnest(range(1, greatest(len(w), 1))) t(i)),
+        |bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c) AS max_c FROM bc GROUP BY 1),
+        |sig AS (
+        |  SELECT ws.doc_id, ws.n_words,
+        |    CASE WHEN ws.n_words = 0 THEN 0.0
+        |         ELSE 1.0 - ws.n_distinct / ws.n_words END AS dup_word_frac,
+        |    coalesce(bs.max_c::DOUBLE / bs.n_bigrams, 0.0) AS top_bigram_frac,
+        |    m.mwl, m.alpha_ratio, m.stop_ratio
+        |  FROM ws JOIN meta m USING (doc_id) LEFT JOIN bs USING (doc_id))
+        |SELECT doc_id, n_words, reasons, reasons = 0 AS keep FROM (
+        |  SELECT doc_id, n_words,
+        |    (CASE WHEN n_words < 30 OR n_words > 100000 THEN 1 ELSE 0 END
+        |     + CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 2 ELSE 0 END
+        |     + CASE WHEN alpha_ratio < 0.8 THEN 4 ELSE 0 END
+        |     + CASE WHEN stop_ratio < 0.01 THEN 8 ELSE 0 END
+        |     + CASE WHEN dup_word_frac > 0.65 THEN 16 ELSE 0 END
+        |     + CASE WHEN top_bigram_frac > 0.2 THEN 32 ELSE 0 END)::BIGINT AS reasons
+        |  FROM sig)
+        |ORDER BY doc_id""".stripMargin,
     "pipe_length_histogram" ->
       """SELECT CAST(floor(length(text) / 100) * 100 AS BIGINT) AS bucket_lo,
         |  count(*) AS n_docs

@@ -118,6 +118,59 @@ object TextAnalysis {
       .select(col("doc_id"), col("words"), round(col("alpha_ratio"), 4).as("alpha_ratio"))
       .orderBy("doc_id")
 
+  /** Gopher-style composite quality gate (Rae et al. 2021, §A1.1
+    * adapted to this corpus's signals) with a per-document REASONS
+    * BITMASK — the production filter shape: a drop is never silent,
+    * every rejected doc carries which rules it broke, so the dataset
+    * card can report per-rule rejection rates and threshold sweeps
+    * replay from the persisted mask without rescanning text.
+    *
+    * Bits: 1 = word count outside [30, 100k]; 2 = mean word length
+    * outside [3, 10]; 4 = alpha ratio < 0.8; 8 = stopword ratio
+    * < 0.01; 16 = duplicate-word fraction > 0.65; 32 = top-bigram
+    * fraction > 0.2. Bits 2 and 32 keep Gopher's published bounds
+    * and never fire on the generator corpus (its word lengths and
+    * bigram spread sit inside them) — asserted non-vacuous for the
+    * others in TextMultimodalSpec. Everything is map-only except the
+    * (doc_id, bigram)-keyed partial-aggregated shuffle shared with
+    * [[textRepetition]]; thresholds compare UNROUNDED doubles that
+    * both engines derive from identical integer counts, so the
+    * oracle replays the mask bit-for-bit. */
+  def pipeGopherGate(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+      expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("w"))
+    val base = toks.select(
+      col("doc_id"),
+      size(col("w")).cast("long").as("n_words"),
+      size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+      ((length(col("text")).cast("double") - charCount(col("text"), "\\s")) /
+        greatest(size(col("w")), lit(1)).cast("double")).as("mwl"),
+      (charCount(col("text"), "[A-Za-z]") /
+        greatest(length(col("text")), lit(1))).as("alpha_ratio"),
+      (regexp_count(lower(col("text")), lit(StopwordPattern)).cast("double") /
+        greatest(size(col("w")), lit(1))).as("stop_ratio"))
+    val bigrams = toks.select(col("doc_id"), explode(expr(
+      "if(size(w) >= 2, transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1])), array())")).as("bigram"))
+    val bs = bigrams.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_bigrams"), max("c").as("max_c"))
+    base.join(bs, Seq("doc_id"), "left")
+      .withColumn("dup_word_frac",
+        when(col("n_words") === 0, lit(0.0)).otherwise(
+          lit(1.0) - col("n_distinct").cast("double") / col("n_words").cast("double")))
+      .withColumn("top_bigram_frac",
+        coalesce(col("max_c").cast("double") / col("n_bigrams").cast("double"), lit(0.0)))
+      .withColumn("reasons",
+        when(col("n_words") < 30 || col("n_words") > 100000, lit(1L)).otherwise(lit(0L)) +
+          when(col("mwl") < 3.0 || col("mwl") > 10.0, lit(2L)).otherwise(lit(0L)) +
+          when(col("alpha_ratio") < 0.8, lit(4L)).otherwise(lit(0L)) +
+          when(col("stop_ratio") < 0.01, lit(8L)).otherwise(lit(0L)) +
+          when(col("dup_word_frac") > 0.65, lit(16L)).otherwise(lit(0L)) +
+          when(col("top_bigram_frac") > 0.2, lit(32L)).otherwise(lit(0L)))
+      .select(col("doc_id"), col("n_words"), col("reasons"),
+        (col("reasons") === 0L).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** PII scrubbing (`pipe_pii_scrub`) — the redaction pass every
     * public-data pipeline runs before training: emails → `<EMAIL>`,
     * IPv4 literals → `<IP>`, counted per document. The synthetic

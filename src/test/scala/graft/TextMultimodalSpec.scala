@@ -521,6 +521,24 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pipe_gopher_gate: mask consistent with keep; firing rules non-vacuous") {
+    val rows = TextAnalysis.pipeGopherGate(spark, Sf).collect()
+    assert(rows.length == Tables.documents(spark, Sf).count())
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("keep") == (r.getAs[Long]("reasons") == 0L))
+      assert(r.getAs[Long]("reasons") < 64L)
+    }
+    val keeps = rows.count(_.getAs[Boolean]("keep"))
+    assert(keeps > 0 && keeps < rows.length, s"gate is vacuous: $keeps/${rows.length}")
+    // the corpus-firing bits (1: length, 4: alpha, 8: stopword) each
+    // reject at least one doc — the mask is a real multi-rule signal,
+    // not one rule wearing six names
+    val union = rows.map(_.getAs[Long]("reasons")).reduce(_ | _)
+    Seq(1L, 4L, 8L).foreach(b => assert((union & b) == b, s"bit $b never fired"))
+    assert(rows.map(_.getAs[Long]("reasons")).distinct.length >= 3,
+      "fewer than 3 distinct reason patterns")
+  }
+
   test("dedup_keep_best: one keeper per cluster, keeper has max words (ties min id)") {
     val rows = Dedup.dedupKeepBest(spark, Sf).collect()
     val base = Dedup.dedupClusters(spark, Sf).collect()
