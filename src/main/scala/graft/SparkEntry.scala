@@ -91,6 +91,7 @@ object SparkEntry {
     "dedup_cross_corpus" -> ((s, d) => Dedup.dedupCrossCorpus(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_keep_best" -> ((s, d) => Dedup.dedupKeepBest(s, d)),
+    "dedup_substring" -> ((s, d) => Dedup.dedupSubstring(s, d)),
     // §2.4 similarity
     "sim_bruteforce_topk" -> ((s, d) => Similarity.simBruteforceTopK(s, d)),
     "sim_lsh_ann" -> ((s, d) => Similarity.simLshAnn(s, d)),
@@ -1656,6 +1657,22 @@ object SparkEntry {
         |       d.doc_id = coalesce(l.cluster_id, d.doc_id) AS keep
         |FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // raw-substring twin of the rolling-hash gram sets: DISTINCT
+    // per-doc 50-char windows (whole text when shorter — the kernel's
+    // len<=n branch), df-capped [2, 50], pairs within each gram's doc
+    // set, distinct-gram count per pair
+    "dedup_substring" ->
+      """WITH g AS (
+        |  SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INT), 50) AS g
+        |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 49, 1) + 1)) AS i
+        |        FROM documents)),
+        |gc AS (SELECT g FROM g GROUP BY g HAVING count(*) BETWEEN 2 AND 50),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM g a JOIN gc USING (g) JOIN g b USING (g)
+        |  WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, count(*) AS n_shared FROM p
+        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
     // dedup_clusters' labeling CTE with the survivor re-ranked by
     // quality (word count desc, then doc_id): DuckDB's
     // regexp_extract_all('\S+') length equals Spark's regexp_count

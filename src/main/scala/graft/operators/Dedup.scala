@@ -696,6 +696,44 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** EXACT-substring cross-document dedup (the Lee et al. 2021
+    * "Deduplicating Training Data Makes Language Models Better"
+    * signal, pair-reporting form): emit every document pair sharing
+    * at least one exact `n`-char substring (n = 50 ≈ the paper's
+    * 50-token spirit at this corpus's scale), with the count of
+    * DISTINCT shared n-grams as span-overlap evidence. Catches the
+    * copy-paste overlap Jaccard misses (a 60-char verbatim quote in
+    * two otherwise-unrelated docs is invisible at τ=0.8 whole-doc
+    * similarity).
+    *
+    * Scale shape: one map-only scan computes the rolling-hash gram
+    * set per doc ([[graft.functions.NgramHashes]], codegen'd,
+    * per-doc distinct); the shuffle carries fixed-width (hash,
+    * doc_id) rows only. The quadratic danger is BOILERPLATE — a gram
+    * in h docs yields h² pairs — so grams with document frequency
+    * > `maxDf` are dropped (production handles boilerplate as its
+    * own pass; the cap makes pair fan-out ≤ maxDf per gram by
+    * construction). Groups collect ≤ maxDf ids, pairs explode from
+    * the sorted array, one final (id_a, id_b) partial-aggregated
+    * count. Oracle replays raw substrings (equal hashes ⟺ equal
+    * substrings barring a 64-bit rolling collision — the
+    * dedup_ngram_jaccard contract). */
+  def dedupSubstring(s: SparkSession, dir: String, n: Int = 50, maxDf: Int = 50): DataFrame = {
+    val grams = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(
+        graft.functions.VectorFunctions.ngram_hashes(lower(col("text")), n))).as("g"))
+    grams.groupBy("g")
+      .agg(sort_array(collect_list("doc_id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxDf))
+      .select(explode(expr(
+        """flatten(transform(ids, (x, i) ->
+          |  transform(slice(ids, i + 2, size(ids) - i - 1),
+          |            y -> struct(x AS id_a, y AS id_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** [[dedupClusters]] with QUALITY-RANKED survivor selection — the
     * canonical-document step a production dedup actually ends with:
     * within each near-dup cluster keep the best member (here: most

@@ -324,6 +324,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(mean >= 0.4, f"PQ approximate ranking degraded: recall $mean%.3f")
   }
 
+  test("dedup_substring: pairs equal brute-force shared-50-gram sets") {
+    val rows = Dedup.dedupSubstring(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Long]("n_shared")).toMap
+    assert(rows.nonEmpty, "no shared-substring pairs found at test scale")
+    // brute force on the raw text, same df cap
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").toLowerCase)
+    val gramsOf = docs.map { case (id, t) =>
+      id -> (if (t.length <= 50) Set(t) else t.sliding(50).toSet)
+    }.toMap
+    val byGram = gramsOf.toSeq.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      .filter { case (_, ids) => ids.length >= 2 && ids.length <= 50 }
+    val expected = byGram.values.toSeq
+      .flatMap(ids => for (i <- ids.indices; j <- (i + 1) until ids.length) yield (ids(i), ids(j)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(rows == expected,
+      s"pair sets differ: spark-only=${(rows.keySet -- expected.keySet).take(3)} " +
+        s"brute-only=${(expected.keySet -- rows.keySet).take(3)}")
+  }
+
   test("IVF ANN recall vs brute force at k=10") {
     val exact = Similarity.simBruteforceTopK(spark, Sf).collect()
       .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
