@@ -100,6 +100,7 @@ object SparkEntry {
     "sim_ivf_sq8" -> ((s, d) => Similarity.simIvfSq8(s, d)),
     "sim_ivf_pq" -> ((s, d) => Similarity.simIvfPq(s, d)),
     "emb_centroids" -> (Similarity.embCentroids(_, _)),
+    "emb_project" -> ((s, d) => Similarity.embProject(s, d)),
     "emb_quantize" -> (Similarity.embQuantize(_, _)),
     // §2.5 text analysis
     "text_stats" -> (TextAnalysis.textStats(_, _)),
@@ -517,6 +518,23 @@ object SparkEntry {
        |${annScoringTailSql(k)}""".stripMargin
   }
 
+  /** DuckDB replica of [[operators.Similarity.embProject]]: the
+    * pre-scaled JL matrix inlined as VALUES rows, mat-vec replayed as
+    * a grouped sum in subscript order (the kernel accumulates
+    * ascending i, so the doubles agree). */
+  private def embProjectOracleSql(kProj: Int): String = {
+    val m = operators.Similarity.jlProjection(kProj)
+    val vals = (for (p <- m.indices; i <- m(p).indices)
+      yield s"(${p + 1}, ${i + 1}, ${m(p)(i)})").mkString(", ")
+    s"""WITH proj(j, i, w) AS (VALUES $vals),
+       |ex AS (
+       |  SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings)
+       |SELECT ex.vec_id, CAST(proj.j AS BIGINT) AS j, round(sum(ex.x * proj.w), 4) AS y
+       |FROM ex JOIN proj ON ex.i = proj.i
+       |GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin
+  }
+
   /** DuckDB replica of [[operators.TextAnalysis.textBm25]]: same
     * whitespace tokenization, same Okapi constants (k1, b), the
     * query set inlined from [[operators.TextAnalysis.bm25Queries]]
@@ -788,6 +806,7 @@ object SparkEntry {
         |FROM (SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
         |      FROM embeddings)
         |GROUP BY 1, 2 ORDER BY label, i""".stripMargin,
+    "emb_project" -> embProjectOracleSql(kProj = 16),
     // Hash-invariant twin (same argument as dedup_ngram_jaccard): a
     // shared xxhash64'd 20-gram == a shared raw 20-gram substring.
     "pipe_decontaminate" -> decontaminateOracleSql,

@@ -979,6 +979,57 @@ case class CosinePq(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Dense matrix-vector product against a FIXED row-major matrix — the
+  * random-projection (Johnson–Lindenstrauss) kernel behind
+  * `emb_project`: y_p = Σ_i M[p][i]·x_i, one fused loop, matrix as a
+  * codegen reference object ([[LshBucket]]'s pattern). Accumulation
+  * runs in ascending i per output row, so an oracle summing the same
+  * inlined weights in subscript order reproduces the doubles. */
+case class MatVec(child: Expression, matrix: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "mat_vec"
+
+  @transient private lazy val rows: Int = matrix.length
+  @transient private lazy val dim: Int = if (matrix.isEmpty) 0 else matrix(0).length
+  @transient private lazy val flat: Array[Double] = matrix.flatten
+
+  override def nullSafeEval(a: Any): Any =
+    MatVecKernel.apply(a.asInstanceOf[ArrayData], flat, rows, dim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mRef = ctx.addReferenceObj("matVecFlat", flat, "double[]")
+    defineCodeGen(ctx, ev, x =>
+      s"graft.functions.MatVecKernel.apply($x, $mRef, $rows, $dim)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MatVecKernel {
+  def apply(v: ArrayData, flat: Array[Double], rows: Int, dim: Int): ArrayData = {
+    val n = math.min(dim, v.numElements())
+    val out = new Array[Double](rows)
+    var p = 0
+    while (p < rows) {
+      val off = p * dim
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += flat(off + i) * v.getDouble(i); i += 1 }
+      out(p) = s
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 /** JVM kernel for [[PqEncode]] / [[CosinePq]] — standalone object so
   * generated code sees true statics. Flat layout:
   * flat[(s·k + c)·dsub + i] = codebooks(s)(c)(i). */
@@ -1088,6 +1139,10 @@ object VectorFunctions {
   /** Column API: hard IVF cell assignment against a fixed codebook. */
   def ivf_cell(v: Column, centroids: Array[Array[Double]]): Column =
     GraftColumnBridge.column(IvfCell(GraftColumnBridge.expression(v), centroids))
+
+  /** Column API: mat-vec against a fixed row-major matrix. */
+  def mat_vec(v: Column, matrix: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(MatVec(GraftColumnBridge.expression(v), matrix))
 
   /** Column API: m-byte PQ code against the frozen subspace codebooks. */
   def pq_encode(v: Column, codebooks: Array[Array[Array[Double]]]): Column =

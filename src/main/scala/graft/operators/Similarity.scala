@@ -96,7 +96,17 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes for sign-LSH, seeded from a
-    * splitmix stream so driver and any future re-run agree. */
+    * splitmix stream so driver and any future re-run agree.
+    *
+    * NOTE the affine map yields uniform [-1, 3) (the divisor is 2⁵²
+    * against a 53-bit mantissa), i.e. entries biased positive — for
+    * SIGN hashing this only tilts the plane family toward one
+    * orthant, which the recall specs measure through (margin
+    * multi-probe holds recall 1.0 on the target pairs) and both
+    * engines share via the inlined constants, so the family is
+    * FROZEN as-is: re-centering would silently re-bucket every
+    * shipped LSH table. Zero-mean consumers (JL projection) use
+    * [[centeredStream]] instead. */
   private[operators] def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     var x = seed
     def next(): Double = {
@@ -105,10 +115,24 @@ object Similarity {
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       z = z ^ (z >>> 31)
-      // uniform in [-1, 1)
       (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
     }
     Array.fill(numPlanes)(Array.fill(dim)(next()))
+  }
+
+  /** The same splitmix stream with the CORRECT 2⁵³ divisor: uniform
+    * [-1, 1), mean 0, variance 1/3 — what zero-mean linear maps
+    * (JL projection) require. */
+  private[operators] def centeredStream(n: Int, seed: Long): Array[Double] = {
+    var x = seed
+    Array.fill(n) {
+      x += 0x9e3779b97f4a7c15L
+      var z = x
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
   }
 
   /** The deterministic hyperplanes, exposed so the oracle SQL can
@@ -453,6 +477,43 @@ object Similarity {
       .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cosine"),
         col("rn").cast("long").as("rank"))
       .orderBy("qid", "rank")
+  }
+
+  /** The frozen Johnson–Lindenstrauss projection matrix for
+    * [[embProject]]: kProj × dim entries from the same deterministic
+    * splitmix stream as the LSH planes (uniform in [-1, 1)),
+    * PRE-SCALED by √(3/kProj) — Var(U[-1,1)) = 1/3, so the scaling
+    * makes E‖Mx‖² = ‖x‖² (the Achlioptas-style dense-uniform JL
+    * variant). Exposed so the oracle SQL inlines the exact scaled
+    * weights. */
+  def jlProjection(kProj: Int = 16, dim: Int = 64): Array[Array[Double]] = {
+    val scale = math.sqrt(3.0 / kProj)
+    centeredStream(kProj * dim, seed = 7L).map(_ * scale)
+      .grouped(dim).toArray
+  }
+
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+    * 64-dim embeddings → `kProj` = 16 dims through the frozen
+    * [[jlProjection]] matrix — the cheap-prefilter / compact-index
+    * transform upstream of clustering and ANN (project once, shortlist
+    * in 4× fewer flops/bytes, verify in full dimension; the same
+    * build-on-a-sample-ship-constants pattern as the IVF/PQ
+    * codebooks). One map-only scan: the fused [[graft.functions.MatVec]]
+    * kernel emits all 16 components per row in a single codegen'd
+    * loop — no shuffle at any corpus size. Output exploded to scalar
+    * (vec_id, j, y) rows; the oracle replays the mat-vec from the
+    * inlined matrix in the same subscript order. Distance-preservation
+    * quality (the JL guarantee) is MEASURED in DedupSimilaritySpec,
+    * not assumed. */
+  def embProject(s: SparkSession, dir: String, kProj: Int = 16): DataFrame = {
+    val m = jlProjection(kProj)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("y", graft.functions.VectorFunctions.mat_vec(col("v"), m))
+      .select(col("vec_id"), posexplode(col("y")))
+      .select(col("vec_id"), (col("pos") + 1).cast("long").as("j"),
+        round(col("col"), 4).as("y"))
+      .orderBy("vec_id", "j")
   }
 
   /** Per-vector symmetric int8 quantization (the embedding-storage

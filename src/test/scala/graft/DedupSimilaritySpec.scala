@@ -324,6 +324,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(mean >= 0.4, f"PQ approximate ranking degraded: recall $mean%.3f")
   }
 
+  test("emb_project: JL distance preservation measured on sampled pairs") {
+    val m = Similarity.jlProjection()
+    val vecs = Tables.embeddings(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+      .sortBy(_._1).take(40)
+    def proj(v: Array[Double]): Array[Double] = m.map(row => row.zip(v).map { case (a, b) => a * b }.sum)
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    // the JL guarantee is on squared distances in expectation; with
+    // k=16 the measured per-pair ratio spread is wide but the MEAN
+    // ratio over many pairs must sit near 1
+    val ratios = for (i <- vecs.indices; j <- (i + 1) until vecs.length) yield {
+      val d0 = dist(vecs(i)._2, vecs(j)._2)
+      val d1 = dist(proj(vecs(i)._2), proj(vecs(j)._2))
+      (d1 * d1) / (d0 * d0)
+    }
+    val mean = ratios.sum / ratios.size
+    info(f"mean squared-distance ratio over ${ratios.size} pairs: $mean%.3f")
+    assert(mean > 0.8 && mean < 1.2, f"projection distorts distances: mean ratio $mean%.3f")
+    // and the operator output matches the driver-side projection
+    val out = Similarity.embProject(spark, Sf).collect()
+      .filter(_.getAs[Long]("vec_id") == vecs.head._1)
+      .sortBy(_.getAs[Long]("j")).map(_.getAs[Double]("y"))
+    val expect = proj(vecs.head._2).map(d =>
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(out.length == 16 && out.zip(expect).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+  }
+
   test("dedup_substring: pairs equal brute-force shared-50-gram sets") {
     val rows = Dedup.dedupSubstring(spark, Sf).collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) -> r.getAs[Long]("n_shared")).toMap

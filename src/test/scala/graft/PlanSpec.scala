@@ -126,4 +126,34 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"corpus shuffled through a sort-merge join:\n$plan")
   }
+
+  test("text_bm25 filters postings to the query vocabulary BELOW the shuffle; small sides broadcast") {
+    val df = TextAnalysis.textBm25(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the vocabulary prefilter must run in the scan/project stage
+    // (before any Exchange) so only matched postings cross the wire —
+    // the plan's Filter with the IN-list must not sit above an Exchange
+    val lines = plan.linesIterator.toSeq
+    val filterIdx = lines.indexWhere(l => l.contains("Filter") && l.contains("term"))
+    assert(filterIdx >= 0, s"no vocabulary filter found:\n$plan")
+    // df / query-terms / corpus-stats all broadcast; the only
+    // shuffle-heavy joins would show as SortMergeJoin
+    assert(!plan.contains("SortMergeJoin"),
+      s"bm25 shuffled a side that should broadcast:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"missing broadcast joins:\n$plan")
+  }
+
+  test("dedup_substring partially aggregates gram groups map-side and never sort-merge joins") {
+    val df = graft.operators.Dedup.dedupSubstring(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the (hash, doc_id) rollup must combine map-side: partial
+    // aggregate (collect_list is partial_ in the agg pair) before the
+    // Exchange keyed on the gram hash
+    assert(plan.contains("partial_"), s"no map-side partial aggregation:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"pair generation planned a join instead of group-explode:\n$plan")
+  }
 }
