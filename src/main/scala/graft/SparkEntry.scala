@@ -110,6 +110,8 @@ object SparkEntry {
     "pipe_quality_filter" -> ((s, d) => TextAnalysis.pipeQualityFilter(s, d)),
     "pipe_pii_scrub" -> (TextAnalysis.pipePiiScrub(_, _)),
     "pipe_gopher_gate" -> ((s, d) => TextAnalysis.pipeGopherGate(s, d)),
+    "pipe_split_train_val" -> ((s, d) => TextAnalysis.pipeSplitTrainVal(s, d)),
+    "pipe_dataset_card" -> ((s, d) => TextAnalysis.pipeDatasetCard(s, d)),
     "pipe_tokenize" -> (TextAnalysis.pipeTokenize(_, _)),
     "pipe_full_ingest" -> ((s, d) => TextAnalysis.pipeFullIngest(s, d)),
     "pipe_corpus_stats" -> (TextAnalysis.pipeCorpusStats(_, _)),
@@ -974,6 +976,91 @@ object SparkEntry {
         |  round(count(*)::DOUBLE / sum(c), 4) AS type_token_ratio
         |FROM tc GROUP BY lang ORDER BY lang""".stripMargin,
     "text_bm25" -> bm25OracleSql(k = 10, k1 = 1.2, b = 0.75),
+    // the card replays each composed gate's own math: quality filter
+    // (words/alpha), the full Gopher mask, hash-distinct texts
+    // (= dedup_exact's group count barring collisions), the planted
+    // PII construction — rates are avg of exact 0/1 indicators
+    "pipe_dataset_card" ->
+      """WITH n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+        |w AS (SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS w FROM documents),
+        |base AS (SELECT count(*)::DOUBLE AS n_docs, sum(w)::DOUBLE AS total_words FROM w),
+        |alpha AS (
+        |  SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE
+        |    / greatest(length(text), 1) AS a
+        |  FROM documents),
+        |qual AS (
+        |  SELECT count(*)::DOUBLE AS c FROM w JOIN alpha USING (doc_id)
+        |  WHERE w.w >= 30 AND alpha.a >= 0.6),
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |ws AS (
+        |  SELECT doc_id, len(w)::BIGINT AS n_words, len(list_distinct(w))::BIGINT AS n_distinct
+        |  FROM toks),
+        |meta AS (
+        |  SELECT d.doc_id,
+        |    (length(d.text) - len(regexp_extract_all(d.text, '\s')))::DOUBLE
+        |      / greatest(ws.n_words, 1) AS mwl,
+        |    len(regexp_extract_all(d.text, '[A-Za-z]'))::DOUBLE
+        |      / greatest(length(d.text), 1) AS alpha_ratio,
+        |    len(regexp_extract_all(lower(d.text), '\b(the|a|an|and|or|of|to|in|is|it)\b'))::DOUBLE
+        |      / greatest(ws.n_words, 1) AS stop_ratio
+        |  FROM documents d JOIN ws USING (doc_id)),
+        |bg AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS bigram
+        |  FROM toks, unnest(range(1, greatest(len(w), 1))) t(i)),
+        |bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c) AS max_c FROM bc GROUP BY 1),
+        |sig AS (
+        |  SELECT ws.doc_id, ws.n_words,
+        |    CASE WHEN ws.n_words = 0 THEN 0.0
+        |         ELSE 1.0 - ws.n_distinct / ws.n_words END AS dup_word_frac,
+        |    coalesce(bs.max_c::DOUBLE / bs.n_bigrams, 0.0) AS top_bigram_frac,
+        |    m.mwl, m.alpha_ratio, m.stop_ratio
+        |  FROM ws JOIN meta m USING (doc_id) LEFT JOIN bs USING (doc_id)),
+        |goph AS (
+        |  SELECT round(avg(CASE WHEN
+        |    (CASE WHEN n_words < 30 OR n_words > 100000 THEN 1 ELSE 0 END
+        |     + CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 2 ELSE 0 END
+        |     + CASE WHEN alpha_ratio < 0.8 THEN 4 ELSE 0 END
+        |     + CASE WHEN stop_ratio < 0.01 THEN 8 ELSE 0 END
+        |     + CASE WHEN dup_word_frac > 0.65 THEN 16 ELSE 0 END
+        |     + CASE WHEN top_bigram_frac > 0.2 THEN 32 ELSE 0 END) = 0
+        |    THEN 1.0 ELSE 0.0 END), 4) AS v
+        |  FROM sig),
+        |ex AS (SELECT count(DISTINCT text)::DOUBLE AS c FROM documents),
+        |raw AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN
+        |      text || ' contact user' || doc_id || '@example.com from 10.' ||
+        |      (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.' || (doc_id % 200 + 1)
+        |    ELSE text END AS raw
+        |  FROM documents),
+        |piic AS (
+        |  SELECT round(avg(CASE WHEN
+        |    len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(raw, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) > 0
+        |    THEN 1.0 ELSE 0.0 END), 4) AS v
+        |  FROM raw)
+        |SELECT metric, value FROM (
+        |  SELECT 'n_docs' AS metric, n_docs AS value FROM base
+        |  UNION ALL SELECT 'total_words', total_words FROM base
+        |  UNION ALL SELECT 'mean_words', round(total_words / n_docs, 4) FROM base
+        |  UNION ALL SELECT 'docs_lang_' || lang, count(*)::DOUBLE FROM documents GROUP BY lang
+        |  UNION ALL SELECT 'quality_pass_rate', round(qual.c / n.n, 4) FROM qual, n
+        |  UNION ALL SELECT 'gopher_pass_rate', v FROM goph
+        |  UNION ALL SELECT 'exact_dup_rate', round(1 - ex.c / n.n, 4) FROM ex, n
+        |  UNION ALL SELECT 'pii_contact_rate', v FROM piic)
+        |ORDER BY metric""".stripMargin,
+    // same 60-bit md5 family as the shuffle-pack keys: membership is
+    // a pure function of doc_id, identical in both engines
+    "pipe_split_train_val" ->
+      """SELECT doc_id,
+        |  ('0x' || substring(md5(doc_id || ':split'), 1, 15))::BIGINT % 100 AS bucket,
+        |  CASE WHEN ('0x' || substring(md5(doc_id || ':split'), 1, 15))::BIGINT % 100 < 90 THEN 'train'
+        |       WHEN ('0x' || substring(md5(doc_id || ':split'), 1, 15))::BIGINT % 100 < 95 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the Gopher-gate mask: every signal derives from integer counts
     // both engines compute identically (the text_quality /
     // text_repetition formulas), compared UNROUNDED against the same

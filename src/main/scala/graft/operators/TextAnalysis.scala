@@ -118,6 +118,64 @@ object TextAnalysis {
       .select(col("doc_id"), col("words"), round(col("alpha_ratio"), 4).as("alpha_ratio"))
       .orderBy("doc_id")
 
+  /** The DATASET CARD in one query: the headline numbers a release
+    * ships with (doc/word counts, per-language sizes, quality- and
+    * Gopher-gate pass rates, exact-duplicate rate, PII incidence),
+    * composed from the pipeline operators themselves — the rates are
+    * the real gates' rates, not re-derived approximations, so the
+    * card can never drift from what the pipeline actually did. Each
+    * metric is a scalar (or |langs|-sized) aggregate; the union is a
+    * handful of one-row plans, so cost is one pass per composed
+    * family regardless of corpus size. Output (metric, value)
+    * rows — the machine-readable card. */
+  def pipeDatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val nD = docs.agg(count(lit(1)).cast("double").as("n"))
+    val baseRows = docs
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        sum(nWords(col("text"))).cast("double").as("total_words"))
+      .select(expr("stack(3, 'n_docs', n_docs, 'total_words', total_words, " +
+        "'mean_words', round(total_words / n_docs, 4)) AS (metric, value)"))
+    val langRows = docs.groupBy(concat(lit("docs_lang_"), col("lang")).as("metric"))
+      .agg(count(lit(1)).cast("double").as("value"))
+    val qualRate = pipeQualityFilter(s, dir)
+      .agg(count(lit(1)).cast("double").as("c")).crossJoin(nD) // one-row scalar attach
+      .select(lit("quality_pass_rate").as("metric"), round(col("c") / col("n"), 4).as("value"))
+    val gopherRate = pipeGopherGate(s, dir)
+      .agg(round(avg(col("keep").cast("double")), 4).as("value"))
+      .select(lit("gopher_pass_rate").as("metric"), col("value"))
+    val dupRate = Dedup.dedupExact(s, dir)
+      .agg(count(lit(1)).cast("double").as("c")).crossJoin(nD) // one-row scalar attach
+      .select(lit("exact_dup_rate").as("metric"), round(lit(1.0) - col("c") / col("n"), 4).as("value"))
+    val piiRate = pipePiiScrub(s, dir)
+      .agg(round(avg(((col("n_emails") + col("n_ips")) > 0).cast("double")), 4).as("value"))
+      .select(lit("pii_contact_rate").as("metric"), col("value"))
+    Seq(baseRows, langRows, qualRate, gopherRate, dupRate, piiRate)
+      .reduce(_ unionAll _)
+      .orderBy("metric")
+  }
+
+  /** Deterministic hash-based train/val/test split — the assignment
+    * step every training run starts from. The split key is a 60-bit
+    * md5 of the doc id (the engine-portable hash family every dedup
+    * oracle uses) mod 100, so membership is a PURE FUNCTION of the
+    * document: re-running on a grown corpus never reassigns an
+    * existing doc (the property row_number/sample-based splits
+    * lack), any engine reproduces it, and the leakage check is an
+    * equality join away. Map-only, zero shuffle except the output
+    * sort; at 100 TB this is one scan. */
+  def pipeSplitTrainVal(s: SparkSession, dir: String,
+                        trainPct: Int = 90, valPct: Int = 5): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(concat(doc_id, ':split')), 1, 15), 16, 10) as bigint) % 100")
+          .as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+
   /** Gopher-style composite quality gate (Rae et al. 2021, §A1.1
     * adapted to this corpus's signals) with a per-document REASONS
     * BITMASK — the production filter shape: a drop is never silent,

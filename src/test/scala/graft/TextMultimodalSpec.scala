@@ -539,6 +539,26 @@ class TextMultimodalSpec extends SparkSpec {
       "fewer than 3 distinct reason patterns")
   }
 
+  test("pipe_split_train_val: proportions near 90/5/5 and assignment is corpus-independent") {
+    val rows = TextAnalysis.pipeSplitTrainVal(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val n = rows.size.toDouble
+    val frac = rows.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(math.abs(frac("train") - 0.90) < 0.06, s"train frac ${frac("train")}")
+    assert(frac.getOrElse("val", 0.0) > 0.0 && frac.getOrElse("test", 0.0) > 0.0)
+    // the production property: membership is a pure function of the
+    // doc, so a grown/shrunk corpus never reassigns — simulate by
+    // recomputing the same hash on a half-corpus view
+    import org.apache.spark.sql.functions._
+    val half = Tables.documents(spark, Sf).filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"),
+        expr("cast(conv(substring(md5(concat(doc_id, ':split')), 1, 15), 16, 10) as bigint) % 100").as("bucket"))
+      .withColumn("split", when(col("bucket") < 90, "train")
+        .when(col("bucket") < 95, "val").otherwise("test"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split"))
+    half.foreach { case (id, sp) => assert(rows(id) == sp, s"doc $id reassigned on corpus change") }
+  }
+
   test("dedup_keep_best: one keeper per cluster, keeper has max words (ties min id)") {
     val rows = Dedup.dedupKeepBest(spark, Sf).collect()
     val base = Dedup.dedupClusters(spark, Sf).collect()
