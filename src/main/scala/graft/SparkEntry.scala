@@ -101,6 +101,7 @@ object SparkEntry {
     "sim_ivf_pq" -> ((s, d) => Similarity.simIvfPq(s, d)),
     "emb_centroids" -> (Similarity.embCentroids(_, _)),
     "emb_project" -> ((s, d) => Similarity.embProject(s, d)),
+    "sim_range_search" -> ((s, d) => Similarity.simRangeSearch(s, d)),
     "emb_quantize" -> (Similarity.embQuantize(_, _)),
     // §2.5 text analysis
     "text_stats" -> (TextAnalysis.textStats(_, _)),
@@ -809,6 +810,22 @@ object SparkEntry {
         |      FROM embeddings)
         |GROUP BY 1, 2 ORDER BY label, i""".stripMargin,
     "emb_project" -> embProjectOracleSql(kProj = 16),
+    // exact all-pairs radius twin; threshold on the rounded cosine
+    // (the dedup_embedding convention) so boundary membership agrees
+    "sim_range_search" ->
+      """WITH ex AS (
+        |  SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY vec_id),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, c.vec_id, sum(q.x * c.x) AS dot
+        |  FROM ex q JOIN ex c ON q.i = c.i AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5
+        |  GROUP BY 1, 2)
+        |SELECT qid, d.vec_id, round(d.dot / (nq.nrm * nc.nrm), 4) AS cosine
+        |FROM dots d JOIN norms nq ON nq.vec_id = d.qid JOIN norms nc ON nc.vec_id = d.vec_id
+        |WHERE round(d.dot / (nq.nrm * nc.nrm), 4) >= 0.25
+        |ORDER BY qid, d.vec_id""".stripMargin,
     // Hash-invariant twin (same argument as dedup_ngram_jaccard): a
     // shared xxhash64'd 20-gram == a shared raw 20-gram substring.
     "pipe_decontaminate" -> decontaminateOracleSql,

@@ -479,6 +479,34 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** EXACT cosine RANGE search (radius query): for each query vector,
+    * every corpus vector with cosine ≥ tau — the other half of the
+    * vector-serving API surface (top-k answers "closest k", range
+    * answers "all within the dup/relevance radius"; dedup and
+    * retrieval-augmented filtering want the latter). The 100 TB
+    * shape is [[simBruteforceTopK]]'s: the bounded query set is
+    * broadcast, the corpus is scanned MAP-ONLY (never shuffled), and
+    * only the rows inside the radius are emitted — the operator is
+    * output-bound by construction, with no per-query heap state at
+    * all. An IVF-pruned variant would trade exactness for a probed
+    * subset; range semantics here stay exact so the SQL oracle is a
+    * direct all-pairs twin. */
+  def simRangeSearch(s: SparkSession, dir: String, nQueries: Int = 5,
+                     tau: Double = 0.25): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    e.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cos", round(cosine(col("qv"), col("v")), 4))
+      // threshold on the ROUNDED cosine (the dedup_embedding
+      // convention): float sum-order wobble at the radius boundary
+      // cannot flip membership between engines
+      .filter(col("cos") >= tau)
+      .select(col("qid"), col("vec_id"), col("cos").as("cosine"))
+      .orderBy("qid", "vec_id")
+  }
+
   /** The frozen Johnson–Lindenstrauss projection matrix for
     * [[embProject]]: kProj × dim entries from the same deterministic
     * splitmix stream as the LSH planes (uniform in [-1, 1)),

@@ -324,6 +324,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(mean >= 0.4, f"PQ approximate ranking degraded: recall $mean%.3f")
   }
 
+  test("sim_range_search: exactly the vectors inside the radius, none outside") {
+    val tau = 0.25
+    val rows = Similarity.simRangeSearch(spark, Sf, tau = tau).collect()
+    assert(rows.nonEmpty, "radius query returned nothing at test scale")
+    rows.foreach(r => assert(r.getAs[Double]("cosine") >= tau))
+    // brute-force twin on one query
+    val vecs = Tables.embeddings(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val q0 = vecs.find(_._1 == 0L).get._2
+    val expected = vecs.filter(_._1 != 0L).filter { case (_, v) =>
+      BigDecimal(cos(q0, v)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble >= tau
+    }.map(_._1).toSet
+    val got = rows.filter(_.getAs[Long]("qid") == 0L).map(_.getAs[Long]("vec_id")).toSet
+    assert(got == expected, s"q0 membership differs: extra=${got -- expected} missing=${expected -- got}")
+  }
+
   test("emb_project: JL distance preservation measured on sampled pairs") {
     val m = Similarity.jlProjection()
     val vecs = Tables.embeddings(spark, Sf).collect()
