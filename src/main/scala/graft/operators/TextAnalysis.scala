@@ -194,8 +194,16 @@ object TextAnalysis {
     * [[textRepetition]]; thresholds compare UNROUNDED doubles that
     * both engines derive from identical integer counts, so the
     * oracle replays the mask bit-for-bit. */
-  def pipeGopherGate(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir).select(col("doc_id"), col("text"),
+  def pipeGopherGate(s: SparkSession, dir: String): DataFrame =
+    gopherGateFrame(Tables.documents(s, dir))
+
+  /** [[pipeGopherGate]]'s gate over ANY (doc_id, text) frame — the
+    * rules are per-document, so the same plan serves the batch
+    * corpus and each streaming micro-batch (foreachBatch ingest
+    * gating, StreamingSpec); per-doc aggregates confined to a batch
+    * equal the global computation. */
+  def gopherGateFrame(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("text"),
       expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("w"))
     val base = toks.select(
       col("doc_id"),

@@ -395,4 +395,30 @@ class StreamingSpec extends SparkSpec {
     assert(out.toSet == docs.map(_._1).toSet + 9000001L,
       s"stream did not recover past the empty-accept replay: $out")
   }
+
+  test("streaming gopher gate per micro-batch equals the batch gate (per-doc rules)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the gate's rules are per-document, so foreachBatch application
+    // over any batch split must reproduce the whole-corpus batch gate
+    val batchOut = graft.operators.TextAnalysis.pipeGopherGate(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("reasons"), r.getAs[Boolean]("keep"))).toMap
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.Map[Long, (Long, Boolean)]()
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.TextAnalysis.gopherGateFrame(b).collect().foreach { r =>
+          seen(r.getAs[Long]("doc_id")) = (r.getAs[Long]("reasons"), r.getAs[Boolean]("keep"))
+        }
+      }
+      .outputMode("append").start()
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+    assert(seen.size == batchOut.size)
+    assert(seen.toMap == batchOut, "streamed gate diverges from batch gate")
+  }
 }
