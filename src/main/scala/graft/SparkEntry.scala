@@ -136,6 +136,7 @@ object SparkEntry {
     "mm_decode" -> (Multimodal.mmDecodeChecked(_, _)),
     "mm_decode_real" -> (Multimodal.mmDecodeReal(_, _)),
     "mm_decode_wav" -> (Multimodal.mmDecodeWav(_, _)),
+    "mm_audio_features" -> ((s, d) => Multimodal.mmAudioFeatures(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.mmFrameSampleChecked(s, d)),
     "mm_frame_sample_gif" -> ((s, d) => Multimodal.mmFrameSampleGif(s, d)),
     "text_winnow" -> (TextAnalysis.textWinnow(_, _)),
@@ -1568,6 +1569,28 @@ object SparkEntry {
         |  GROUP BY doc_id
         |)
         |SELECT * FROM wavrows UNION ALL SELECT * FROM rawrows ORDER BY doc_id""".stripMargin,
+    // windowed DSP features from the same closed-form PCM: integer
+    // energy / zero crossings / peak per 8-sample window — the codec
+    // path is lossless, so the oracle needs no codec at all
+    "mm_audio_features" ->
+      """WITH wav AS (
+        |  SELECT doc_id, 16 + doc_id % 16 AS n, 1 + doc_id % 7 AS step
+        |  FROM documents WHERE doc_id % 5 = 0
+        |),
+        |samples AS (
+        |  SELECT w.doc_id, CAST(s.i AS BIGINT) AS i,
+        |         ((s.i * w.step * 257 + w.doc_id) % 65536) - 32768 AS v
+        |  FROM wav w CROSS JOIN range(0, 32) s(i) WHERE s.i < w.n
+        |),
+        |wins AS (
+        |  SELECT doc_id, i // 8 AS win, v,
+        |         lag(v) OVER (PARTITION BY doc_id, i // 8 ORDER BY i) AS pv
+        |  FROM samples
+        |)
+        |SELECT doc_id, win, count(*)::BIGINT AS n, sum(v * v)::BIGINT AS sum_sq,
+        |  sum(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END)::BIGINT AS zc,
+        |  max(abs(v))::BIGINT AS peak
+        |FROM wins GROUP BY doc_id, win ORDER BY doc_id, win""".stripMargin,
     // winnowing on the md5-60 family: window minima over the n-gram
     // hash sequence, then distinct — the scheme itself (not just the
     // library column) oracle-checked end to end

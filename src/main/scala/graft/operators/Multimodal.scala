@@ -358,6 +358,87 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Raw PCM samples through the real codec path — [[decodeWav]]'s
+    * decode with the sample VALUES kept (the feature-extraction
+    * consumer needs the waveform, not just its aggregate). None on
+    * anything that isn't decodable 16-bit mono PCM. */
+  private[graft] def decodePcmSamples(bytes: Array[Byte]): Option[Array[Long]] =
+    try {
+      val ais = audioStreamOf(bytes).getOrElse(return None)
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 || fmt.isBigEndian ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) None
+      else {
+        val data = ais.readAllBytes()
+        val n = data.length / 2
+        if (n == 0) None
+        else {
+          val out = new Array[Long](n)
+          var i = 0
+          while (i < n) {
+            out(i) = (((data(2 * i + 1) << 8) | (data(2 * i) & 0xff)).toShort).toLong
+            i += 1
+          }
+          Some(out)
+        }
+      }
+    } catch { case _: Exception => None }
+
+  private val audioFeatSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("win", LongType),
+    StructField("n", LongType),
+    StructField("sum_sq", LongType),
+    StructField("zc", LongType),
+    StructField("peak", LongType)))
+
+  /** Windowed audio FEATURE EXTRACTION over the real decode path
+    * (`mm_audio_features`) — the frame-level DSP step an audio
+    * training pipeline runs after decode (VAD, silence trimming,
+    * loudness normalization all start from these): per 8-sample
+    * window, energy (Σv², the RMS numerator), zero-crossing count,
+    * and peak amplitude. The WAV payloads decode through the SAME
+    * in-JDK codec as [[mmDecodeWav]] ([[decodePcmSamples]]) — PCM is
+    * lossless, so the features are integer-exact and the oracle
+    * recomputes them from the closed-form sample formula with no
+    * codec at all. Integer features on purpose: no float epsilon in
+    * the contract. Map-only (payloads never leave their partition),
+    * windows emitted per row; a payload that fails the codec emits
+    * nothing (degrade spec'd). */
+  def mmAudioFeatures(s: SparkSession, dir: String, winSize: Int = 8): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioFeatSchema)
+    Tables.documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 5 === 0)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          decodePcmSamples(wavBytes(id)) match {
+            case Some(samples) =>
+              val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+              var w = 0
+              while (w * winSize < samples.length) {
+                val start = w * winSize
+                val end = math.min(start + winSize, samples.length)
+                var ss = 0L; var zc = 0L; var pk = 0L
+                var i = start
+                while (i < end) {
+                  val v = samples(i)
+                  ss += v * v
+                  if (math.abs(v) > pk) pk = math.abs(v)
+                  if (i > start && ((v >= 0) != (samples(i - 1) >= 0))) zc += 1
+                  i += 1
+                }
+                out += Row(id, w.toLong, (end - start).toLong, ss, zc, pk)
+                w += 1
+              }
+              out
+            case None => Iterator.empty
+          }
+        }
+      }(enc)
+      .orderBy("doc_id", "win")
+  }
+
   private val realSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("format", StringType),

@@ -539,6 +539,29 @@ class TextMultimodalSpec extends SparkSpec {
       "fewer than 3 distinct reason patterns")
   }
 
+  test("mm_audio_features: windows match the closed-form PCM; corrupt payload decodes to None") {
+    val rows = Multimodal.mmAudioFeatures(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // recompute one doc's features from the sample formula
+    val id = rows.head.getAs[Long]("doc_id")
+    val n = (16 + id % 16).toInt
+    val step = (1 + id % 7).toInt
+    val samples = (0 until n).map(i => ((i.toLong * step * 257 + id) % 65536L) - 32768L)
+    val expected = samples.zipWithIndex.groupBy(_._2 / 8).toSeq.sortBy(_._1).map { case (w, grp) =>
+      val vs = grp.map(_._1)
+      val zc = vs.zip(vs.tail).count { case (a, b) => (a >= 0) != (b >= 0) }
+      (w.toLong, vs.length.toLong, vs.map(v => v * v).sum, zc.toLong, vs.map(math.abs).max)
+    }
+    val got = rows.filter(_.getAs[Long]("doc_id") == id).sortBy(_.getAs[Long]("win"))
+      .map(r => (r.getAs[Long]("win"), r.getAs[Long]("n"), r.getAs[Long]("sum_sq"),
+        r.getAs[Long]("zc"), r.getAs[Long]("peak"))).toSeq
+    assert(got == expected, s"doc $id features diverge from the closed form")
+    // the real codec is actually in the loop: corrupt bytes must not decode
+    assert(Multimodal.decodePcmSamples("RIFFgarbage".getBytes).isEmpty)
+    val valid = Multimodal.decodePcmSamples(Multimodal.wavBytes(0L))
+    assert(valid.exists(_.length == 16))
+  }
+
   test("pipe_split_train_val: proportions near 90/5/5 and assignment is corpus-independent") {
     val rows = TextAnalysis.pipeSplitTrainVal(spark, Sf).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
