@@ -113,6 +113,7 @@ object SparkEntry {
     "pipe_gopher_gate" -> ((s, d) => TextAnalysis.pipeGopherGate(s, d)),
     "pipe_split_train_val" -> ((s, d) => TextAnalysis.pipeSplitTrainVal(s, d)),
     "pipe_dataset_card" -> ((s, d) => TextAnalysis.pipeDatasetCard(s, d)),
+    "pipe_contamination_frac" -> ((s, d) => TextAnalysis.pipeContaminationFrac(s, d)),
     "pipe_tokenize" -> (TextAnalysis.pipeTokenize(_, _)),
     "pipe_full_ingest" -> ((s, d) => TextAnalysis.pipeFullIngest(s, d)),
     "pipe_corpus_stats" -> (TextAnalysis.pipeCorpusStats(_, _)),
@@ -830,6 +831,25 @@ object SparkEntry {
     // Hash-invariant twin (same argument as dedup_ngram_jaccard): a
     // shared xxhash64'd 20-gram == a shared raw 20-gram substring.
     "pipe_decontaminate" -> decontaminateOracleSql,
+    // graded twin: distinct-shingle hit counts per doc, policy
+    // thresholds on the unrounded ratio of exact integer counts
+    "pipe_contamination_frac" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INT), 20) AS g
+        |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 19, 1) + 1)) AS i
+        |        FROM documents)),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE doc_id < 10),
+        |hits AS (
+        |  SELECT s.doc_id, count(*)::BIGINT AS n_shingles,
+        |         sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+        |  FROM sh s LEFT JOIN ev e USING (g)
+        |  WHERE s.doc_id >= 10 GROUP BY 1)
+        |SELECT doc_id, n_shingles, n_hits,
+        |  round(n_hits / n_shingles, 4) AS frac,
+        |  CASE WHEN n_hits / n_shingles >= 0.5 THEN 'drop'
+        |       WHEN n_hits / n_shingles >= 0.05 THEN 'trim'
+        |       ELSE 'keep' END AS action
+        |FROM hits ORDER BY doc_id""".stripMargin,
     // the Bloom formulation verifies candidates exactly, so its result
     // — and oracle — are identical to the exact broadcast path
     "pipe_decontaminate_bloom" -> decontaminateOracleSql,

@@ -736,6 +736,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** GRADED decontamination ([[pipeDecontaminate]]'s boolean flag
+    * refined to a per-document contamination FRACTION): the share of
+    * a doc's distinct 20-gram shingles that appear anywhere in the
+    * eval set, plus the three-way policy a production pipeline
+    * applies (`keep` < 5% ≤ `trim` < 50% ≤ `drop`) — a verbatim
+    * eval copy and a doc quoting one eval sentence are different
+    * problems, and the flag can't tell them apart. Same 100 TB shape
+    * as the boolean pass: eval shingles broadcast, corpus scanned
+    * once map-side, then one per-doc partial-aggregated count; the
+    * policy thresholds compare the unrounded ratio of two exact
+    * integer counts, so both engines agree exactly. */
+  def pipeContaminationFrac(s: SparkSession, dir: String, n: Int = 20,
+                            nEval: Long = 10): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def shingles(df: DataFrame) = df.select(
+      col("doc_id"),
+      explode(array_distinct(
+        graft.functions.VectorFunctions.ngram_hashes(lower(col("text")), n))).as("sh"))
+    val evalSh = shingles(docs.filter(col("doc_id") < nEval)).select("sh").distinct()
+    shingles(docs.filter(col("doc_id") >= nEval))
+      .join(broadcast(evalSh.withColumn("hit", lit(1L))), Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("ratio", col("n_hits").cast("double") / col("n_shingles").cast("double"))
+      .select(col("doc_id"), col("n_shingles"), col("n_hits"),
+        round(col("ratio"), 4).as("frac"),
+        when(col("ratio") >= 0.5, "drop").when(col("ratio") >= 0.05, "trim")
+          .otherwise("keep").as("action"))
+      .orderBy("doc_id")
+  }
+
   /** Scale twin of [[pipeDecontaminate]] for when the eval shingle set
     * is too big to broadcast EXACTLY: a Bloom filter over the eval
     * shingles (KBs per million shingles at 1% FPR, vs 8+ bytes per

@@ -539,6 +539,24 @@ class TextMultimodalSpec extends SparkSpec {
       "fewer than 3 distinct reason patterns")
   }
 
+  test("pipe_contamination_frac: frac>0 iff boolean decontaminate flags; policy consistent") {
+    val frac = TextAnalysis.pipeContaminationFrac(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Long]("n_shingles"), r.getAs[String]("action"))).toMap
+    val flags = TextAnalysis.pipeDecontaminate(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated")).toMap
+    assert(frac.keySet == flags.keySet)
+    frac.foreach { case (id, (hits, total, action)) =>
+      assert((hits > 0) == flags(id), s"doc $id: frac/flag disagree")
+      val r = hits.toDouble / total
+      val expect = if (r >= 0.5) "drop" else if (r >= 0.05) "trim" else "keep"
+      assert(action == expect, s"doc $id: action $action vs ratio $r")
+    }
+    // the graded signal must actually grade: some contaminated docs
+    // above the trim line, and clean docs present
+    assert(frac.values.exists(_._3 != "keep") && frac.values.exists(_._3 == "keep"))
+  }
+
   test("mm_audio_features: windows match the closed-form PCM; corrupt payload decodes to None") {
     val rows = Multimodal.mmAudioFeatures(spark, Sf).collect()
     assert(rows.nonEmpty)
