@@ -114,6 +114,7 @@ object SparkEntry {
     "pipe_split_train_val" -> ((s, d) => TextAnalysis.pipeSplitTrainVal(s, d)),
     "pipe_dataset_card" -> ((s, d) => TextAnalysis.pipeDatasetCard(s, d)),
     "pipe_contamination_frac" -> ((s, d) => TextAnalysis.pipeContaminationFrac(s, d)),
+    "pipe_sketch_rollup" -> ((s, d) => TextAnalysis.pipeSketchRollup(s, d)),
     "pipe_tokenize" -> (TextAnalysis.pipeTokenize(_, _)),
     "pipe_full_ingest" -> ((s, d) => TextAnalysis.pipeFullIngest(s, d)),
     "pipe_corpus_stats" -> (TextAnalysis.pipeCorpusStats(_, _)),
@@ -831,6 +832,16 @@ object SparkEntry {
     // Hash-invariant twin (same argument as dedup_ngram_jaccard): a
     // shared xxhash64'd 20-gram == a shared raw 20-gram substring.
     "pipe_decontaminate" -> decontaminateOracleSql,
+    // the sketch contract: the oracle recomputes the EXACT distinct
+    // side (raw substrings — equal to distinct hashes barring
+    // collision) and expects the Spark-computed accuracy flag true
+    "pipe_sketch_rollup" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT lang, substr(lower(text), CAST(i AS INT), 12) AS g
+        |  FROM (SELECT lang, text, unnest(range(1, greatest(length(text) - 11, 1) + 1)) AS i
+        |        FROM documents))
+        |SELECT lang, count(*)::BIGINT AS exact_distinct, true AS sketch_ok
+        |FROM sh GROUP BY lang ORDER BY lang""".stripMargin,
     // graded twin: distinct-shingle hit counts per doc, policy
     // thresholds on the unrounded ratio of exact integer counts
     "pipe_contamination_frac" ->

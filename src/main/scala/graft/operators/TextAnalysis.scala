@@ -557,6 +557,41 @@ object TextAnalysis {
           .as("type_token_ratio"))
       .orderBy("lang")
 
+  /** MERGEABLE-sketch rollup (`pipe_sketch_rollup`) — the
+    * pre-aggregated distinct-count pattern a 100 TB warehouse runs
+    * on: per-(lang, source) HLL sketches (Spark 4's Datasketches
+    * `hll_sketch_agg`) are the stored partial — kilobytes per
+    * group — and any coarser rollup (here per-lang) is a cheap
+    * `hll_union_agg` over the partials instead of a re-scan of the
+    * raw corpus; exact distinct-counting can't pre-aggregate this
+    * way (distincts don't add). Cardinality here is the 12-gram
+    * shingle-hash space (≍ corpus volume, the real use).
+    * Verification contract (the q15 / top_bigrams_sketch pattern):
+    * Spark ALSO computes the exact distinct count and emits
+    * `sketch_ok` — both the union-rolled and the directly-built
+    * sketch estimate within 10% of exact (union drops the HIP
+    * estimator, so the two estimates may differ from each other;
+    * both must still be accurate) — and the oracle recomputes the
+    * exact side and expects the flags true. */
+  def pipeSketchRollup(s: SparkSession, dir: String, n: Int = 12): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        explode(graft.functions.VectorFunctions.ngram_hashes(lower(col("text")), n)).as("sh"))
+      .cacheTracked
+    val perLS = sh.groupBy("lang", "source").agg(expr("hll_sketch_agg(sh)").as("sk"))
+    val unioned = perLS.groupBy("lang")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_union"))
+    val direct = sh.groupBy("lang")
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(sh))").as("est_direct"),
+        countDistinct(col("sh")).as("exact_distinct"))
+    direct.join(unioned, "lang")
+      .select(col("lang"), col("exact_distinct"),
+        ((abs(col("est_union") - col("exact_distinct")) / col("exact_distinct") <= 0.1) &&
+          (abs(col("est_direct") - col("exact_distinct")) / col("exact_distinct") <= 0.1))
+          .as("sketch_ok"))
+      .orderBy("lang")
+  }
+
   /** Corpus-wide top-k bigrams per language — the n-gram LM /
     * vocabulary-report building block. Bigram counts partial-aggregate
     * map-side; the per-language top-k runs through the typed TopK

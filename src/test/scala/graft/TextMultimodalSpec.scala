@@ -539,6 +539,16 @@ class TextMultimodalSpec extends SparkSpec {
       "fewer than 3 distinct reason patterns")
   }
 
+  test("pipe_sketch_rollup: union-rolled and direct sketches both within bound of exact") {
+    val rows = TextAnalysis.pipeSketchRollup(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("exact_distinct") > 1000L,
+        s"cardinality too small to exercise the sketch: $r")
+      assert(r.getAs[Boolean]("sketch_ok"), s"sketch estimate out of bound: $r")
+    }
+  }
+
   test("pipe_contamination_frac: frac>0 iff boolean decontaminate flags; policy consistent") {
     val frac = TextAnalysis.pipeContaminationFrac(spark, Sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
