@@ -116,6 +116,8 @@ object SparkEntry {
     "pipe_contamination_frac" -> ((s, d) => TextAnalysis.pipeContaminationFrac(s, d)),
     "pipe_sketch_rollup" -> ((s, d) => TextAnalysis.pipeSketchRollup(s, d)),
     "pipe_tokenize" -> (TextAnalysis.pipeTokenize(_, _)),
+    "pipe_chunk" -> ((s, d) => TextAnalysis.pipeChunk(s, d)),
+    "pipe_quantile_rollup" -> ((s, d) => TextAnalysis.pipeQuantileRollup(s, d)),
     "pipe_full_ingest" -> ((s, d) => TextAnalysis.pipeFullIngest(s, d)),
     "pipe_corpus_stats" -> (TextAnalysis.pipeCorpusStats(_, _)),
     "pipe_train_mix" -> ((s, d) => TextAnalysis.pipeTrainMix(s, d)),
@@ -139,6 +141,7 @@ object SparkEntry {
     "mm_decode_real" -> (Multimodal.mmDecodeReal(_, _)),
     "mm_decode_wav" -> (Multimodal.mmDecodeWav(_, _)),
     "mm_audio_features" -> ((s, d) => Multimodal.mmAudioFeatures(s, d)),
+    "mm_image_features" -> ((s, d) => Multimodal.mmImageFeatures(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.mmFrameSampleChecked(s, d)),
     "mm_frame_sample_gif" -> ((s, d) => Multimodal.mmFrameSampleGif(s, d)),
     "text_winnow" -> (TextAnalysis.textWinnow(_, _)),
@@ -1453,6 +1456,54 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS clean_fp
         |FROM raw ORDER BY doc_id""".stripMargin,
+    // chunk starts are every 48 tokens while < n_tokens (one empty
+    // chunk for an empty token list); the md5 of the space-joined
+    // window certifies the chunk PAYLOAD, not just its size
+    "pipe_chunk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS w
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 48)) AS start FROM toks)
+        |SELECT doc_id, (start // 48)::BIGINT AS chunk_id,
+        |  least(len(w) - start, 64)::BIGINT AS n_tokens,
+        |  md5(array_to_string(w[CAST(start + 1 AS INT):CAST(start + 64 AS INT)], ' ')) AS chunk_md5
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+    // mergeable-histogram quantile contract: the oracle replays the
+    // partial→merge→cumulative walk AND the exact tie-stable discrete
+    // percentile, expecting the bin-containment flag true
+    "pipe_quantile_rollup" ->
+      """WITH part AS (
+        |  SELECT lang, source, n_chars // 256 AS bin, count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2, 3),
+        |merged AS (SELECT lang, bin, sum(cnt) AS cnt FROM part GROUP BY 1, 2),
+        |cums AS (
+        |  SELECT lang, bin, cnt,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang) AS total
+        |  FROM merged),
+        |approx AS (
+        |  SELECT lang, max(total) AS total,
+        |    min(CASE WHEN cum >= ceil(total * 0.5) THEN bin END) AS p50_bin,
+        |    min(CASE WHEN cum >= ceil(total * 0.95) THEN bin END) AS p95_bin
+        |  FROM cums GROUP BY 1),
+        |ranked AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS total
+        |  FROM documents),
+        |exact AS (
+        |  SELECT lang,
+        |    min(CASE WHEN rk = ceil(total * 0.5) THEN n_chars END) AS p50_exact,
+        |    min(CASE WHEN rk = ceil(total * 0.95) THEN n_chars END) AS p95_exact
+        |  FROM ranked GROUP BY 1)
+        |SELECT a.lang, a.total::BIGINT AS total,
+        |  (p50_bin * 256)::BIGINT AS p50_lo, (p95_bin * 256)::BIGINT AS p95_lo,
+        |  p50_exact, p95_exact,
+        |  (p50_exact >= p50_bin * 256 AND p50_exact < (p50_bin + 1) * 256
+        |   AND p95_exact >= p95_bin * 256 AND p95_exact < (p95_bin + 1) * 256) AS ok
+        |FROM approx a JOIN exact e USING (lang)
+        |ORDER BY lang""".stripMargin,
     // the oracle replays maximal-munch BPE encode against the SAME
     // frozen vocab (inlined as VALUES, like the minhash permutations):
     // a per-(word, position) longest-match table, then a recursive CTE
@@ -1622,6 +1673,32 @@ object SparkEntry {
         |  sum(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0)) THEN 1 ELSE 0 END)::BIGINT AS zc,
         |  max(abs(v))::BIGINT AS peak
         |FROM wins GROUP BY doc_id, win ORDER BY doc_id, win""".stripMargin,
+    // per-scanline image features from the same closed-form pixels:
+    // channel sums + horizontal |Δr| gradient energy — PNG is
+    // lossless, so the oracle needs no codec at all
+    "mm_image_features" ->
+      """WITH png AS (
+        |  SELECT doc_id, 4 + doc_id % 8 AS w, 4 + doc_id % 5 AS h
+        |  FROM documents WHERE doc_id % 5 = 0
+        |),
+        |px AS (
+        |  SELECT p.doc_id, b.y, a.x,
+        |         (a.x + p.doc_id) % 256 AS r,
+        |         (b.y + 2*p.doc_id) % 256 AS g,
+        |         (a.x + b.y + 3*p.doc_id) % 256 AS b
+        |  FROM png p
+        |  CROSS JOIN range(0, 12) a(x) CROSS JOIN range(0, 9) b(y)
+        |  WHERE a.x < p.w AND b.y < p.h
+        |),
+        |gd AS (
+        |  SELECT doc_id, y, r, g, b,
+        |         abs(r - lag(r) OVER (PARTITION BY doc_id, y ORDER BY x)) AS d
+        |  FROM px
+        |)
+        |SELECT doc_id, y::BIGINT AS y,
+        |  sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g, sum(b)::BIGINT AS sum_b,
+        |  coalesce(sum(d), 0)::BIGINT AS grad_r
+        |FROM gd GROUP BY doc_id, y ORDER BY doc_id, y""".stripMargin,
     // winnowing on the md5-60 family: window minima over the n-gram
     // hash sequence, then distinct — the scheme itself (not just the
     // library column) oracle-checked end to end

@@ -439,6 +439,61 @@ object Multimodal {
       .orderBy("doc_id", "win")
   }
 
+  private val imageFeatSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("y", LongType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType),
+    StructField("grad_r", LongType)))
+
+  /** Per-scanline image FEATURE EXTRACTION over the real decode path
+    * (`mm_image_features`) — the [[mmAudioFeatures]] shape for the
+    * image modality: for every row y of the decoded raster, the
+    * per-channel sums plus the horizontal gradient energy
+    * Σ|r(x,y) − r(x−1,y)| (the edge-detector numerator a vision
+    * pipeline's blur/quality filters start from). The PNG payloads
+    * decode through the SAME in-JDK codec as [[mmDecodeReal]] — PNG
+    * is lossless, so every feature is integer-exact and the oracle
+    * recomputes them from the closed-form pixel formula with no codec
+    * at all. Map-only: payload bytes never leave their partition; a
+    * payload that fails the codec emits nothing (degrade spec'd). */
+  def mmImageFeatures(s: SparkSession, dir: String): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(imageFeatSchema)
+    Tables.documents(s, dir).select(col("doc_id"))
+      .filter(col("doc_id") % 5 === 0)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          decodeRaster(pngBytes(id)) match {
+            case Some(img) =>
+              (0 until img.getHeight).iterator.map { y =>
+                var sr = 0L; var sg = 0L; var sb = 0L; var gr = 0L
+                var prevR = 0
+                var x = 0
+                while (x < img.getWidth) {
+                  val p = img.getRGB(x, y)
+                  val rr = (p >> 16) & 0xff
+                  sr += rr; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  if (x > 0) gr += math.abs(rr - prevR)
+                  prevR = rr
+                  x += 1
+                }
+                Row(id, y.toLong, sr, sg, sb, gr)
+              }
+            case None => Iterator.empty
+          }
+        }
+      }(enc)
+      .orderBy("doc_id", "y")
+  }
+
+  /** The decoded raster itself, for feature extractors that need
+    * pixels rather than [[decodeImage]]'s whole-image aggregate. */
+  private[graft] def decodeRaster(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    catch { case _: Exception => None }
+
   private val realSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("format", StringType),

@@ -1081,4 +1081,87 @@ object TextAnalysis {
       .select(col("rank"), col("g").as("gram"), col("n_occ"), col("n_docs"))
       .orderBy("rank")
   }
+
+  /** Context-window chunking (`pipe_chunk`) — the step that turns raw
+    * documents into fixed-size overlapping training/RAG windows:
+    * tokenize, emit a chunk every `stride` tokens, each `window`
+    * tokens long (the final chunk may be shorter; an empty document
+    * yields one empty chunk so no doc silently disappears). Output is
+    * (doc_id, chunk_id, n_tokens, chunk_md5) with the md5 standing in
+    * for the chunk payload so the cross-engine compare is exact.
+    *
+    * 100 TB shape: pure map — `sequence`/`explode`/`slice` are all
+    * codegen'd, no shuffle before the presentation sort, and the
+    * ~window/stride output amplification happens AFTER the scan so
+    * column pruning still reads only (doc_id, text). Chunk boundaries
+    * depend only on the document itself, so the operator is
+    * embarrassingly parallel and deterministic across reruns and
+    * engines — the property that makes downstream dedup/packing
+    * reproducible. */
+  def pipeChunk(s: SparkSession, dir: String, window: Int = 64,
+                stride: Int = 48): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(0, greatest(size(w) - 1, 0), $stride)")).as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        least(expr("size(w) - start"), lit(window)).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", expr(s"slice(w, start + 1, $window)"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** MERGEABLE-quantile rollup (`pipe_quantile_rollup`) — the
+    * [[pipeSketchRollup]] pattern for percentiles: exact quantiles
+    * don't pre-aggregate (medians don't add), but a fixed-width
+    * HISTOGRAM does — per-(lang, source) bin counts over document
+    * length are the stored partial (a few dozen longs per group), and
+    * any coarser rollup (here per-lang) just SUMS bins; the quantile
+    * then reads off the merged cumulative histogram with error
+    * bounded by one bin width. The rollup never re-scans raw data —
+    * the property that makes the pattern work at 100 TB.
+    *
+    * Verification contract (the sketch-family pattern): the
+    * histogram-derived p50/p95 bins are emitted alongside the EXACT
+    * discrete percentiles (smallest value whose running count reaches
+    * ceil(q·total) — a tie-stable definition both engines replay
+    * identically), plus a Spark-computed `ok` flag asserting each
+    * exact percentile falls inside its claimed bin. The oracle
+    * recomputes everything and expects `ok` true. */
+  def pipeQuantileRollup(s: SparkSession, dir: String, binW: Int = 256): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("lang"), col("source"), col("n_chars"))
+    // the stored partial: per-(lang, source) histogram
+    val partial = docs
+      .groupBy(col("lang"), col("source"), expr(s"n_chars DIV $binW").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    // the rollup: bins ADD — no raw re-scan
+    val merged = partial.groupBy("lang", "bin").agg(sum("cnt").as("cnt"))
+    val cum = merged
+      .withColumn("cum", sum("cnt").over(Window.partitionBy("lang").orderBy("bin")))
+      .withColumn("total", sum("cnt").over(Window.partitionBy("lang")))
+    val approx = cum.groupBy("lang")
+      .agg(max("total").as("total"),
+        min(when(col("cum") >= ceil(col("total") * 0.5), col("bin"))).as("p50_bin"),
+        min(when(col("cum") >= ceil(col("total") * 0.95), col("bin"))).as("p95_bin"))
+    // exact side (oracle-shared definition): value at sorted position
+    // ceil(q·total) — per-lang window rank over the raw values
+    val ranked = docs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("n_chars"))))
+      .withColumn("total", count(lit(1)).over(Window.partitionBy("lang")))
+    val exact = ranked.groupBy("lang")
+      .agg(min(when(col("rk") === ceil(col("total") * 0.5), col("n_chars"))).as("p50_exact"),
+        min(when(col("rk") === ceil(col("total") * 0.95), col("n_chars"))).as("p95_exact"))
+    approx.join(exact, "lang")
+      .select(col("lang"), col("total"),
+        (col("p50_bin") * binW).as("p50_lo"), (col("p95_bin") * binW).as("p95_lo"),
+        col("p50_exact"), col("p95_exact"),
+        (col("p50_exact") >= col("p50_bin") * binW &&
+          col("p50_exact") < (col("p50_bin") + 1) * binW &&
+          col("p95_exact") >= col("p95_bin") * binW &&
+          col("p95_exact") < (col("p95_bin") + 1) * binW).as("ok"))
+      .orderBy("lang")
+  }
 }

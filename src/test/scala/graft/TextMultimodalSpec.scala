@@ -89,6 +89,88 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pipe_chunk: stride coverage, window cap, and payload hash check out") {
+    import org.apache.spark.sql.functions._
+    val window = 64; val stride = 48
+    val chunks = TextAnalysis.pipeChunk(spark, Sf, window, stride).collect()
+    assert(chunks.nonEmpty)
+    // per-doc token counts from the same tokenization
+    val nTok = Tables.documents(spark, Sf)
+      .select(col("doc_id"),
+        size(expr("filter(split(lower(text), '\\\\s+'), t -> t != '')")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    chunks.groupBy(_.getAs[Long]("doc_id")).foreach { case (doc, cs) =>
+      val n = nTok(doc)
+      val sorted = cs.sortBy(_.getAs[Long]("chunk_id"))
+      // chunk ids are 0..k-1 with k = ceil(n/stride) (min 1)
+      assert(sorted.map(_.getAs[Long]("chunk_id")).toSeq ==
+        (0L until math.max((n + stride - 1) / stride, 1).toLong))
+      // every chunk covers exactly min(n - start, window) tokens —
+      // with stride < window the tail can truncate more than one chunk
+      sorted.foreach { c =>
+        val start = stride * c.getAs[Long]("chunk_id")
+        assert(c.getAs[Long]("n_tokens") == math.min(n - start, window.toLong))
+      }
+      assert(cs.forall(_.getAs[String]("chunk_md5").length == 32))
+    }
+    // payload hash: recompute one doc's first chunk by hand
+    val doc0 = Tables.documents(spark, Sf)
+      .filter(col("doc_id") === chunks.head.getAs[Long]("doc_id"))
+      .select(lower(col("text"))).collect().head.getString(0)
+    val toks = doc0.split("\\s+").filter(_.nonEmpty).take(window)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(toks.mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(chunks.head.getAs[String]("chunk_md5") == md)
+  }
+
+  test("pipe_quantile_rollup: bins contain the exact percentiles and merge equals direct") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.pipeQuantileRollup(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("ok"),
+        s"lang ${r.getAs[String]("lang")}: exact percentile escaped its claimed bin")
+      assert(r.getAs[Long]("p50_lo") <= r.getAs[Long]("p50_exact"))
+      assert(r.getAs[Long]("p95_lo") <= r.getAs[Long]("p95_exact"))
+      assert(r.getAs[Long]("p95_exact") >= r.getAs[Long]("p50_exact"))
+    }
+    // mergeability: rolling up the per-(lang, source) partials yields
+    // the SAME per-lang histogram as binning the raw data directly —
+    // the property that lets the 100 TB rollup skip the raw re-scan
+    val docs = Tables.documents(spark, Sf)
+    val direct = docs.groupBy(col("lang"), expr("n_chars DIV 256").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val viaPartial = docs
+      .groupBy(col("lang"), col("source"), expr("n_chars DIV 256").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("lang", "bin").agg(sum("cnt").as("cnt"))
+    assert(viaPartial.except(direct).isEmpty && direct.except(viaPartial).isEmpty)
+  }
+
+  test("mm_image_features: scanline features match the closed-form pixels; corrupt degrades") {
+    val rows = Multimodal.mmImageFeatures(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    byDoc.foreach { case (id, rs) =>
+      val w = (4 + id % 8).toInt; val h = (4 + id % 5).toInt
+      assert(rs.length == h)
+      rs.foreach { r =>
+        val y = r.getAs[Long]("y")
+        val reds = (0 until w).map(x => (x + id) % 256)
+        assert(r.getAs[Long]("sum_r") == reds.sum)
+        assert(r.getAs[Long]("sum_g") == w * ((y + 2 * id) % 256))
+        assert(r.getAs[Long]("sum_b") == (0 until w).map(x => (x + y + 3 * id) % 256).sum)
+        assert(r.getAs[Long]("grad_r") ==
+          reds.zip(reds.tail).map { case (a, b) => math.abs(b - a) }.sum)
+      }
+    }
+    // corrupt payload: decode returns None (operator emits nothing
+    // for that payload instead of failing the partition)
+    val garbage = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    assert(Multimodal.decodeRaster(garbage).isEmpty)
+  }
+
   test("mm_frame_sample strides frames and resizes features") {
     val rows = Multimodal.mmFrameSample(spark, Sf, frameBytes = 64, stride = 4, resizeDim = 4)
       .collect()
