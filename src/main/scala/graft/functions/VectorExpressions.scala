@@ -1085,6 +1085,80 @@ object PqKernel {
   }
 }
 
+/** Highest adjacent-pair (bigram) multiplicity of a token array in
+  * ONE map-side pass — the `max(count) OVER (doc, bigram)` that
+  * `text_repetition` / `pipe_gopher_gate` need, WITHOUT the
+  * per-(doc_id, bigram) shuffle: the statistic is a pure function of
+  * one document, so exploding bigrams into a corpus-wide groupBy
+  * shuffles the whole corpus to compute something each scan task
+  * already holds. The kernel sorts the doc's bigram index space by
+  * (token[i], token[i+1]) and returns the longest equal run — EXACT
+  * (string comparison, no hash-collision caveat), O(b log b) in the
+  * document's own bigram count, and inside whole-stage codegen.
+  * Empty/one-token docs return 0; null elements compare as empty. */
+case class TopBigramCount(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "top_bigram_count"
+
+  override def nullSafeEval(a: Any): Any =
+    TopBigramCountKernel.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.TopBigramCountKernel.compute($x)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** JVM kernel for [[TopBigramCount]] — standalone object so the
+  * mirror class exposes a true static for generated code. */
+object TopBigramCountKernel {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def compute(a: ArrayData): Long = {
+    val n = a.numElements()
+    if (n < 2) return 0L
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val t = a.getUTF8String(i)
+      toks(i) = if (t == null) UTF8String.EMPTY_UTF8 else t
+      i += 1
+    }
+    // sort bigram START indices by the pair (toks[i], toks[i+1]) —
+    // any total order groups equal pairs adjacently, which is all the
+    // run scan observes; indices avoid materializing bigram strings
+    val idx = new Array[Integer](n - 1)
+    i = 0
+    while (i < n - 1) { idx(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(p: Integer, q: Integer): Int = {
+        val c = toks(p).compareTo(toks(q))
+        if (c != 0) c else toks(p + 1).compareTo(toks(q + 1))
+      }
+    })
+    var best = 1L
+    var run = 1L
+    i = 1
+    while (i < n - 1) {
+      val p = idx(i - 1); val q = idx(i)
+      if (toks(p).equals(toks(q)) && toks(p + 1).equals(toks(q + 1))) {
+        run += 1
+        if (run > best) best = run
+      } else run = 1L
+      i += 1
+    }
+    best
+  }
+}
+
 object VectorFunctions {
   /** Column API: cosine_similarity(a, b) for array<double> columns. */
   def cosine_similarity(a: Column, b: Column): Column =
@@ -1122,6 +1196,10 @@ object VectorFunctions {
   /** Column API: 64-bit SimHash of a token array. */
   def simhash64(c: Column): Column =
     GraftColumnBridge.column(Simhash64(GraftColumnBridge.expression(c)))
+
+  /** Column API: highest adjacent-pair multiplicity of a token array. */
+  def top_bigram_count(c: Column): Column =
+    GraftColumnBridge.column(TopBigramCount(GraftColumnBridge.expression(c)))
 
   /** Column API: BPE token ids against the frozen [[BpeVocab]]. */
   def bpe_token_ids(c: Column): Column =

@@ -205,7 +205,11 @@ object TextAnalysis {
   def gopherGateFrame(docs: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"), col("text"),
       expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("w"))
-    val base = toks.select(
+    // one map, zero shuffle: every gate signal is a pure function of
+    // its own document — the bigram multiplicity comes from the exact
+    // TopBigramCount local-sort kernel instead of an explode +
+    // corpus-wide (doc_id, bigram) groupBy + join
+    toks.select(
       col("doc_id"),
       size(col("w")).cast("long").as("n_words"),
       size(array_distinct(col("w"))).cast("long").as("n_distinct"),
@@ -214,12 +218,9 @@ object TextAnalysis {
       (charCount(col("text"), "[A-Za-z]") /
         greatest(length(col("text")), lit(1))).as("alpha_ratio"),
       (regexp_count(lower(col("text")), lit(StopwordPattern)).cast("double") /
-        greatest(size(col("w")), lit(1))).as("stop_ratio"))
-    val bigrams = toks.select(col("doc_id"), explode(expr(
-      "if(size(w) >= 2, transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1])), array())")).as("bigram"))
-    val bs = bigrams.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id").agg(sum("c").as("n_bigrams"), max("c").as("max_c"))
-    base.join(bs, Seq("doc_id"), "left")
+        greatest(size(col("w")), lit(1))).as("stop_ratio"),
+      greatest(size(col("w")) - 1, lit(0)).cast("long").as("n_bigrams"),
+      graft.functions.VectorFunctions.top_bigram_count(col("w")).as("max_c"))
       .withColumn("dup_word_frac",
         when(col("n_words") === 0, lit(0.0)).otherwise(
           lit(1.0) - col("n_distinct").cast("double") / col("n_words").cast("double")))
@@ -516,29 +517,29 @@ object TextAnalysis {
     * per-(doc, bigram) counts, one partial-aggregated shuffle keyed by
     * (doc_id, bigram) — per-doc state never exceeds its distinct
     * bigram count, so this scales like any word-count. */
-  def textRepetition(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("doc_id"),
         expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("w"))
-    val wordStats = toks.select(col("doc_id"),
-      size(col("w")).cast("long").as("n_words"),
-      size(array_distinct(col("w"))).cast("long").as("n_distinct_words"))
-    val bigrams = toks.select(col("doc_id"), explode(expr(
-      "if(size(w) >= 2, transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1])), array())")).as("bigram"))
-    val bigramStats = bigrams.groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(sum("c").as("n_bigrams"), max("c").as("max_c"))
-    wordStats.join(bigramStats, Seq("doc_id"), "left")
+      // every statistic is a pure function of ONE document, so the
+      // whole operator is a single map — the former explode +
+      // (doc_id, bigram) groupBy + join shuffled the entire corpus to
+      // compute per-doc numbers each scan task already held; the
+      // TopBigramCount kernel (exact local sort) replaces it
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct_words"),
+        greatest(size(col("w")) - 1, lit(0)).cast("long").as("n_bigrams"),
+        graft.functions.VectorFunctions.top_bigram_count(col("w")).as("max_c"))
       .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
           // empty docs are "no repetition", not "all repetition"
         when(col("n_words") === 0, lit(0.0)).otherwise(
           round(lit(1.0) - col("n_distinct_words").cast("double") /
             col("n_words").cast("double"), 4)).as("dup_word_frac"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("n_bigrams"),
         round(coalesce(col("max_c").cast("double") / col("n_bigrams").cast("double"),
           lit(0.0)), 4).as("top_bigram_frac"))
       .orderBy("doc_id")
-  }
 
   /** Per-language corpus vocabulary stats (dataset-card numbers):
     * token count, type (distinct-token) count, hapax legomena count,

@@ -140,6 +140,32 @@ class VectorExpressionSpec extends SparkSpec {
     }
   }
 
+  test("top_bigram_count matches the explode+groupBy formulation it replaced, on real docs") {
+    import org.apache.spark.sql.functions._
+    val toks = Tables.documents(spark, Sf)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("w"))
+    val kernel = toks.select(col("doc_id"),
+      VectorFunctions.top_bigram_count(col("w")).as("max_c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shuffled = toks
+      .select(col("doc_id"), explode(expr(
+        "if(size(w) >= 2, transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1])), array())")).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("max_c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shuffled.nonEmpty && shuffled.forall { case (d, c) => kernel(d) == c })
+    // degenerate shapes + a pair that concat-based bigrams would
+    // conflate if tokens could contain the separator
+    import spark.implicits._
+    val edge = Seq(
+      (1L, Seq[String]()), (2L, Seq("a")), (3L, Seq("a", "a", "a")),
+      (4L, Seq("x", "y", "x", "y", "x"))).toDF("id", "w")
+      .select(col("id"), VectorFunctions.top_bigram_count(col("w")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(edge == Map(1L -> 0L, 2L -> 0L, 3L -> 2L, 4L -> 2L))
+  }
+
   test("lsh_probe_buckets covers every bucket within hamming radius 2 of the low-margin planes when flip >= numPlanes") {
     import spark.implicits._
     val nP = 5
