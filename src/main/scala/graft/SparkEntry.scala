@@ -133,6 +133,7 @@ object SparkEntry {
     "text_repetition" -> (TextAnalysis.textRepetition(_, _)),
     "text_vocab_stats" -> (TextAnalysis.textVocabStats(_, _)),
     "text_bm25" -> ((s, d) => TextAnalysis.textBm25(s, d)),
+    "text_entropy" -> (TextAnalysis.textEntropy(_, _)),
     "pipe_length_histogram" -> ((s, d) => TextAnalysis.pipeLengthHistogram(s, d)),
     "pipe_e2e" -> (TextAnalysis.pipeEndToEnd(_, _)),
     // §2.7 multimodal
@@ -1456,6 +1457,25 @@ object SparkEntry {
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS clean_fp
         |FROM raw ORDER BY doc_id""".stripMargin,
+    // unigram Shannon entropy: the oracle recomputes the count table
+    // per doc and sums -(c/n)·log2(c/n); both sides round(4) the
+    // double (summation-order drift is ~1e-15, far under the round)
+    "text_entropy" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), t -> t != '')) AS t
+        |  FROM documents),
+        |cnt AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(c) AS n, count(*) AS n_types FROM cnt GROUP BY 1),
+        |ent AS (
+        |  SELECT c.doc_id, sum(-(c.c / t.n) * log2(c.c / t.n)) AS h
+        |  FROM cnt c JOIN tot t USING (doc_id) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  coalesce(t.n, 0)::BIGINT AS n_tokens,
+        |  coalesce(t.n_types, 0)::BIGINT AS n_types,
+        |  round(coalesce(e.h, 0), 4) AS entropy,
+        |  round(coalesce(CASE WHEN t.n_types <= 1 THEN 0 ELSE e.h / log2(t.n_types) END, 0), 4) AS norm_entropy
+        |FROM documents d LEFT JOIN tot t USING (doc_id) LEFT JOIN ent e USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // chunk starts are every 48 tokens while < n_tokens (one empty
     // chunk for an empty token list); the md5 of the space-joined
     // window certifies the chunk PAYLOAD, not just its size

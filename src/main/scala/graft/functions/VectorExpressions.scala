@@ -1159,6 +1159,69 @@ object TopBigramCountKernel {
   }
 }
 
+/** Token Shannon entropy of a document in ONE map-side pass — the
+  * unigram-distribution form of the repetitiveness signal
+  * (`-Σ (c/n)·log2(c/n)` over the doc's token counts): a local sort
+  * groups equal tokens into runs, run lengths are the counts, and
+  * the entropy accumulates in the same scan — no per-(doc, token)
+  * shuffle, no map-typed HOF state. Empty arrays yield 0.0; null
+  * elements compare as empty strings. Exact token comparison (the
+  * [[TopBigramCount]] contract). */
+case class TokenEntropy(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "token_entropy"
+
+  override def nullSafeEval(a: Any): Any =
+    TokenEntropyKernel.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.TokenEntropyKernel.compute($x)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** JVM kernel for [[TokenEntropy]]. */
+object TokenEntropyKernel {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val LOG2 = math.log(2.0)
+
+  def compute(a: ArrayData): Double = {
+    val n = a.numElements()
+    if (n == 0) return 0.0
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val t = a.getUTF8String(i)
+      toks(i) = if (t == null) UTF8String.EMPTY_UTF8 else t
+      i += 1
+    }
+    java.util.Arrays.sort(toks.asInstanceOf[Array[AnyRef]])
+    // runs of equal adjacent tokens are the unigram counts
+    var h = 0.0
+    var run = 1L
+    i = 1
+    while (i <= n) {
+      if (i < n && toks(i).equals(toks(i - 1))) run += 1
+      else {
+        val p = run.toDouble / n
+        h -= p * math.log(p) / LOG2
+        run = 1L
+      }
+      i += 1
+    }
+    h
+  }
+}
+
 object VectorFunctions {
   /** Column API: cosine_similarity(a, b) for array<double> columns. */
   def cosine_similarity(a: Column, b: Column): Column =
@@ -1200,6 +1263,10 @@ object VectorFunctions {
   /** Column API: highest adjacent-pair multiplicity of a token array. */
   def top_bigram_count(c: Column): Column =
     GraftColumnBridge.column(TopBigramCount(GraftColumnBridge.expression(c)))
+
+  /** Column API: token Shannon entropy (bits) of a token array. */
+  def token_entropy(c: Column): Column =
+    GraftColumnBridge.column(TokenEntropy(GraftColumnBridge.expression(c)))
 
   /** Column API: BPE token ids against the frozen [[BpeVocab]]. */
   def bpe_token_ids(c: Column): Column =

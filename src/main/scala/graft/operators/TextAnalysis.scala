@@ -1112,6 +1112,30 @@ object TextAnalysis {
         md5(concat_ws(" ", expr(s"slice(w, start + 1, $window)"))).as("chunk_md5"))
       .orderBy("doc_id", "chunk_id")
 
+  /** Token-entropy quality signal (`text_entropy`) — the unigram
+    * Shannon entropy per document (CCNet-family repetitiveness
+    * measure: templated/degenerate text scores low, natural prose
+    * high), plus the type-count-normalized form in [0, 1] that
+    * compares docs of different lengths. Computed entirely map-side
+    * by the [[graft.functions.TokenEntropy]] local-sort kernel — the
+    * per-(doc, token) count table never shuffles; one scan at
+    * 100 TB. `norm_entropy` divides by log2(n_types) (0 when the doc
+    * has ≤ 1 distinct token). */
+  def textEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        size(array_distinct(col("w"))).cast("long").as("n_types"),
+        graft.functions.VectorFunctions.token_entropy(col("w")).as("h"))
+      .select(col("doc_id"), col("n_tokens"), col("n_types"),
+        round(col("h"), 4).as("entropy"),
+        round(when(col("n_types") <= 1, lit(0.0))
+          .otherwise(col("h") / log2(col("n_types").cast("double"))), 4)
+          .as("norm_entropy"))
+      .orderBy("doc_id")
+
   /** MERGEABLE-quantile rollup (`pipe_quantile_rollup`) — the
     * [[pipeSketchRollup]] pattern for percentiles: exact quantiles
     * don't pre-aggregate (medians don't add), but a fixed-width

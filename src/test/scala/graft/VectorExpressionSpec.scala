@@ -166,6 +166,38 @@ class VectorExpressionSpec extends SparkSpec {
     assert(edge == Map(1L -> 0L, 2L -> 0L, 3L -> 2L, 4L -> 2L))
   }
 
+  test("token_entropy: closed-form values and agreement with the count-table formulation") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // hand-checked shapes: uniform over k types = log2(k); constant = 0
+    val known = Seq(
+      (1L, Seq[String]()), (2L, Seq("a", "a", "a")),
+      (3L, Seq("a", "b")), (4L, Seq("a", "b", "c", "d")),
+      (5L, Seq("a", "a", "b", "b"))).toDF("id", "w")
+      .select(col("id"), VectorFunctions.token_entropy(col("w")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(known(1L) == 0.0 && known(2L) == 0.0)
+    assert(math.abs(known(3L) - 1.0) < 1e-12)
+    assert(math.abs(known(4L) - 2.0) < 1e-12)
+    assert(math.abs(known(5L) - 1.0) < 1e-12)
+    // real docs: kernel equals the explode + count-table formulation
+    val toks = Tables.documents(spark, Sf)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("w"))
+    val kernel = toks.select(col("doc_id"),
+      VectorFunctions.token_entropy(col("w")).as("h")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val table = toks.select(col("doc_id"), explode(col("w")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n"),
+        sum(col("c") * log2(col("c"))).as("clc"))
+      // -Σ(c/n)log2(c/n) = log2(n) − Σ c·log2(c) / n
+      .select(col("doc_id"), (log2(col("n")) - col("clc") / col("n")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(table.nonEmpty &&
+      table.forall { case (d, h) => math.abs(kernel(d) - h) < 1e-9 })
+  }
+
   test("lsh_probe_buckets covers every bucket within hamming radius 2 of the low-margin planes when flip >= numPlanes") {
     import spark.implicits._
     val nP = 5
