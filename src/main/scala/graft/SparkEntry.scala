@@ -84,6 +84,7 @@ object SparkEntry {
     "dedup_exact" -> (Dedup.dedupExact(_, _)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.dedupNgramJaccard(s, d)),
     "dedup_minhash_lsh" -> ((s, d) => Dedup.dedupMinhashLsh(s, d)),
+    "dedup_eval" -> ((s, d) => Dedup.dedupEval(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.dedupSimhash(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.dedupEmbedding(s, d)),
     "dedup_embedding_ann" -> ((s, d) => Dedup.dedupEmbeddingAnn(s, d, augmentPlanted = true)),
@@ -663,6 +664,65 @@ object SparkEntry {
        |WHERE est_jaccard >= $tau ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Composed truth + estimator oracle for `dedup_eval`: the exact
+    * raw-substring jaccard pairs (the [[oracleSql]] `dedup_ngram_
+    * jaccard` fragment at this `n`) and the replayed minhash-LSH
+    * pairs (the [[minhashOracleSql]] fragment), reduced to the same
+    * one-row precision/recall summary the operator emits. */
+  private def dedupEvalOracleSql(n: Int, numPerms: Int, rowsPerBand: Int, tau: Double): String = {
+    val p = operators.Dedup.MersennePrime
+    val mins = (0 until numPerms).map { i =>
+      val (a, b) = operators.Dedup.perm(i)
+      s"min((h % $p * $a + $b) % $p)"
+    }.mkString(", ")
+    val numBands = numPerms / rowsPerBand
+    s"""WITH rawsh AS (
+       |  SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INT), $n) AS g
+       |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - ${n - 1}, 1) + 1)) AS i
+       |        FROM documents)),
+       |sz AS (SELECT doc_id, count(*) AS sz FROM rawsh GROUP BY doc_id),
+       |common AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+       |  FROM rawsh a JOIN rawsh b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT id_a, id_b FROM common
+       |  JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+       |  WHERE round(c / (sa.sz + sb.sz - c), 4) >= $tau),
+       |shg AS (
+       |  SELECT DISTINCT doc_id,
+       |    ('0x' || substr(md5(substr(lower(text), CAST(i AS INT), $n)), 1, 15))::BIGINT AS h
+       |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - ${n - 1}, 1) + 1)) AS i
+       |        FROM documents)),
+       |sig AS (SELECT doc_id, [$mins] AS sig FROM shg GROUP BY doc_id),
+       |banded AS (
+       |  SELECT doc_id, sig, band,
+       |    list_slice(sig, CAST($rowsPerBand*band + 1 AS INT), CAST($rowsPerBand*band + $rowsPerBand AS INT)) AS key
+       |  FROM sig, range(0, $numBands) br(band)),
+       |cand AS (
+       |  SELECT DISTINCT ba.doc_id AS id_a, bb.doc_id AS id_b
+       |  FROM banded ba JOIN banded bb
+       |    ON ba.band = bb.band AND ba.key = bb.key AND ba.doc_id < bb.doc_id),
+       |pred AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT id_a, id_b,
+       |      round(CAST(list_sum(list_transform(range(1, ${numPerms + 1}),
+       |        i -> CASE WHEN sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)] THEN 1 ELSE 0 END)) AS DOUBLE) / $numPerms, 4) AS ej
+       |    FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+       |  WHERE ej >= $tau),
+       |hit AS (
+       |  SELECT p.id_a, p.id_b FROM pred p
+       |  JOIN truth t ON p.id_a = t.id_a AND p.id_b = t.id_b)
+       |SELECT
+       |  (SELECT count(*) FROM truth)::BIGINT AS n_true,
+       |  (SELECT count(*) FROM pred)::BIGINT AS n_pred,
+       |  (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+       |  round(CASE WHEN (SELECT count(*) FROM pred) = 0 THEN 0
+       |    ELSE (SELECT count(*) FROM hit) / (SELECT count(*) FROM pred) END, 4) AS "precision",
+       |  round(CASE WHEN (SELECT count(*) FROM truth) = 0 THEN 0
+       |    ELSE (SELECT count(*) FROM hit) / (SELECT count(*) FROM truth) END, 4) AS recall""".stripMargin
+  }
+
   /** DuckDB replica of [[operators.Dedup.dedupSimhash]]: identical
     * md5-derived token hash, 64 per-bit majority counts, identical
     * bit-pack, pigeonhole 16-bit chunk candidates, bit_count(xor)
@@ -732,6 +792,7 @@ object SparkEntry {
         |SELECT row_number() OVER (ORDER BY n_occ DESC, gid) AS rank, g AS gram, n_occ, n_docs
         |FROM counts ORDER BY n_occ DESC, gid LIMIT 20""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracleSql(n = 9, numPerms = 32, rowsPerBand = 4, tau = 0.8),
+    "dedup_eval" -> dedupEvalOracleSql(n = 9, numPerms = 32, rowsPerBand = 4, tau = 0.8),
     "dedup_simhash" -> simhashOracleSql(maxHamming = 3),
     "q29_json" ->
       """SELECT event_type, count(*) AS cnt,

@@ -734,6 +734,35 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Approximate-dedup quality evaluation (`dedup_eval`) — the
+    * measurement a production rollout of MinHash-LSH needs before
+    * trusting it at 100 TB: run the estimator ([[dedupMinhashLsh]])
+    * and the exact truth ([[dedupNgramJaccard]], PPJoin-pruned) on
+    * the SAME gram size and threshold, and report pair-level
+    * precision/recall of the approximation. One summary row:
+    * n_true / n_pred / n_hit (pred ∩ truth) and the two ratios.
+    *
+    * At full scale the truth side is the expensive one — the
+    * standard methodology runs this eval on a held-out SAMPLE and
+    * applies the measured operating point corpus-wide; the operator
+    * takes whatever `dir` it is pointed at. The final crossJoins are
+    * one-row scalar attaches (the documented shape), not data joins. */
+  def dedupEval(s: SparkSession, dir: String, n: Int = 9, tau: Double = 0.8): DataFrame = {
+    val truth = dedupNgramJaccard(s, dir, n, tau).select("id_a", "id_b").cacheTracked
+    val pred = dedupMinhashLsh(s, dir, n = n, tau = tau).select("id_a", "id_b").cacheTracked
+    val hit = pred.join(truth, Seq("id_a", "id_b"), "left_semi")
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(pred.agg(count(lit(1)).as("n_pred")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_pred"), col("n_hit"),
+        round(when(col("n_pred") === 0, 0.0)
+          .otherwise(col("n_hit").cast("double") / col("n_pred").cast("double")), 4)
+          .as("precision"),
+        round(when(col("n_true") === 0, 0.0)
+          .otherwise(col("n_hit").cast("double") / col("n_true").cast("double")), 4)
+          .as("recall"))
+  }
+
   /** [[dedupClusters]] with QUALITY-RANKED survivor selection — the
     * canonical-document step a production dedup actually ends with:
     * within each near-dup cluster keep the best member (here: most

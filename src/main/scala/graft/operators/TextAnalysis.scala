@@ -575,16 +575,28 @@ object TextAnalysis {
     * both must still be accurate) — and the oracle recomputes the
     * exact side and expects the flags true. */
   def pipeSketchRollup(s: SparkSession, dir: String, n: Int = 12): DataFrame = {
+    // distinct FIRST: HLL updates are idempotent per value, so
+    // pre-distincting (lang, source, sh) — a map-side-partial
+    // aggregate — leaves every estimate and the exact count
+    // unchanged while (a) shrinking all downstream aggregates to the
+    // distinct set and (b) killing the Expand the former
+    // countDistinct-next-to-hll aggregate planned, which DOUBLED the
+    // raw exploded shingle stream through the shuffle (the q46
+    // pitfall; measured 4.4 s → 1.1 s at sf0.1). The cache holds the
+    // distinct flat rows, not the raw explode.
     val sh = Tables.documents(s, dir)
       .select(col("lang"), col("source"),
         explode(graft.functions.VectorFunctions.ngram_hashes(lower(col("text")), n)).as("sh"))
+      .distinct()
       .cacheTracked
     val perLS = sh.groupBy("lang", "source").agg(expr("hll_sketch_agg(sh)").as("sk"))
     val unioned = perLS.groupBy("lang")
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_union"))
+    val exact = sh.select("lang", "sh").distinct()
+      .groupBy("lang").agg(count(lit(1)).as("exact_distinct"))
     val direct = sh.groupBy("lang")
-      .agg(expr("hll_sketch_estimate(hll_sketch_agg(sh))").as("est_direct"),
-        countDistinct(col("sh")).as("exact_distinct"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(sh))").as("est_direct"))
+      .join(exact, "lang")
     direct.join(unioned, "lang")
       .select(col("lang"), col("exact_distinct"),
         ((abs(col("est_union") - col("exact_distinct")) / col("exact_distinct") <= 0.1) &&

@@ -30,6 +30,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(missed.isEmpty, s"LSH missed exact pairs: $missed")
   }
 
+  test("dedup_eval: one summary row whose counts equal the recomputed pair sets") {
+    val row = Dedup.dedupEval(spark, Sf).collect() match {
+      case Array(r) => r
+      case other => fail(s"expected one summary row, got ${other.length}")
+    }
+    val nTrue = row.getAs[Long]("n_true")
+    val nPred = row.getAs[Long]("n_pred")
+    val nHit = row.getAs[Long]("n_hit")
+    assert(nTrue > 0, "eval corpus has no true near-dup pairs — eval is vacuous")
+    assert(nHit <= math.min(nTrue, nPred))
+    assert(row.getAs[Double]("precision") >= 0.0 && row.getAs[Double]("precision") <= 1.0)
+    assert(row.getAs[Double]("recall") >= 0.0 && row.getAs[Double]("recall") <= 1.0)
+    // counts equal an independent recomputation from the two operators
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val truth = pairs(Dedup.dedupNgramJaccard(spark, Sf, n = 9))
+    val pred = pairs(Dedup.dedupMinhashLsh(spark, Sf))
+    assert(nTrue == truth.size && nPred == pred.size && nHit == (truth & pred).size)
+  }
+
   test("simhash near-dup pairs have small hamming distance") {
     val rows = Dedup.dedupSimhash(spark, Sf).collect()
     rows.foreach(r => assert(r.getAs[Long]("hamming") <= 3))
