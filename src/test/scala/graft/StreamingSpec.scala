@@ -396,6 +396,44 @@ class StreamingSpec extends SparkSpec {
       s"stream did not recover past the empty-accept replay: $out")
   }
 
+  test("streaming histogram partials merge across micro-batches to the batch histogram") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the pipe_quantile_rollup mergeability contract under streaming:
+    // per-micro-batch (lang, source, bin) counts are the stored
+    // partial; summing them across batches and rolling up per lang
+    // must equal the whole-corpus histogram — bins ADD, so a
+    // streaming ingest can maintain the quantile sketch incrementally
+    // without ever rescanning history
+    val batchHist = Tables.documents(spark, Sf)
+      .groupBy(col("lang"), expr("n_chars DIV 256").as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val docs = Tables.documents(spark, Sf).select("doc_id", "lang", "source", "n_chars")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    val input = MemoryStream[(Long, String, String, Long)]
+    val partials = scala.collection.mutable.Map[(String, String, Long), Long]()
+    val q = input.toDF().toDF("doc_id", "lang", "source", "n_chars").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.groupBy(col("lang"), col("source"), expr("n_chars DIV 256").as("bin"))
+          .agg(count(lit(1)).as("cnt")).collect().foreach { r =>
+            val k = (r.getString(0), r.getString(1), r.getLong(2))
+            partials(k) = partials.getOrElse(k, 0L) + r.getLong(3)
+          }
+      }
+      .outputMode("append").start()
+    val third = docs.length / 3
+    input.addData(docs.take(third)); q.processAllAvailable()
+    input.addData(docs.slice(third, 2 * third)); q.processAllAvailable()
+    input.addData(docs.drop(2 * third)); q.processAllAvailable()
+    q.stop()
+    val rolled = partials.toSeq
+      .groupBy { case ((l, _, b), _) => (l, b) }
+      .map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(rolled == batchHist, "streamed-merged histogram diverges from batch")
+  }
+
   test("streaming gopher gate per micro-batch equals the batch gate (per-doc rules)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
