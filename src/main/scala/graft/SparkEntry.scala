@@ -119,6 +119,7 @@ object SparkEntry {
     "pipe_tokenize" -> (TextAnalysis.pipeTokenize(_, _)),
     "pipe_chunk" -> ((s, d) => TextAnalysis.pipeChunk(s, d)),
     "pipe_quantile_rollup" -> ((s, d) => TextAnalysis.pipeQuantileRollup(s, d)),
+    "pipe_token_budget" -> ((s, d) => TextAnalysis.pipeTokenBudget(s, d)),
     "pipe_full_ingest" -> ((s, d) => TextAnalysis.pipeFullIngest(s, d)),
     "pipe_corpus_stats" -> (TextAnalysis.pipeCorpusStats(_, _)),
     "pipe_train_mix" -> ((s, d) => TextAnalysis.pipeTrainMix(s, d)),
@@ -1550,6 +1551,22 @@ object SparkEntry {
         |  least(len(w) - start, 64)::BIGINT AS n_tokens,
         |  md5(array_to_string(w[CAST(start + 1 AS INT):CAST(start + 64 AS INT)], ' ')) AS chunk_md5
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+    // the oracle is the NAIVE global running-sum prefix; the Spark
+    // side reaches the same set via bin-threshold search (equal
+    // because bins are monotone in the sort key)
+    "pipe_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(w) AS n_tokens,
+        |    len(list_distinct(w)) / greatest(len(w), 1) AS q
+        |  FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS w
+        |        FROM documents)),
+        |c AS (
+        |  SELECT doc_id, n_tokens, q,
+        |    sum(n_tokens) OVER (ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d)
+        |SELECT doc_id, n_tokens::BIGINT AS n_tokens, round(q, 4) AS quality
+        |FROM c WHERE cum <= (SELECT floor(sum(n_tokens) * 0.5)::BIGINT FROM d)
+        |ORDER BY doc_id""".stripMargin,
     // mergeable-histogram quantile contract: the oracle replays the
     // partial→merge→cumulative walk AND the exact tie-stable discrete
     // percentile, expecting the bin-containment flag true

@@ -1148,6 +1148,72 @@ object TextAnalysis {
           .as("norm_entropy"))
       .orderBy("doc_id")
 
+  /** Token-budget selection (`pipe_token_budget`) — the data-mixing
+    * step that fills a training-token budget with the best documents
+    * first: rank by quality (type/token ratio here — a ratio of two
+    * integers, so both engines order identically; ties → doc_id) and
+    * keep the maximal prefix whose cumulative token count stays
+    * within `budget`.
+    *
+    * The naive formulation is a GLOBAL running sum — a
+    * single-partition window, the one shape that cannot scale. This
+    * implementation is exact and distributed: per-quality-bin token
+    * sums (a ~`nBins`-row aggregate, the mergeable-histogram idea
+    * again) locate the threshold bin on the driver (bounded collect,
+    * ≤ nBins rows); every doc in a better bin is kept outright
+    * (map-only filter), and ONLY the boundary bin pays a window —
+    * partitioned by bin, so its state is one bin's docs, not the
+    * corpus. The oracle runs the naive global window; the two are
+    * equal because bins are monotone in the sort key and the
+    * within-bin order extends the global order.
+    *
+    * The budget is a FRACTION of the corpus's total tokens (derived
+    * from the same bin sums the threshold search already collected —
+    * no extra scan), so the gate binds identically at every scale
+    * instead of going vacuous when the corpus outgrows an absolute
+    * number. */
+  def pipeTokenBudget(s: SparkSession, dir: String, budgetFrac: Double = 0.5,
+                      nBins: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(array_distinct(col("w"))).cast("double") /
+          greatest(size(col("w")), lit(1)).cast("double")).as("q"))
+      .withColumn("bin",
+        least(floor(col("q") * nBins), lit(nBins - 1)).cast("long"))
+      .cacheTracked
+    // bounded driver step: locate the threshold bin (≤ nBins rows)
+    val binToks = docs.groupBy("bin").agg(sum("n_tokens").as("toks"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
+    val budget = (binToks.map(_._2).sum * budgetFrac).toLong
+    var acc = 0L
+    var threshold = -1L // bin that overflows the budget, walking best-first
+    var remaining = budget
+    binToks.foreach { case (bin, toks) =>
+      if (threshold == -1L) {
+        if (acc + toks > budget) { threshold = bin; remaining = budget - acc }
+        else acc += toks
+      }
+    }
+    val kept =
+      if (threshold == -1L) docs // whole corpus fits
+      else {
+        val full = docs.filter(col("bin") > threshold)
+        val boundary = docs.filter(col("bin") === threshold)
+          .withColumn("cum", sum("n_tokens").over(
+            Window.partitionBy("bin").orderBy(col("q").desc, col("doc_id"))
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("cum") <= remaining)
+          .drop("cum")
+        full.unionByName(boundary)
+      }
+    kept.select(col("doc_id"), col("n_tokens"), round(col("q"), 4).as("quality"))
+      .orderBy("doc_id")
+  }
+
   /** MERGEABLE-quantile rollup (`pipe_quantile_rollup`) — the
     * [[pipeSketchRollup]] pattern for percentiles: exact quantiles
     * don't pre-aggregate (medians don't add), but a fixed-width

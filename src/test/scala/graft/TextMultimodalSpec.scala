@@ -124,6 +124,41 @@ class TextMultimodalSpec extends SparkSpec {
     assert(chunks.head.getAs[String]("chunk_md5") == md)
   }
 
+  test("pipe_token_budget: bin-threshold selection equals the naive global prefix, and is maximal") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val frac = 0.5
+    val got = TextAnalysis.pipeTokenBudget(spark, Sf, frac).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    // naive reference: one global running-sum window (the shape the
+    // operator exists to avoid at scale)
+    val d = Tables.documents(spark, Sf)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        (size(array_distinct(col("w"))).cast("double") /
+          greatest(size(col("w")), lit(1)).cast("double")).as("q"))
+    val total = d.agg(sum("n_tokens")).collect()(0).getLong(0)
+    val budget = (total * frac).toLong
+    val naive = d.withColumn("cum", sum("n_tokens").over(
+        Window.orderBy(col("q").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") <= budget).collect()
+    assert(got == naive.map(_.getAs[Long]("doc_id")).toSet)
+    // binds (not vacuous), fits the budget, and is maximal: the kept
+    // prefix plus the FIRST excluded doc in quality order overflows
+    val keptToks = naive.map(_.getAs[Long]("n_tokens")).sum
+    assert(got.nonEmpty && got.size < d.count())
+    assert(keptToks <= budget)
+    val nextTok = d.withColumn("cum", sum("n_tokens").over(
+        Window.orderBy(col("q").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .filter(col("cum") > budget)
+      .orderBy(col("q").desc, col("doc_id"))
+      .select("n_tokens").limit(1).collect()(0).getLong(0)
+    assert(keptToks + nextTok > budget)
+  }
+
   test("pipe_quantile_rollup: bins contain the exact percentiles and merge equals direct") {
     import org.apache.spark.sql.functions._
     val rows = TextAnalysis.pipeQuantileRollup(spark, Sf).collect()
