@@ -98,6 +98,7 @@ object SparkEntry {
     "sim_lsh_ann" -> ((s, d) => Similarity.simLshAnn(s, d)),
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
     "sim_ivf_ann_persisted" -> ((s, d) => Similarity.simIvfAnnPersisted(s, d)),
+    "sim_ivf_ann_incremental" -> ((s, d) => Similarity.simIvfAnnIncremental(s, d)),
     "sim_ivf_sq8" -> ((s, d) => Similarity.simIvfSq8(s, d)),
     "sim_ivf_pq" -> ((s, d) => Similarity.simIvfPq(s, d)),
     "emb_centroids" -> (Similarity.embCentroids(_, _)),
@@ -1942,6 +1943,9 @@ object SparkEntry {
     // shares the generated oracle verbatim, the persisted-state
     // pattern dedup_incremental_persisted established
     "sim_ivf_ann_persisted" -> ivfOracleSql(nQueries = 5, k = 10, nprobe = 4),
+    // build+append must be indistinguishable from built-with-it:
+    // shares the inline operator's oracle verbatim
+    "sim_ivf_ann_incremental" -> ivfOracleSql(nQueries = 5, k = 10, nprobe = 4),
     // the SQ8-served path re-ranks exactly, recovering the same top-k
     "sim_ivf_sq8" -> ivfOracleSql(nQueries = 5, k = 10, nprobe = 4),
     // the PQ-served path likewise re-ranks exactly from a 32× candidate

@@ -226,6 +226,65 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** INCREMENTAL ingest into a persisted IVF index — the vector-
+    * database write path that completes the build/serve pair: cell
+    * assignment is a pure function of the frozen codebook, so new
+    * vectors append into their cells WITHOUT touching existing rows
+    * (no re-clustering, no index rebuild — O(batch), not O(corpus)).
+    * Idempotent by vec_id anti-join (a redelivered batch is a no-op,
+    * the [[Dedup.appendShardDocs]] contract), and the batch is
+    * repartitioned on the cell id before the write so each append
+    * lays down one file per touched cell instead of
+    * shuffle.partitions × cells — the file-count discipline every
+    * later pruned scan depends on. */
+  def ivfIndexAppend(s: SparkSession, table: String, vecs: DataFrame,
+                     codebook: Array[Array[Double]] = IvfCodebook.centroids): Unit = {
+    val existing = s.table(table).select(col("vec_id"))
+    vecs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .join(existing, Seq("vec_id"), "left_anti")
+      .withColumn("bucket", ivfCell(col("v"), codebook))
+      .repartition(col("bucket"))
+      .write.mode("append").insertInto(table)
+  }
+
+  /** The build+ingest+serve loop as one query (`sim_ivf_ann_
+    * incremental`): the index is BUILT from the base corpus
+    * (vec_id % 10 != 0), the held-out delta is APPENDED through
+    * [[ivfIndexAppend]], and serving runs against the accreted
+    * table. Output is identical to [[simIvfAnn]] over the full
+    * corpus — appending a batch must be indistinguishable from
+    * having built with it — so it shares that operator's oracle
+    * verbatim (the [[Dedup.dedupIncrementalPersisted]] pattern). */
+  def simIvfAnnIncremental(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
+                           nprobe: Int = 4,
+                           codebook: Array[Array[Double]] = IvfCodebook.centroids): DataFrame = {
+    val table = ivfIndexTableIncremental(s, dir, codebook)
+    ivfIndexAppend(s, table,
+      Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0), codebook)
+    serveFromIndex(s, dir, table, nQueries, k, nprobe, codebook)
+  }
+
+  /** [[ivfIndexTable]]'s base-corpus twin for the incremental path:
+    * built (once per JVM) from vec_id % 10 != 0 only; the held-out
+    * rest arrives via [[ivfIndexAppend]]. */
+  private[graft] def ivfIndexTableIncremental(s: SparkSession, dir: String,
+      codebook: Array[Array[Double]] = IvfCodebook.centroids): String = {
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    val dirTag = (scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff).toHexString
+    val cbTag = (scala.util.hashing.MurmurHash3.arrayHash(
+      codebook.map(java.util.Arrays.hashCode)) & 0x7fffffff).toHexString
+    val table = s"graft_ivf_index_incr_${slug}_${dirTag}_k${codebook.length}_c${cbTag}_v1"
+    if (!s.catalog.tableExists(table)) {
+      graft.sources.Sources.clearOrphanedLocation(s, table)
+      Tables.embeddings(s, dir)
+        .filter(col("vec_id") % 10 =!= 0)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("bucket", ivfCell(col("v"), codebook))
+        .write.partitionBy("bucket").format("parquet").saveAsTable(table)
+    }
+    table
+  }
+
   /** Builds (once per dir × codebook size) the PERSISTED IVF index:
     * the corpus assigned to cells ONE time and stored as a managed
     * parquet table PARTITIONED BY the cell id — the production ANN
@@ -266,8 +325,16 @@ object Similarity {
     * verbatim — the [[Dedup.dedupIncrementalPersisted]] pattern. */
   def simIvfAnnPersisted(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
                          nprobe: Int = 4,
-                         codebook: Array[Array[Double]] = IvfCodebook.centroids): DataFrame = {
-    val assigned = s.table(ivfIndexTable(s, dir, codebook))
+                         codebook: Array[Array[Double]] = IvfCodebook.centroids): DataFrame =
+    serveFromIndex(s, dir, ivfIndexTable(s, dir, codebook), nQueries, k, nprobe, codebook)
+
+  /** Query-time serving against any cell-partitioned index table —
+    * shared by the one-shot persisted path and the incremental
+    * build+append path, which must produce identical plans. */
+  private def serveFromIndex(s: SparkSession, dir: String, table: String,
+                             nQueries: Int, k: Int, nprobe: Int,
+                             codebook: Array[Array[Double]]): DataFrame = {
+    val assigned = s.table(table)
     val cells = ivfCellStructs(col("v"), codebook)
     val probes = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))

@@ -344,6 +344,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(mean >= 0.4, f"PQ approximate ranking degraded: recall $mean%.3f")
   }
 
+  test("ivf index append: idempotent, and accretes to exactly the one-shot index") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val delta = Tables.embeddings(spark, Sf).filter(col("vec_id") % 10 === 0)
+    // builds base (vec_id % 10 != 0), appends the held-out delta once
+    val served = Similarity.simIvfAnnIncremental(spark, Sf).collect()
+    val table = Similarity.ivfIndexTableIncremental(spark, Sf)
+    val nAfterFirst = spark.table(table).count()
+    // redelivered batch → anti-join no-op
+    Similarity.ivfIndexAppend(spark, table, delta)
+    assert(spark.table(table).count() == nAfterFirst)
+    // accreted (vec_id, bucket) content equals the one-shot index
+    val oneShot = spark.table(Similarity.ivfIndexTable(spark, Sf))
+      .select("vec_id", "bucket")
+    val accreted = spark.table(table).select("vec_id", "bucket")
+    assert(accreted.except(oneShot).isEmpty && oneShot.except(accreted).isEmpty)
+    // serving from the accreted index equals the inline operator
+    val inline = Similarity.simIvfAnn(spark, Sf).collect()
+    assert(served.map(_.toString).toSeq == inline.map(_.toString).toSeq)
+  }
+
   test("sim_range_search: exactly the vectors inside the radius, none outside") {
     val tau = 0.25
     val rows = Similarity.simRangeSearch(spark, Sf, tau = tau).collect()
