@@ -99,6 +99,7 @@ object SparkEntry {
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
     "sim_ivf_ann_persisted" -> ((s, d) => Similarity.simIvfAnnPersisted(s, d)),
     "sim_ivf_ann_incremental" -> ((s, d) => Similarity.simIvfAnnIncremental(s, d)),
+    "sim_ivf_ann_forget" -> ((s, d) => Similarity.simIvfAnnForget(s, d)),
     "sim_ivf_sq8" -> ((s, d) => Similarity.simIvfSq8(s, d)),
     "sim_ivf_pq" -> ((s, d) => Similarity.simIvfPq(s, d)),
     "emb_centroids" -> (Similarity.embCentroids(_, _)),
@@ -503,7 +504,8 @@ object SparkEntry {
     * both engines assign every vector to the same IVF cell (argmax
     * centroid cosine, ties → lowest cell), probe the same `nprobe`
     * cells per query, and rank the same candidates. */
-  private def ivfOracleSql(nQueries: Int, k: Int, nprobe: Int): String = {
+  private def ivfOracleSql(nQueries: Int, k: Int, nprobe: Int,
+                           corpusCond: String = "TRUE"): String = {
     val cb = operators.IvfCodebook.centroids
     val centValues = (for (ci <- cb.indices; i <- cb(ci).indices)
       yield s"($ci, ${i + 1}, ${cb(ci)(i)})").mkString(", ")
@@ -521,7 +523,7 @@ object SparkEntry {
        |  SELECT vec_id, cidx,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cidx) AS rn
        |  FROM ccos),
-       |assign AS (SELECT vec_id, cidx AS bucket FROM ranked WHERE rn = 1),
+       |assign AS (SELECT vec_id, cidx AS bucket FROM ranked WHERE rn = 1 AND ($corpusCond)),
        |probes AS (
        |  SELECT vec_id AS qid, cidx AS bucket FROM ranked
        |  WHERE vec_id < $nQueries AND rn <= $nprobe),
@@ -1946,6 +1948,11 @@ object SparkEntry {
     // build+append must be indistinguishable from built-with-it:
     // shares the inline operator's oracle verbatim
     "sim_ivf_ann_incremental" -> ivfOracleSql(nQueries = 5, k = 10, nprobe = 4),
+    // forget must be indistinguishable from never-ingested: same
+    // oracle with the corpus (assign) side filtered; queries still
+    // come from the full set — a deleted user can still search
+    "sim_ivf_ann_forget" ->
+      ivfOracleSql(nQueries = 5, k = 10, nprobe = 4, corpusCond = "vec_id % 10 <> 0"),
     // the SQ8-served path re-ranks exactly, recovering the same top-k
     "sim_ivf_sq8" -> ivfOracleSql(nQueries = 5, k = 10, nprobe = 4),
     // the PQ-served path likewise re-ranks exactly from a 32× candidate

@@ -264,6 +264,82 @@ object Similarity {
     serveFromIndex(s, dir, table, nQueries, k, nprobe, codebook)
   }
 
+  /** TARGETED deletion from a persisted IVF index (`ivfIndexForget`)
+    * — the compliance path (user-data removal) that must NOT cost a
+    * rebuild at 100 TB: the ids' home cells are found with a
+    * semi-join (bounded: ≤ ncells rows collect), ONLY those cells
+    * are rewritten via dynamic partition overwrite, and every
+    * untouched cell's files are left byte-identical (spec-asserted
+    * by file listing). A cell whose vectors are all forgotten ends
+    * EMPTY — dynamic overwrite has no rows to replace it with, so
+    * those partitions are dropped explicitly rather than silently
+    * left holding the forgotten rows. */
+  def ivfIndexForget(s: SparkSession, table: String, ids: DataFrame): Unit = {
+    val idCol = ids.select(col("vec_id"))
+    val touched = s.table(table).join(idCol, Seq("vec_id"), "left_semi")
+      .select("bucket").distinct().collect().map(_.getInt(0))
+    if (touched.nonEmpty) {
+      // materialize the survivors BEFORE the overwrite and truncate
+      // lineage — the insert must not lazily re-read the very
+      // partitions it is replacing (localCheckpoint is the
+      // single-JVM stand-in for a production staging write + swap)
+      val remaining = s.table(table)
+        .filter(col("bucket").isin(touched.toSeq: _*))
+        .join(idCol, Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+      val nonEmpty = remaining.select("bucket").distinct().collect().map(_.getInt(0)).toSet
+      val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        if (nonEmpty.nonEmpty)
+          remaining.repartition(col("bucket")).write.mode("overwrite").insertInto(table)
+        touched.filterNot(nonEmpty).foreach { b =>
+          s.sql(s"ALTER TABLE $table DROP IF EXISTS PARTITION (bucket=$b)")
+        }
+      } finally saved match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
+  /** The forget loop as one query (`sim_ivf_ann_forget`): a
+    * dedicated index is built from the FULL corpus, the
+    * vec_id % 10 == 0 slice is then forgotten through
+    * [[ivfIndexForget]], and serving runs against what remains —
+    * which must be indistinguishable from an index never containing
+    * those vectors (the oracle is [[simIvfAnn]]'s with the corpus
+    * side filtered; queries still come from the full query set, the
+    * deleted-user-can-still-search shape). */
+  def simIvfAnnForget(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
+                      nprobe: Int = 4,
+                      codebook: Array[Array[Double]] = IvfCodebook.centroids): DataFrame = {
+    val table = ivfIndexTableForget(s, dir, codebook)
+    ivfIndexForget(s, table,
+      Tables.embeddings(s, dir).filter(col("vec_id") % 10 === 0).select("vec_id"))
+    serveFromIndex(s, dir, table, nQueries, k, nprobe, codebook)
+  }
+
+  /** [[ivfIndexTable]]'s full-corpus twin for the forget path — a
+    * separate physical table so the mutation never aliases the
+    * shared read-only index. */
+  private[graft] def ivfIndexTableForget(s: SparkSession, dir: String,
+      codebook: Array[Array[Double]] = IvfCodebook.centroids): String = {
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    val dirTag = (scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff).toHexString
+    val cbTag = (scala.util.hashing.MurmurHash3.arrayHash(
+      codebook.map(java.util.Arrays.hashCode)) & 0x7fffffff).toHexString
+    val table = s"graft_ivf_index_fgt_${slug}_${dirTag}_k${codebook.length}_c${cbTag}_v1"
+    if (!s.catalog.tableExists(table)) {
+      graft.sources.Sources.clearOrphanedLocation(s, table)
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .withColumn("bucket", ivfCell(col("v"), codebook))
+        .write.partitionBy("bucket").format("parquet").saveAsTable(table)
+    }
+    table
+  }
+
   /** [[ivfIndexTable]]'s base-corpus twin for the incremental path:
     * built (once per JVM) from vec_id % 10 != 0 only; the held-out
     * rest arrives via [[ivfIndexAppend]]. */

@@ -365,6 +365,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(served.map(_.toString).toSeq == inline.map(_.toString).toSeq)
   }
 
+  test("ivf index forget: surgical partition rewrite — untouched cells byte-identical") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val table = Similarity.ivfIndexTableForget(spark, Sf)
+    // (re)build from scratch so this spec owns the mutation sequence
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Similarity.ivfIndexTableForget(spark, Sf)
+    val wh = java.net.URI.create(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val loc = java.nio.file.Paths.get(wh, table.toLowerCase)
+    def fileState(): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(loc)
+      try walk.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => loc.relativize(p).toString ->
+          (java.nio.file.Files.size(p), java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toMap
+      finally walk.close()
+    }
+    val before = fileState()
+    val ids = Tables.embeddings(spark, Sf).filter(col("vec_id") % 10 === 0).select("vec_id")
+    val touched = spark.table(table).join(ids, Seq("vec_id"), "left_semi")
+      .select("bucket").distinct().collect().map(_.getInt(0)).toSet
+    assert(touched.nonEmpty)
+    Similarity.ivfIndexForget(spark, table, ids)
+    val after = fileState()
+    // forgotten rows are gone; survivors intact
+    val left = spark.table(table)
+    assert(left.join(ids, Seq("vec_id"), "left_semi").isEmpty)
+    val expect = Tables.embeddings(spark, Sf).filter(col("vec_id") % 10 =!= 0).count()
+    assert(left.count() == expect)
+    // every file in an UNTOUCHED cell is byte-identical (same path,
+    // size, mtime) — the deletion never rewrote them
+    def cellOf(rel: String): Option[Int] =
+      "bucket=(\\d+)".r.findFirstMatchIn(rel).map(_.group(1).toInt)
+    before.foreach { case (rel, st) =>
+      cellOf(rel).foreach { c =>
+        if (!touched(c))
+          assert(after.get(rel).contains(st), s"untouched cell $c file $rel changed")
+      }
+    }
+    // idempotent: forgetting the same ids again changes nothing
+    val snap = fileState()
+    Similarity.ivfIndexForget(spark, table, ids)
+    assert(fileState() == snap)
+  }
+
   test("sim_range_search: exactly the vectors inside the radius, none outside") {
     val tau = 0.25
     val rows = Similarity.simRangeSearch(spark, Sf, tau = tau).collect()
