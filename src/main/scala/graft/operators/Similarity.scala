@@ -288,7 +288,10 @@ object Similarity {
         .join(idCol, Seq("vec_id"), "left_anti")
         .localCheckpoint()
       val nonEmpty = remaining.select("bucket").distinct().collect().map(_.getInt(0)).toSet
-      val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      // getAll holds only EXPLICITLY-set entries — getOption would
+      // report the default ("static") and the restore would then pin
+      // it explicitly, leaking a session-conf change to the caller
+      val saved = s.conf.getAll.get("spark.sql.sources.partitionOverwriteMode")
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try {
         if (nonEmpty.nonEmpty)
