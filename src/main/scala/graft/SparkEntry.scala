@@ -156,6 +156,7 @@ object SparkEntry {
     // composed ML × pipeline + incremental dedup + repeated substrings
     "pipe_ml_filter" -> (pipeMlFilter(_, _)),
     "dedup_incremental" -> ((s, d) => Dedup.dedupIncremental(s, d)),
+    "pipe_corpus_forget" -> ((s, d) => Dedup.pipeCorpusForget(s, d)),
     "dedup_incremental_persisted" -> ((s, d) => Dedup.dedupIncrementalPersisted(s, d)),
     "pipe_repeated_ngrams" -> ((s, d) => TextAnalysis.pipeRepeatedNgrams(s, d)),
     "pipe_incremental_e2e" -> (TextAnalysis.pipeIncrementalE2e(_, _)),
@@ -223,7 +224,8 @@ object SparkEntry {
     * near_dup)` — the tail of both the dedup_incremental oracle and
     * the pipe_incremental_e2e report oracle. */
   private def incrementalCtesSql(n: Int, numPerms: Int, rowsPerBand: Int,
-                                 shardMod: Long): String = {
+                                 shardMod: Long,
+                                 corpusCond: String = "TRUE"): String = {
     val p = operators.Dedup.MersennePrime
     val mins = (0 until numPerms).map { i =>
       val (a, b) = operators.Dedup.perm(i)
@@ -240,14 +242,19 @@ object SparkEntry {
        |  SELECT doc_id, band,
        |    list_slice(sig, CAST($rowsPerBand*band + 1 AS INT), CAST($rowsPerBand*band + $rowsPerBand AS INT)) AS key
        |  FROM sig, range(0, $numBands) br(band)),
+       |corpusd AS (
+       |  SELECT doc_id FROM documents
+       |  WHERE doc_id % $shardMod <> 0 AND ($corpusCond)),
        |near AS (
        |  SELECT DISTINCT bs.doc_id
        |  FROM banded bs JOIN banded bc ON bs.band = bc.band AND bs.key = bc.key
-       |  WHERE bs.doc_id % $shardMod = 0 AND bc.doc_id % $shardMod <> 0),
+       |  JOIN corpusd cd ON cd.doc_id = bc.doc_id
+       |  WHERE bs.doc_id % $shardMod = 0),
        |exact AS (
        |  SELECT DISTINCT s.doc_id
        |  FROM documents s JOIN documents c ON s.text = c.text
-       |  WHERE s.doc_id % $shardMod = 0 AND c.doc_id % $shardMod <> 0),
+       |  JOIN corpusd cd ON cd.doc_id = c.doc_id
+       |  WHERE s.doc_id % $shardMod = 0),
        |shard_flags AS (
        |  SELECT d.doc_id, d.lang, d.text,
        |    (e.doc_id IS NOT NULL) AS exact_dup, (nr.doc_id IS NOT NULL) AS near_dup
@@ -258,8 +265,9 @@ object SparkEntry {
   }
 
   private def incrementalOracleSql(n: Int, numPerms: Int, rowsPerBand: Int,
-                                   shardMod: Long): String =
-    s"""WITH ${incrementalCtesSql(n, numPerms, rowsPerBand, shardMod)}
+                                   shardMod: Long,
+                                   corpusCond: String = "TRUE"): String =
+    s"""WITH ${incrementalCtesSql(n, numPerms, rowsPerBand, shardMod, corpusCond)}
        |SELECT doc_id, exact_dup, near_dup FROM shard_flags
        |ORDER BY doc_id""".stripMargin
 
@@ -759,6 +767,11 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "dedup_incremental" -> incrementalOracleSql(n = 9, numPerms = 32, rowsPerBand = 4, shardMod = 10),
+    // forgotten (tombstoned) corpus docs must stop causing flags:
+    // same incremental CTEs with the corpus side filtered to the
+    // un-forgotten half — the never-ingested contract
+    "pipe_corpus_forget" -> incrementalOracleSql(n = 9, numPerms = 32, rowsPerBand = 4,
+      shardMod = 10, corpusCond = "doc_id % 2 = 0"),
     "pipe_full_ingest" -> fullIngestOracleSql(minWords = 30, minAlpha = 0.6,
       nEval = 10, nShards = 4, seqLen = 256, seed = 42),
     // probes persisted corpus state; flags are identical by construction

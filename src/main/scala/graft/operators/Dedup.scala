@@ -447,6 +447,121 @@ object Dedup {
     graft.sources.Sources.compactBucketed(s, hashesT, Seq("h64", "h128"), numBuckets)
   }
 
+  // --- corpus deletion (tombstones + deferred purge) -----------------
+
+  /** The tombstone table backing [[forgetFromCorpus]] — the DELETION
+    * VECTOR design: removing a document from bucketed state cannot
+    * rewrite in place (bucketed tables have no partition to target),
+    * so deletion is logical-first: an O(batch) append of doc_ids
+    * here, honored immediately by the tombstone-aware probes, made
+    * physical later by [[purgeCorpusTombstones]] folding the filter
+    * into the next compaction pass. */
+  private[graft] def corpusTombstonesTable(s: SparkSession, dir: String, n: Int = 9,
+      numPerms: Int = 32, rowsPerBand: Int = 4, shardMod: Long = 10,
+      numBuckets: Int = 8): String = {
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    val dirTag = (scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff).toHexString
+    val key = s"${slug}_${dirTag}_n${n}_p${numPerms}_r${rowsPerBand}_s${shardMod}_b${numBuckets}_v3"
+    val table = s"graft_corpus_tombs_$key"
+    if (!s.catalog.tableExists(table)) {
+      graft.sources.Sources.clearOrphanedLocation(s, table)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType))))
+        .write.format("parquet").saveAsTable(table)
+    }
+    table
+  }
+
+  /** Logical deletion from the persisted corpus state: append the ids
+    * to the tombstone table (idempotent by anti-join — a redelivered
+    * deletion request is a no-op). O(batch); no state row moves. */
+  def forgetFromCorpus(s: SparkSession, dir: String, ids: DataFrame, n: Int = 9,
+                       numPerms: Int = 32, rowsPerBand: Int = 4, shardMod: Long = 10,
+                       numBuckets: Int = 8): Unit = {
+    corpusStateTables(s, dir, n, numPerms, rowsPerBand, shardMod, numBuckets)
+    val t = corpusTombstonesTable(s, dir, n, numPerms, rowsPerBand, shardMod, numBuckets)
+    ids.select(col("doc_id")).distinct()
+      .join(s.table(t), Seq("doc_id"), "left_anti")
+      .write.mode("append").insertInto(t)
+  }
+
+  /** [[dedupIncrementalPersisted]] with tombstones honored: each
+    * probe anti-joins the (broadcast, tiny) tombstone set on doc_id
+    * BEFORE the key semi-join, so a forgotten document stops causing
+    * dup flags IMMEDIATELY — without waiting for the physical purge.
+    * The anti-join is a broadcast over the bucketed scan: the probe
+    * keeps its zero-shuffle plan, it just reads one more (pruned)
+    * column. Flags equal [[dedupIncremental]] computed on the corpus
+    * minus the forgotten set — the never-ingested contract. */
+  def dedupIncrementalForget(s: SparkSession, dir: String, n: Int = 9, numPerms: Int = 32,
+                             rowsPerBand: Int = 4, shardMod: Long = 10): DataFrame = {
+    val (bandsT, hashesT) = corpusStateTables(s, dir, n, numPerms, rowsPerBand, shardMod)
+    val tombs = s.table(corpusTombstonesTable(s, dir, n, numPerms, rowsPerBand, shardMod))
+    def live(table: String): DataFrame =
+      s.table(table).join(broadcast(tombs), Seq("doc_id"), "left_anti")
+    val shard = Tables.documents(s, dir).filter(col("doc_id") % shardMod === 0)
+    val bandKeys = bandKeyCols(rowsPerBand)
+    val newBands = bandTuples(shard, n, numPerms, rowsPerBand).cacheTracked
+    val hotBands = live(bandsT)
+      .join(broadcast(newBands.select(bandKeys.map(col): _*).distinct()), bandKeys, "left_semi")
+      .select(bandKeys.map(col): _*).distinct()
+    val nearIds = newBands.join(hotBands, bandKeys, "left_semi")
+      .select("doc_id").distinct()
+    val newHashes = shard
+      .select(col("doc_id"), xxhash64(col("text")).as("h64"), md5(col("text")).as("h128"))
+      .cacheTracked
+    val hotHashes = live(hashesT)
+      .join(broadcast(newHashes.select("h64", "h128").distinct()), Seq("h64", "h128"), "left_semi")
+      .select("h64", "h128").distinct()
+    val exactIds = newHashes.join(hotHashes, Seq("h64", "h128"), "left_semi")
+      .select("doc_id").distinct()
+    shard.select("doc_id")
+      .join(exactIds.withColumn("e", lit(true)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("nd", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("e"), lit(false)).as("exact_dup"),
+        coalesce(col("nd"), lit(false)).as("near_dup"))
+      .orderBy("doc_id")
+  }
+
+  /** The corpus-deletion loop as one query (`pipe_corpus_forget`):
+    * persisted state is built, the odd-id half of the corpus is
+    * forgotten (tombstoned — a deterministic set that provably flips
+    * some shard flags while others survive, so the exclusion is
+    * non-vacuous), and the tombstone-aware incremental probe reports
+    * shard flags that must equal a corpus that never contained the
+    * forgotten documents (the oracle recomputes flags on the
+    * filtered corpus). */
+  def pipeCorpusForget(s: SparkSession, dir: String): DataFrame = {
+    forgetFromCorpus(s, dir,
+      Tables.documents(s, dir).filter(col("doc_id") % 2 === 1).select("doc_id"))
+    dedupIncrementalForget(s, dir)
+  }
+
+  /** Physical deletion: fold the tombstone filter into the normal
+    * compaction pass (bucketed scan → broadcast anti-join → bucketed
+    * write, still zero-Exchange), then truncate the tombstone table
+    * — after which the plain probes and the tombstone-aware ones see
+    * the same state. */
+  def purgeCorpusTombstones(s: SparkSession, dir: String, n: Int = 9, numPerms: Int = 32,
+                            rowsPerBand: Int = 4, shardMod: Long = 10,
+                            numBuckets: Int = 8): Unit = {
+    val (bandsT, hashesT) = corpusStateTables(s, dir, n, numPerms, rowsPerBand, shardMod, numBuckets)
+    val tombsT = corpusTombstonesTable(s, dir, n, numPerms, rowsPerBand, shardMod, numBuckets)
+    val tombs = s.table(tombsT)
+    if (!tombs.isEmpty) {
+      // broadcast anti-join, not a driver-side isin: a deletion batch
+      // can be large, and the anti-join preserves the bucketed scan's
+      // partitioning so the pass stays zero-Exchange
+      val drop = (df: DataFrame) => df.join(broadcast(tombs), Seq("doc_id"), "left_anti")
+      graft.sources.Sources.compactBucketed(s, bandsT, bandKeyCols(rowsPerBand), numBuckets, drop)
+      graft.sources.Sources.compactBucketed(s, hashesT, Seq("h64", "h128"), numBuckets, drop)
+      s.sql(s"TRUNCATE TABLE $tombsT")
+    }
+  }
+
   /** The map-only corpus probe: scan a bucketed key table, keep only
     * keys colliding with the (broadcast) shard key set, dedup the
     * survivors. Plan shape asserted in BucketingSpec: one bucketed

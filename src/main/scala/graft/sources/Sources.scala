@@ -99,7 +99,8 @@ object Sources {
     * compact per-table (the corpus state pair is two independent
     * tables) to halve that bound. */
   def compactBucketed(s: SparkSession, table: String, bucketCols: Seq[String],
-                      numBuckets: Int): Unit = {
+                      numBuckets: Int,
+                      transform: DataFrame => DataFrame = identity): Unit = {
     restoreInterruptedCompaction(s, table)
     val tmp = s"${table}_compacting"
     s.sql(s"DROP TABLE IF EXISTS $tmp")
@@ -110,10 +111,15 @@ object Sources {
     // per-bucket guarantee with it — each task would emit one file per
     // bucket it happens to hold. Pin the bucketed scan for the rewrite:
     // one task per bucket, one sorted output file per bucket.
+    // `transform` lets a caller fold a row filter into the same
+    // zero-Exchange pass (tombstone purges) — it must preserve the
+    // scan's partitioning (broadcast joins/filters do).
     val k = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val saved = s.conf.getOption(k)
+    // getAll = explicitly-set entries only; getOption would report the
+    // default and the restore would pin it, leaking a conf change
+    val saved = s.conf.getAll.get(k)
     s.conf.set(k, "false")
-    try writeBucketed(s.table(table), tmp, bucketCols, numBuckets)
+    try writeBucketed(transform(s.table(table)), tmp, bucketCols, numBuckets)
     finally saved match {
       case Some(v) => s.conf.set(k, v)
       case None => s.conf.unset(k)

@@ -365,6 +365,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(served.map(_.toString).toSeq == inline.map(_.toString).toSeq)
   }
 
+  test("corpus forget: tombstones flip flags immediately; purge makes it physical") {
+    import org.apache.spark.sql.functions._
+    // clean slate for this JVM's parameterization (derived state only)
+    val (bandsT, hashesT) = Dedup.corpusStateTables(spark, Sf)
+    val tombsT = Dedup.corpusTombstonesTable(spark, Sf)
+    spark.sql(s"TRUNCATE TABLE $tombsT")
+    val plain = Dedup.dedupIncrementalPersisted(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("near_dup"))).toMap
+    val got = Dedup.pipeCorpusForget(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("near_dup"))).toMap
+    assert(got.keySet == plain.keySet)
+    // forgetting can only REMOVE flags, never add them; and on this
+    // corpus it provably flips at least one (non-vacuous)
+    val changed = got.filter { case (d, f) => f != plain(d) }
+    assert(changed.nonEmpty, "forgetting half the corpus flipped nothing — vacuous")
+    changed.foreach { case (d, (e, nd)) =>
+      assert((!e || plain(d)._1) && (!nd || plain(d)._2), s"forget ADDED a flag for $d")
+    }
+    // redelivered deletion request: tombstone append is a no-op
+    val nTombs = spark.table(tombsT).count()
+    Dedup.forgetFromCorpus(spark, Sf,
+      Tables.documents(spark, Sf).filter(col("doc_id") % 2 === 1).select("doc_id"))
+    assert(spark.table(tombsT).count() == nTombs)
+    // physical purge: state rows for tombstoned docs disappear, the
+    // tombstone table empties, and the PLAIN probe now agrees with
+    // the tombstone-aware one — deletion became permanent
+    Dedup.purgeCorpusTombstones(spark, Sf)
+    assert(spark.table(tombsT).isEmpty)
+    assert(spark.table(bandsT).filter(col("doc_id") % 2 === 1).isEmpty)
+    assert(spark.table(hashesT).filter(col("doc_id") % 2 === 1).isEmpty)
+    val plainAfter = Dedup.dedupIncrementalPersisted(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("near_dup"))).toMap
+    assert(plainAfter == got)
+    // restore: drop the purged derived state so later suites rebuild
+    // the full corpus state from scratch
+    Seq(bandsT, hashesT, tombsT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("ivf index forget: surgical partition rewrite — untouched cells byte-identical") {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity
