@@ -122,6 +122,7 @@ object SparkEntry {
     "pipe_chunk" -> ((s, d) => TextAnalysis.pipeChunk(s, d)),
     "pipe_quantile_rollup" -> ((s, d) => TextAnalysis.pipeQuantileRollup(s, d)),
     "pipe_token_budget" -> ((s, d) => TextAnalysis.pipeTokenBudget(s, d)),
+    "pipe_chunk_dedup" -> ((s, d) => TextAnalysis.pipeChunkDedup(s, d)),
     "pipe_full_ingest" -> ((s, d) => TextAnalysis.pipeFullIngest(s, d)),
     "pipe_corpus_stats" -> (TextAnalysis.pipeCorpusStats(_, _)),
     "pipe_train_mix" -> ((s, d) => TextAnalysis.pipeTrainMix(s, d)),
@@ -1567,6 +1568,23 @@ object SparkEntry {
         |  least(len(w) - start, 64)::BIGINT AS n_tokens,
         |  md5(array_to_string(w[CAST(start + 1 AS INT):CAST(start + 64 AS INT)], ' ')) AS chunk_md5
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+    // keeper = min packed (doc_id, chunk_id) per payload md5 — the
+    // skew-safe arg-min both engines compute identically
+    "pipe_chunk_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS w
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 64)) AS start FROM toks),
+        |ch AS (
+        |  SELECT doc_id, (start // 64)::BIGINT AS chunk_id,
+        |    md5(array_to_string(w[CAST(start + 1 AS INT):CAST(start + 64 AS INT)], ' ')) AS chunk_md5
+        |  FROM st),
+        |k AS (SELECT chunk_md5, min(doc_id * 1048576 + chunk_id) AS mk FROM ch GROUP BY 1)
+        |SELECT doc_id, chunk_id, chunk_md5,
+        |  (doc_id * 1048576 + chunk_id) <> mk AS is_dup
+        |FROM ch JOIN k USING (chunk_md5)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     // the oracle is the NAIVE global running-sum prefix; the Spark
     // side reaches the same set via bin-threshold search (equal
     // because bins are monotone in the sort key)

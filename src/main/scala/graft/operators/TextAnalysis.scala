@@ -1148,6 +1148,37 @@ object TextAnalysis {
           .as("norm_entropy"))
       .orderBy("doc_id")
 
+  /** Chunk-level exact dedup (`pipe_chunk_dedup`) — dedup at the
+    * TRAINING-SEQUENCE granularity rather than the document: disjoint
+    * `window`-token chunks ([[pipeChunk]] with stride = window) are
+    * keyed by payload md5 and every repeat of a payload after its
+    * first (lowest (doc_id, chunk_id)) occurrence is flagged — the
+    * pass that catches boilerplate blocks repeated across otherwise
+    * distinct documents, which document-level dedup cannot see.
+    *
+    * Skew-by-construction note: a boilerplate chunk shared by
+    * millions of documents would make a per-key WINDOW a single-task
+    * sort, so the keeper is instead the min of a packed
+    * (doc_id, chunk_id) key — a partial-aggregating min that
+    * combines map-side and never sorts a group. Shuffle carries
+    * fixed-width (md5, packed-key) rows only. */
+  def pipeChunkDedup(s: SparkSession, dir: String, window: Int = 64): DataFrame = {
+    val chunks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '\\\\s+'), t -> t != '')").as("w"))
+      .select(col("doc_id"), col("w"),
+        explode(expr(s"sequence(0, greatest(size(w) - 1, 0), $window)")).as("start"))
+      .select(col("doc_id"),
+        (col("start") / window).cast("long").as("chunk_id"),
+        md5(concat_ws(" ", expr(s"slice(w, start + 1, $window)"))).as("chunk_md5"))
+      .withColumn("pk", col("doc_id") * 1048576L + col("chunk_id"))
+    val keepers = chunks.groupBy("chunk_md5").agg(min("pk").as("mk"))
+    chunks.join(keepers, "chunk_md5")
+      .select(col("doc_id"), col("chunk_id"), col("chunk_md5"),
+        (col("pk") =!= col("mk")).as("is_dup"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   /** Token-budget selection (`pipe_token_budget`) — the data-mixing
     * step that fills a training-token budget with the best documents
     * first: rank by quality (type/token ratio here — a ratio of two

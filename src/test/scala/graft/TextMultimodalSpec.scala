@@ -124,6 +124,23 @@ class TextMultimodalSpec extends SparkSpec {
     assert(chunks.head.getAs[String]("chunk_md5") == md)
   }
 
+  test("pipe_chunk_dedup: one keeper per payload, keeper is the first occurrence") {
+    val rows = TextAnalysis.pipeChunkDedup(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val byMd5 = rows.groupBy(_.getAs[String]("chunk_md5"))
+    byMd5.foreach { case (_, cs) =>
+      val keepers = cs.filterNot(_.getAs[Boolean]("is_dup"))
+      assert(keepers.length == 1, "exactly one keeper per distinct payload")
+      val first = cs.map(c => (c.getAs[Long]("doc_id"), c.getAs[Long]("chunk_id"))).min
+      val k = keepers.head
+      assert((k.getAs[Long]("doc_id"), k.getAs[Long]("chunk_id")) == first,
+        "keeper must be the lowest (doc_id, chunk_id) occurrence")
+    }
+    // the corpus genuinely repeats some chunk payloads — non-vacuous
+    assert(rows.count(_.getAs[Boolean]("is_dup")) > 0,
+      "no duplicate chunks in corpus — dedup is vacuous")
+  }
+
   test("pipe_token_budget: bin-threshold selection equals the naive global prefix, and is maximal") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
