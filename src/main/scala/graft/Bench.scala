@@ -50,18 +50,42 @@ object Bench {
       else SparkEntry.queries.keys.toSeq.sorted
     // Snapshot the committed per-query map NOW — the end of this run
     // overwrites bench_out.json. Regex-scan instead of a JSON lib: the
-    // map is this tool's own single-line emission format.
-    val priorQueries: Option[Map[String, Double]] =
+    // maps are this tool's own single-line emission format.
+    def priorMap(key: String): Option[Map[String, Double]] =
       try {
         val txt = java.nio.file.Files.readString(java.nio.file.Paths.get("bench_out.json"))
-        val at = txt.indexOf("\"queries\":{")
+        val tag = "\"" + key + "\":{"
+        val at = txt.indexOf(tag)
         if (at < 0) None
         else {
-          val body = txt.substring(at + 11, txt.indexOf('}', at))
+          val body = txt.substring(at + tag.length, txt.indexOf('}', at))
           Some("\"([A-Za-z0-9_]+)\":([0-9.]+)".r.findAllMatchIn(body)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap)
         }
       } catch { case _: Throwable => None }
+    val priorQueries: Option[Map[String, Double]] = priorMap("queries")
+    val priorShuffle: Option[Map[String, Double]] = priorMap("shuffle_bytes")
+    // Per-query shuffle/input byte counters (task-metric sums): a
+    // structural fingerprint of the plan that makes the NEXT drift
+    // adjudication data instead of forensics — a timing mover whose
+    // bytes also moved is a plan/data change; one whose bytes are
+    // identical is host interference. Listener-bus delivery is async,
+    // but the blocking cache release + full GC between the snapshot
+    // reads leave it drained in practice; bytes are compared at
+    // 1.5x granularity, so a stray task's lag is harmless.
+    val byteCounter = new org.apache.spark.scheduler.SparkListener {
+      val shuffle = new java.util.concurrent.atomic.AtomicLong
+      val input = new java.util.concurrent.atomic.AtomicLong
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          shuffle.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          input.addAndGet(m.inputMetrics.bytesRead)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(byteCounter)
     // Session confs must be identical before every query: a query (or a
     // Spark rule) that flips a conf would silently re-price everything
     // after it. Snapshot once, diff after each query, and surface any
@@ -97,6 +121,11 @@ object Bench {
         run(name)
         (System.nanoTime() - t0) / 1e9
       }
+      // bytes snapshot AFTER the warm run: the timed runs' structural
+      // footprint only (cached subtrees built in warm don't re-shuffle
+      // — the steady state being timed is also the one fingerprinted)
+      val sh0 = byteCounter.shuffle.get
+      val in0 = byteCounter.input.get
       val two = Seq.fill(2)(timedOnce())
       // A third run ONLY when the first two disagree by >30% — r4/r5/r6
       // each produced a same-HEAD "drift cluster" whose signature was
@@ -104,7 +133,8 @@ object Bench {
       // handful of sub-second queries; a conditional third attempt buys
       // another chance at a quiet window exactly where it is needed and
       // costs nothing when the pair already agrees (steady state).
-      val dt = (if (two.max > two.min * 1.3) two :+ timedOnce() else two).min
+      val all = if (two.max > two.min * 1.3) two :+ timedOnce() else two
+      val dt = all.min
       // blocking: the previous query's block drop must finish here,
       // not during the next query's timed run
       CacheRegistry.releaseAll(blocking = true)
@@ -132,7 +162,9 @@ object Bench {
           }
         }
       }
-      name -> dt
+      val shPerRun = (byteCounter.shuffle.get - sh0) / all.size
+      val inPerRun = (byteCounter.input.get - in0) / all.size
+      (name, dt, shPerRun, inPerRun)
     }
     // 3-decimal timings keep the whole line inside a tail-capture
     // window (~40% shorter than raw doubles)
@@ -142,8 +174,12 @@ object Bench {
     // queries — the ones a reader grades — always survive; what
     // truncates is the sub-0.3 s noise floor. The complete map is in
     // bench_out.json (committed) either way.
-    val qs = results.sortBy(_._2).map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+    val qs = results.sortBy(_._2).map { case (k, v, _, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
+    val shuffleBytes = results.sortBy(_._2)
+      .map { case (k, _, sh, _) => s"\"" + k + "\":" + sh }.mkString("{", ",", "}")
+    val inputBytes = results.sortBy(_._2)
+      .map { case (k, _, _, in) => s"\"" + k + "\":" + in }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val drift = confDrift.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Timing drift vs the previously COMMITTED per-query map: conf
@@ -155,11 +191,20 @@ object Bench {
     // interference) stays with the reader, but the artifact itself now
     // says WHICH lines moved. Sub-0.25 s pairs are skipped: at that
     // floor a scheduler hiccup is a 2× ratio.
+    // Each drift flag self-adjudicates via the byte fingerprint:
+    // `sh=same` (bytes within 1.5x of the prior run — the plan and
+    // data didn't move, the host did) vs `sh:OLD->NEW` (a structural
+    // change — code or input data). No prior bytes → no annotation.
     val timeDrift: Seq[String] = priorQueries match {
-      case Some(prior) => results.flatMap { case (k, v) =>
+      case Some(prior) => results.flatMap { case (k, v, sh, _) =>
         prior.get(k).collect {
           case p if math.max(p, v) >= 0.25 && (v > p * 1.8 || v < p * 0.55) =>
-            f"$k:${f3(p)}->${f3(v)}"
+            val ann = priorShuffle.flatMap(_.get(k)).map { psh =>
+              val moved = math.max(psh, sh.toDouble) >
+                math.max(1.0, math.min(psh, sh.toDouble)) * 1.5
+              if (moved) s"|sh:${psh.toLong}->$sh" else "|sh=same"
+            }.getOrElse("")
+            f"$k:${f3(p)}->${f3(v)}$ann"
         }
       }
       case None => Nil
@@ -175,7 +220,7 @@ object Bench {
     // the headline number impossible to drift from the code again.
     val nq = SparkEntry.queries.size
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":$nq,"queries":$qs,"failed":$fails,"time_drift":$tdrift,"conf_drift":$drift,"sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":$nq,"queries":$qs,"shuffle_bytes":$shuffleBytes,"input_bytes":$inputBytes,"failed":$fails,"time_drift":$tdrift,"conf_drift":$drift,"sf":"$sfDir"}"""
     val totalLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":$nq,"n_failed":${failed.size},"n_time_drift":${timeDrift.size},"conf_drift":$drift,"full":"bench_out.json","sf":"$sfDir"}"""
     // sbt prefixes forked stdout with [info], which defeats line-level
     // JSON parsing — also write the bare full line (with the per-query

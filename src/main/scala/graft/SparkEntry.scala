@@ -1580,10 +1580,14 @@ object SparkEntry {
         |  SELECT doc_id, (start // 64)::BIGINT AS chunk_id,
         |    md5(array_to_string(w[CAST(start + 1 AS INT):CAST(start + 64 AS INT)], ' ')) AS chunk_md5
         |  FROM st),
-        |k AS (SELECT chunk_md5, min(doc_id * 1048576 + chunk_id) AS mk FROM ch GROUP BY 1)
+        |k AS (SELECT chunk_md5, min(doc_id) AS kd FROM ch GROUP BY 1),
+        |k2 AS (
+        |  SELECT c.chunk_md5, m.kd, min(c.chunk_id) AS kc
+        |  FROM ch c JOIN k m ON c.chunk_md5 = m.chunk_md5 AND c.doc_id = m.kd
+        |  GROUP BY 1, 2)
         |SELECT doc_id, chunk_id, chunk_md5,
-        |  (doc_id * 1048576 + chunk_id) <> mk AS is_dup
-        |FROM ch JOIN k USING (chunk_md5)
+        |  NOT (doc_id = kd AND chunk_id = kc) AS is_dup
+        |FROM ch JOIN k2 USING (chunk_md5)
         |ORDER BY doc_id, chunk_id""".stripMargin,
     // the oracle is the NAIVE global running-sum prefix; the Spark
     // side reaches the same set via bin-threshold search (equal
@@ -1599,7 +1603,7 @@ object SparkEntry {
         |    sum(n_tokens) OVER (ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM d)
         |SELECT doc_id, n_tokens::BIGINT AS n_tokens, round(q, 4) AS quality
-        |FROM c WHERE cum <= (SELECT floor(sum(n_tokens) * 0.5)::BIGINT FROM d)
+        |FROM c WHERE cum <= (SELECT (sum(n_tokens) // 2)::BIGINT FROM d)
         |ORDER BY doc_id""".stripMargin,
     // mergeable-histogram quantile contract: the oracle replays the
     // partial→merge→cumulative walk AND the exact tie-stable discrete

@@ -476,7 +476,16 @@ object Dedup {
 
   /** Logical deletion from the persisted corpus state: append the ids
     * to the tombstone table (idempotent by anti-join — a redelivered
-    * deletion request is a no-op). O(batch); no state row moves. */
+    * deletion request is a no-op). O(batch); no state row moves.
+    *
+    * Concurrency contract: SINGLE WRITER per corpus, like every
+    * mutation path over these tables (parquet has no transactional
+    * append). Two concurrent deletion batches with overlapping ids
+    * could both pass the anti-join and insert duplicate tombstone
+    * rows; semantics would still hold because every CONSUMER is
+    * duplicate-inert — the probes and the purge anti-join on the
+    * set, and [[purgeCorpusTombstones]] distincts before its count
+    * check — but the per-row no-op count contract assumes one writer. */
   def forgetFromCorpus(s: SparkSession, dir: String, ids: DataFrame, n: Int = 9,
                        numPerms: Int = 32, rowsPerBand: Int = 4, shardMod: Long = 10,
                        numBuckets: Int = 8): Unit = {
@@ -550,7 +559,11 @@ object Dedup {
                             numBuckets: Int = 8): Unit = {
     val (bandsT, hashesT) = corpusStateTables(s, dir, n, numPerms, rowsPerBand, shardMod, numBuckets)
     val tombsT = corpusTombstonesTable(s, dir, n, numPerms, rowsPerBand, shardMod, numBuckets)
-    val tombs = s.table(tombsT)
+    // distinct on read: duplicate tombstone rows (possible only if the
+    // single-writer contract in [[forgetFromCorpus]] was violated) are
+    // inert here — anti-joins ignore right-side multiplicity anyway,
+    // and the distinct keeps the broadcast no larger than the id set
+    val tombs = s.table(tombsT).distinct()
     if (!tombs.isEmpty) {
       // broadcast anti-join, not a driver-side isin: a deletion batch
       // can be large, and the anti-join preserves the bucketed scan's
@@ -828,18 +841,28 @@ object Dedup {
     * in h docs yields h² pairs — so grams with document frequency
     * > `maxDf` are dropped (production handles boilerplate as its
     * own pass; the cap makes pair fan-out ≤ maxDf per gram by
-    * construction). Groups collect ≤ maxDf ids, pairs explode from
-    * the sorted array, one final (id_a, id_b) partial-aggregated
-    * count. Oracle replays raw substrings (equal hashes ⟺ equal
-    * substrings barring a 64-bit rolling collision — the
-    * dedup_ngram_jaccard contract). */
+    * construction). The per-gram aggregate is
+    * [[graft.functions.BoundedCollect.MinIds]] — exact count plus a
+    * (maxDf+1)-capped sorted id buffer — so aggregation MEMORY is
+    * bounded by maxDf by construction too: a boilerplate gram in 10⁶
+    * docs buffers maxDf+1 longs, never 10⁶ (the
+    * collect_list-then-size-filter shape buffers the full list
+    * before the filter can run). One shuffle; groups with
+    * 2 ≤ count ≤ maxDf have a provably COMPLETE list (count ≤ maxDf
+    * < cap); pairs explode from it, one final (id_a, id_b)
+    * partial-aggregated count. Oracle replays raw substrings (equal
+    * hashes ⟺ equal substrings barring a 64-bit rolling collision —
+    * the dedup_ngram_jaccard contract). */
   def dedupSubstring(s: SparkSession, dir: String, n: Int = 50, maxDf: Int = 50): DataFrame = {
     val grams = Tables.documents(s, dir)
       .select(col("doc_id"), explode(array_distinct(
         graft.functions.VectorFunctions.ngram_hashes(lower(col("text")), n))).as("g"))
+    val minIds = udaf(new graft.functions.BoundedCollect.MinIds(maxDf + 1),
+      graft.functions.BoundedCollect.inputEncoder)
     grams.groupBy("g")
-      .agg(sort_array(collect_list("doc_id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxDf))
+      .agg(minIds(col("doc_id")).as("b"))
+      .filter(col("b.n").between(2, maxDf))
+      .select(col("b.ids").as("ids"))
       .select(explode(expr(
         """flatten(transform(ids, (x, i) ->
           |  transform(slice(ids, i + 2, size(ids) - i - 1),

@@ -410,7 +410,7 @@ object Similarity {
   /** Query-time serving against any cell-partitioned index table —
     * shared by the one-shot persisted path and the incremental
     * build+append path, which must produce identical plans. */
-  private def serveFromIndex(s: SparkSession, dir: String, table: String,
+  private[graft] def serveFromIndex(s: SparkSession, dir: String, table: String,
                              nQueries: Int, k: Int, nprobe: Int,
                              codebook: Array[Array[Double]]): DataFrame = {
     val assigned = s.table(table)

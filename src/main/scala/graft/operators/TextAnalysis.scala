@@ -118,41 +118,73 @@ object TextAnalysis {
       .select(col("doc_id"), col("words"), round(col("alpha_ratio"), 4).as("alpha_ratio"))
       .orderBy("doc_id")
 
+  /** The quality gate's pass predicate, built from the same blocks
+    * ([[nWords]], [[charCount]] alpha ratio) and thresholds as
+    * [[pipeQualityFilter]]'s filter; the fused [[pipeDatasetCard]]
+    * uses it directly, and the card spec asserts rate equality
+    * against the real gate so the two can never drift. */
+  private[graft] def qualityPassCol(text: Column, minWords: Int = 30,
+                                    minAlpha: Double = 0.6): Column =
+    nWords(text) >= minWords &&
+      (charCount(text, "[A-Za-z]") / greatest(length(text), lit(1))) >= minAlpha
+
   /** The DATASET CARD in one query: the headline numbers a release
     * ships with (doc/word counts, per-language sizes, quality- and
     * Gopher-gate pass rates, exact-duplicate rate, PII incidence),
-    * composed from the pipeline operators themselves — the rates are
-    * the real gates' rates, not re-derived approximations, so the
-    * card can never drift from what the pipeline actually did. Each
-    * metric is a scalar (or |langs|-sized) aggregate; the union is a
-    * handful of one-row plans, so cost is one pass per composed
-    * family regardless of corpus size. Output (metric, value)
-    * rows — the machine-readable card. */
+    * composed from the pipeline operators' OWN column definitions
+    * ([[gopherSignals]], [[qualityPassCol]], [[piiContactCol]] over
+    * [[piiRawCol]], [[Dedup.dedupExact]]'s (xxhash64, md5) key) —
+    * the rates are the real gates' rates by construction, so the
+    * card can never drift from what the pipeline actually did.
+    *
+    * FUSED: one scan computes every per-doc signal, one
+    * ROLLUP(lang) aggregate delivers the global scalars and the
+    * per-language sizes together (countDistinct on the exact-dup
+    * key rides the same aggregate via Spark's Expand rewrite) — the
+    * pre-r10 shape paid one full corpus pass per metric family (6
+    * passes). The driver-side assembly reads the aggregate's
+    * |langs|+1 rows (bounded: languages, not documents). Output
+    * (metric, value) rows — the machine-readable card, byte-equal
+    * to the multi-pass formulation (same expressions, same
+    * HALF_UP(4) rounding). */
   def pipeDatasetCard(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val nD = docs.agg(count(lit(1)).cast("double").as("n"))
-    val baseRows = docs
-      .agg(count(lit(1)).cast("double").as("n_docs"),
-        sum(nWords(col("text"))).cast("double").as("total_words"))
-      .select(expr("stack(3, 'n_docs', n_docs, 'total_words', total_words, " +
-        "'mean_words', round(total_words / n_docs, 4)) AS (metric, value)"))
-    val langRows = docs.groupBy(concat(lit("docs_lang_"), col("lang")).as("metric"))
-      .agg(count(lit(1)).cast("double").as("value"))
-    val qualRate = pipeQualityFilter(s, dir)
-      .agg(count(lit(1)).cast("double").as("c")).crossJoin(nD) // one-row scalar attach
-      .select(lit("quality_pass_rate").as("metric"), round(col("c") / col("n"), 4).as("value"))
-    val gopherRate = pipeGopherGate(s, dir)
-      .agg(round(avg(col("keep").cast("double")), 4).as("value"))
-      .select(lit("gopher_pass_rate").as("metric"), col("value"))
-    val dupRate = Dedup.dedupExact(s, dir)
-      .agg(count(lit(1)).cast("double").as("c")).crossJoin(nD) // one-row scalar attach
-      .select(lit("exact_dup_rate").as("metric"), round(lit(1.0) - col("c") / col("n"), 4).as("value"))
-    val piiRate = pipePiiScrub(s, dir)
-      .agg(round(avg(((col("n_emails") + col("n_ips")) > 0).cast("double")), 4).as("value"))
-      .select(lit("pii_contact_rate").as("metric"), col("value"))
-    Seq(baseRows, langRows, qualRate, gopherRate, dupRate, piiRate)
-      .reduce(_ unionAll _)
-      .orderBy("metric")
+    val sig = gopherSignals(Tables.documents(s, dir))
+      .withColumn("words", nWords(col("text")))
+      .withColumn("qual", qualityPassCol(col("text")))
+      .withColumn("pii", piiContactCol(piiRawCol))
+      .withColumn("h64", xxhash64(col("text")))
+      .withColumn("h128", md5(col("text")))
+      .select(col("lang"), col("words"), col("keep"), col("qual"),
+        col("pii"), col("h64"), col("h128"))
+    val agg = sig.rollup("lang").agg(
+      grouping(col("lang")).as("gid"),
+      count(lit(1)).cast("double").as("n"),
+      sum(col("words")).cast("double").as("tw"),
+      avg(col("qual").cast("double")).as("qr"),
+      avg(col("keep").cast("double")).as("gr"),
+      avg(col("pii").cast("double")).as("pr"),
+      countDistinct(col("h64"), col("h128")).cast("double").as("ndist"))
+      .collect() // bounded: one row per language + the total row
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val total = agg.find(r => r.getAs[Number]("gid").intValue == 1).get
+    val n = total.getAs[Double]("n")
+    val tw = total.getAs[Double]("tw")
+    val scalarRows = Seq(
+      ("n_docs", n),
+      ("total_words", tw),
+      ("mean_words", r4(tw / n)),
+      ("quality_pass_rate", r4(total.getAs[Double]("qr"))),
+      ("gopher_pass_rate", r4(total.getAs[Double]("gr"))),
+      ("exact_dup_rate", r4(1.0 - total.getAs[Double]("ndist") / n)),
+      ("pii_contact_rate", r4(total.getAs[Double]("pr"))))
+    val langRows = agg.filter(r => r.getAs[Number]("gid").intValue == 0).toSeq
+      .map { r =>
+        val lang = r.getAs[String]("lang")
+        (if (lang == null) null else s"docs_lang_$lang", r.getAs[Double]("n"))
+      }
+    import s.implicits._
+    (scalarRows ++ langRows).toDF("metric", "value").orderBy("metric")
   }
 
   /** Deterministic hash-based train/val/test split — the assignment
@@ -202,25 +234,38 @@ object TextAnalysis {
     * corpus and each streaming micro-batch (foreachBatch ingest
     * gating, StreamingSpec); per-doc aggregates confined to a batch
     * equal the global computation. */
-  def gopherGateFrame(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), col("text"),
-      expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("w"))
+  def gopherGateFrame(docs: DataFrame): DataFrame =
+    gopherSignals(docs)
+      .select(col("doc_id"), col("n_words"), col("reasons"), col("keep"))
+      .orderBy("doc_id")
+
+  /** The gate's per-document signal columns APPENDED to the input
+    * frame (input columns pass through) — the single source of truth
+    * for the Gopher rules, shared by [[gopherGateFrame]] and the
+    * fused [[pipeDatasetCard]] scan so the card's `gopher_pass_rate`
+    * is BY CONSTRUCTION the rate of the real gate. Unused
+    * pass-through columns are pruned by Catalyst, so the standalone
+    * gate's plan is unchanged. */
+  private[graft] def gopherSignals(docs: DataFrame): DataFrame =
     // one map, zero shuffle: every gate signal is a pure function of
     // its own document — the bigram multiplicity comes from the exact
     // TopBigramCount local-sort kernel instead of an explode +
     // corpus-wide (doc_id, bigram) groupBy + join
-    toks.select(
-      col("doc_id"),
-      size(col("w")).cast("long").as("n_words"),
-      size(array_distinct(col("w"))).cast("long").as("n_distinct"),
-      ((length(col("text")).cast("double") - charCount(col("text"), "\\s")) /
-        greatest(size(col("w")), lit(1)).cast("double")).as("mwl"),
-      (charCount(col("text"), "[A-Za-z]") /
-        greatest(length(col("text")), lit(1))).as("alpha_ratio"),
-      (regexp_count(lower(col("text")), lit(StopwordPattern)).cast("double") /
-        greatest(size(col("w")), lit(1))).as("stop_ratio"),
-      greatest(size(col("w")) - 1, lit(0)).cast("long").as("n_bigrams"),
-      graft.functions.VectorFunctions.top_bigram_count(col("w")).as("max_c"))
+    docs
+      .withColumn("w", expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(col("w"))).cast("long"))
+      .withColumn("mwl",
+        (length(col("text")).cast("double") - charCount(col("text"), "\\s")) /
+          greatest(size(col("w")), lit(1)).cast("double"))
+      .withColumn("alpha_ratio",
+        charCount(col("text"), "[A-Za-z]") /
+          greatest(length(col("text")), lit(1)))
+      .withColumn("stop_ratio",
+        regexp_count(lower(col("text")), lit(StopwordPattern)).cast("double") /
+          greatest(size(col("w")), lit(1)))
+      .withColumn("n_bigrams", greatest(size(col("w")) - 1, lit(0)).cast("long"))
+      .withColumn("max_c", graft.functions.VectorFunctions.top_bigram_count(col("w")))
       .withColumn("dup_word_frac",
         when(col("n_words") === 0, lit(0.0)).otherwise(
           lit(1.0) - col("n_distinct").cast("double") / col("n_words").cast("double")))
@@ -233,10 +278,7 @@ object TextAnalysis {
           when(col("stop_ratio") < 0.01, lit(8L)).otherwise(lit(0L)) +
           when(col("dup_word_frac") > 0.65, lit(16L)).otherwise(lit(0L)) +
           when(col("top_bigram_frac") > 0.2, lit(32L)).otherwise(lit(0L)))
-      .select(col("doc_id"), col("n_words"), col("reasons"),
-        (col("reasons") === 0L).as("keep"))
-      .orderBy("doc_id")
-  }
+      .withColumn("keep", col("reasons") === 0L)
 
   /** PII scrubbing (`pipe_pii_scrub`) — the redaction pass every
     * public-data pipeline runs before training: emails → `<EMAIL>`,
@@ -252,25 +294,35 @@ object TextAnalysis {
     * identically under Java regex and RE2 on this content; a
     * production deployment would swap in its compliance team's
     * pattern pack, same plan shape. */
-  def pipePiiScrub(s: SparkSession, dir: String): DataFrame = {
-    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val IpRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** The deterministic PII injection + raw view shared by
+    * [[pipePiiScrub]] and the fused [[pipeDatasetCard]] scan (the
+    * testdata carries no real PII, so a doc_id-keyed synthetic
+    * contact line makes the scrub non-vacuous and oracle-replayable). */
+  private[graft] def piiRawCol: Column =
+    when(col("doc_id") % 7 === 0,
+      concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com from 10."), col("doc_id") % 256,
+        lit("."), (col("doc_id") * 7) % 256,
+        lit("."), col("doc_id") % 200 + 1))
+      .otherwise(col("text"))
+
+  private[graft] def piiContactCol(raw: Column): Column =
+    (size(regexp_extract_all(raw, lit(EmailRe), lit(0))).cast("long") +
+      size(regexp_extract_all(raw, lit(IpRe), lit(0))).cast("long")) > 0
+
+  def pipePiiScrub(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("raw",
-        when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(" contact user"), col("doc_id"),
-            lit("@example.com from 10."), col("doc_id") % 256,
-            lit("."), (col("doc_id") * 7) % 256,
-            lit("."), col("doc_id") % 200 + 1))
-          .otherwise(col("text")))
+      .withColumn("raw", piiRawCol)
       .select(
         col("doc_id"),
-        size(regexp_extract_all(col("raw"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
-        size(regexp_extract_all(col("raw"), lit(ipRe), lit(0))).cast("long").as("n_ips"),
-        md5(regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"), ipRe, "<IP>"))
+        size(regexp_extract_all(col("raw"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("raw"), lit(IpRe), lit(0))).cast("long").as("n_ips"),
+        md5(regexp_replace(regexp_replace(col("raw"), EmailRe, "<EMAIL>"), IpRe, "<IP>"))
           .as("clean_fp"))
       .orderBy("doc_id")
-  }
 
   /** The CAPSTONE composition (`pipe_full_ingest`) — the dataset-card
     * pipeline a user actually runs, chained in ONE plan over the
@@ -1158,10 +1210,13 @@ object TextAnalysis {
     *
     * Skew-by-construction note: a boilerplate chunk shared by
     * millions of documents would make a per-key WINDOW a single-task
-    * sort, so the keeper is instead the min of a packed
-    * (doc_id, chunk_id) key — a partial-aggregating min that
-    * combines map-side and never sorts a group. Shuffle carries
-    * fixed-width (md5, packed-key) rows only. */
+    * sort, so the keeper is instead a partial-aggregating `min` over
+    * a (doc_id, chunk_id) STRUCT — lexicographic, combines map-side,
+    * never sorts a group, and injective at ANY scale (the earlier
+    * arithmetic pack `doc_id·2²⁰ + chunk_id` silently collided once
+    * a doc exceeded 2²⁰ chunks or doc_id exceeded 2⁴³ — exactly the
+    * regime this operator advertises). Shuffle carries fixed-width
+    * (md5, struct) rows only. */
   def pipeChunkDedup(s: SparkSession, dir: String, window: Int = 64): DataFrame = {
     val chunks = Tables.documents(s, dir)
       .select(col("doc_id"),
@@ -1171,11 +1226,12 @@ object TextAnalysis {
       .select(col("doc_id"),
         (col("start") / window).cast("long").as("chunk_id"),
         md5(concat_ws(" ", expr(s"slice(w, start + 1, $window)"))).as("chunk_md5"))
-      .withColumn("pk", col("doc_id") * 1048576L + col("chunk_id"))
-    val keepers = chunks.groupBy("chunk_md5").agg(min("pk").as("mk"))
+    val keepers = chunks.groupBy("chunk_md5")
+      .agg(min(struct(col("doc_id"), col("chunk_id"))).as("mk"))
     chunks.join(keepers, "chunk_md5")
       .select(col("doc_id"), col("chunk_id"), col("chunk_md5"),
-        (col("pk") =!= col("mk")).as("is_dup"))
+        (col("doc_id") =!= col("mk.doc_id") ||
+          col("chunk_id") =!= col("mk.chunk_id")).as("is_dup"))
       .orderBy("doc_id", "chunk_id")
   }
 
@@ -1219,7 +1275,12 @@ object TextAnalysis {
     // bounded driver step: locate the threshold bin (≤ nBins rows)
     val binToks = docs.groupBy("bin").agg(sum("n_tokens").as("toks"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
-    val budget = (binToks.map(_._2).sum * budgetFrac).toLong
+    // exact at any scale: Long·Double rounds above 2^53 tokens (real
+    // corpora get there), so the budget is a BigDecimal product with
+    // an explicit floor — identical to the oracle's integer
+    // floor(total · frac) for every representable frac
+    val budget = (BigDecimal(binToks.map(_._2).sum) * BigDecimal(budgetFrac))
+      .setScale(0, BigDecimal.RoundingMode.FLOOR).toLong
     var acc = 0L
     var threshold = -1L // bin that overflows the budget, walking best-first
     var remaining = budget

@@ -145,15 +145,21 @@ object StreamThroughput {
     // time the append on the HELD-OUT half (doc_id % 20 === 10): the
     // streamed run already appended the % 20 === 0 docs, so re-timing
     // those would measure the idempotent no-op path, understating the
-    // fresh-append cost a production ingest actually pays (ADVICE r8)
+    // fresh-append cost a production ingest actually pays (ADVICE r8).
+    // The warehouse PERSISTS across tool runs, so additionally
+    // anti-join against the state table — a rerun must not silently
+    // degrade append_sec back into the no-op measurement; if nothing
+    // is fresh anymore, say so in the metric instead of lying.
     val heldOut = docs.filter(col("doc_id") % 20 === 10)
+      .join(spark.table(hashesT).select("doc_id"), Seq("doc_id"), "left_anti")
       .select("doc_id").limit((nRows / 8).toInt.max(1)).cache()
-    heldOut.count()
+    val nFresh = heldOut.count()
     val ta = System.nanoTime()
     graft.operators.Dedup.appendShardToCorpus(spark, sfDir, heldOut)
     val appendSec = (System.nanoTime() - ta) / 1e9
+    val appendNote = if (nFresh == 0) "no_fresh_ids_noop" else s"fresh_ids_$nFresh"
     val batchSecs = batchEnds.zip(0.0 +: batchEnds).map { case (e, s) => e - s }
     spark.stop()
-    println(f"""{"metric":"stream_ingest_rows_per_sec","value":${nRows / dt}%.0f,"rows":$nRows,"accepted":$accepted,"batches":${batchEnds.size},"mean_batch_sec":${if (batchSecs.nonEmpty) batchSecs.sum / batchSecs.size else 0.0}%.2f,"state_build_sec":$buildSec%.2f,"probe_sec":$probeSec%.2f,"append_sec":$appendSec%.2f,"sec":$dt%.2f,"sf":"$sfDir"}""")
+    println(f"""{"metric":"stream_ingest_rows_per_sec","value":${nRows / dt}%.0f,"rows":$nRows,"accepted":$accepted,"batches":${batchEnds.size},"mean_batch_sec":${if (batchSecs.nonEmpty) batchSecs.sum / batchSecs.size else 0.0}%.2f,"state_build_sec":$buildSec%.2f,"probe_sec":$probeSec%.2f,"append_sec":$appendSec%.2f,"append_note":"$appendNote%s","sec":$dt%.2f,"sf":"$sfDir"}""")
   }
 }

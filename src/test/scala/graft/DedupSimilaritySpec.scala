@@ -453,6 +453,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fileState() == snap)
   }
 
+  test("ivf index lifecycle: interleaved append→forget→append on ONE table equals set algebra") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    // the production sequence the dedicated-table specs above never
+    // compose: one index, mutated repeatedly, re-adding previously
+    // forgotten ids — must end indistinguishable from an index built
+    // once over exactly the surviving id set
+    val table = Similarity.ivfIndexTableForget(spark, Sf)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Similarity.ivfIndexTableForget(spark, Sf) // full-corpus build
+    val emb = Tables.embeddings(spark, Sf)
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    // keep the query ids (vec_id < 5) live throughout so serving
+    // compares like-for-like
+    val f1 = all.filter(id => id % 10 == 0 && id >= 5)
+    val a1 = f1.filter(_ % 20 == 0)  // re-add HALF the forgotten ids
+    val f2 = all.filter(id => id % 7 == 3 && id >= 5)
+    val a2 = f2.filter(_ % 14 == 3)  // and again, different partition
+    def idsDf(s: Set[Long]) = {
+      import spark.implicits._
+      s.toSeq.sorted.toDF("vec_id")
+    }
+    def vecsOf(s: Set[Long]) = emb.join(idsDf(s), Seq("vec_id"), "left_semi")
+    Similarity.ivfIndexForget(spark, table, idsDf(f1))
+    Similarity.ivfIndexAppend(spark, table, vecsOf(a1))
+    Similarity.ivfIndexForget(spark, table, idsDf(f2))
+    Similarity.ivfIndexAppend(spark, table, vecsOf(a2))
+    val live = ((all -- f1) ++ a1 -- f2) ++ a2
+    val got = spark.table(table).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == live, s"table ids diverge from set algebra: " +
+      s"extra=${(got -- live).take(5)} missing=${(live -- got).take(5)}")
+    val servedInterleaved = Similarity.serveFromIndex(
+      spark, Sf, table, nQueries = 5, k = 10, nprobe = 4,
+      graft.operators.IvfCodebook.centroids).collect().map(_.toString).toSeq
+    // canonical twin: rebuild from scratch, ONE forget of (all \ live)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Similarity.ivfIndexTableForget(spark, Sf)
+    Similarity.ivfIndexForget(spark, table, idsDf(all -- live))
+    val servedCanonical = Similarity.serveFromIndex(
+      spark, Sf, table, nQueries = 5, k = 10, nprobe = 4,
+      graft.operators.IvfCodebook.centroids).collect().map(_.toString).toSeq
+    assert(servedInterleaved == servedCanonical,
+      "serving after interleaved mutations diverges from the one-forget twin")
+    assert(servedInterleaved.nonEmpty)
+    spark.sql(s"DROP TABLE IF EXISTS $table") // later suites own a fresh build
+  }
+
   test("sim_range_search: exactly the vectors inside the radius, none outside") {
     val tau = 0.25
     val rows = Similarity.simRangeSearch(spark, Sf, tau = tau).collect()

@@ -145,14 +145,20 @@ class PlanSpec extends SparkSpec {
       s"missing broadcast joins:\n$plan")
   }
 
-  test("dedup_substring partially aggregates gram groups map-side and never sort-merge joins") {
+  test("dedup_substring partially aggregates gram groups map-side with a BOUNDED buffer") {
     val df = graft.operators.Dedup.dedupSubstring(spark, Sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     // the (hash, doc_id) rollup must combine map-side: partial
-    // aggregate (collect_list is partial_ in the agg pair) before the
-    // Exchange keyed on the gram hash
+    // aggregate before the Exchange keyed on the gram hash
     assert(plan.contains("partial_"), s"no map-side partial aggregation:\n$plan")
+    // memory bounded BY CONSTRUCTION: the per-gram aggregate is the
+    // df-capped MinIds aggregator, never an unbounded collect_list
+    // whose buffer a later size filter cannot shrink
+    assert(!plan.toLowerCase.contains("collect_list"),
+      s"unbounded collect_list buffers the full id list pre-filter:\n$plan")
+    assert(plan.contains("MinIds") || plan.contains("minids"),
+      s"expected the bounded MinIds aggregate in the plan:\n$plan")
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"pair generation planned a join instead of group-explode:\n$plan")
   }

@@ -744,6 +744,57 @@ class TextMultimodalSpec extends SparkSpec {
     half.foreach { case (id, sp) => assert(rows(id) == sp, s"doc $id reassigned on corpus change") }
   }
 
+  test("pipe_dataset_card (fused single-pass) equals the composed gates' own rates") {
+    import org.apache.spark.sql.functions._
+    val card = TextAnalysis.pipeDatasetCard(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val n = Tables.documents(spark, Sf).count().toDouble
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the card's whole pitch: its rates ARE the real operators' rates
+    assert(card("n_docs") == n)
+    assert(card("quality_pass_rate") ==
+      r4(TextAnalysis.pipeQualityFilter(spark, Sf).count() / n))
+    assert(card("gopher_pass_rate") ==
+      r4(TextAnalysis.pipeGopherGate(spark, Sf).collect()
+        .count(_.getAs[Boolean]("keep")) / n))
+    assert(card("exact_dup_rate") ==
+      r4(1.0 - Dedup.dedupExact(spark, Sf).count() / n))
+    assert(card("pii_contact_rate") ==
+      r4(TextAnalysis.pipePiiScrub(spark, Sf).collect()
+        .count(r => r.getAs[Long]("n_emails") + r.getAs[Long]("n_ips") > 0) / n))
+    val langCounts = Tables.documents(spark, Sf).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    langCounts.foreach { case (lang, c) =>
+      assert(card(s"docs_lang_$lang") == c.toDouble)
+    }
+  }
+
+  test("pipe_chunk_dedup: keeper key is injective beyond the old packed-key range (doc_id > 2^43)") {
+    // the pre-r10 arithmetic pack (doc_id·2²⁰ + chunk_id) overflowed
+    // Long for doc_id ≥ 2⁴³ and collided across docs once chunk_id
+    // crossed 2²⁰; the struct-min keeper must order these correctly.
+    // Synthetic corpus: two huge-id docs sharing a chunk payload, ids
+    // chosen so the OLD pack would have inverted the keeper (overflow
+    // makes the larger doc_id's packed key negative, thus "smaller").
+    import spark.implicits._
+    val big1 = (1L << 44) + 7L        // would-be pack overflows Long
+    val big2 = (1L << 44) + 9L
+    val shared = (1 to 64).map(i => s"tok$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunk-ovf").toString
+    Seq((big2, shared), (big1, shared), (5L, "unique words only here"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.pipeChunkDedup(spark, dir).collect()
+    val sharedRows = rows.filter(r => r.getAs[Long]("doc_id") >= big1)
+    assert(sharedRows.length == 2)
+    val keeper = sharedRows.filterNot(_.getAs[Boolean]("is_dup"))
+    assert(keeper.map(_.getAs[Long]("doc_id")).toSeq == Seq(big1),
+      "keeper must be the lexicographically smallest (doc_id, chunk_id), " +
+        "independent of any packed-key overflow")
+    assert(sharedRows.filter(_.getAs[Boolean]("is_dup"))
+      .map(_.getAs[Long]("doc_id")).toSeq == Seq(big2))
+  }
+
   test("dedup_keep_best: one keeper per cluster, keeper has max words (ties min id)") {
     val rows = Dedup.dedupKeepBest(spark, Sf).collect()
     val base = Dedup.dedupClusters(spark, Sf).collect()
