@@ -500,6 +500,22 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $table") // later suites own a fresh build
   }
 
+  test("re-fit codebook builds a DISTINCT index table (content hash, not size)") {
+    import graft.operators.{IvfCodebook, Similarity}
+    // the aliasing hazard: a re-fit codebook has the same nlist as the
+    // frozen one, so a size-keyed name would silently serve stale cells
+    val frozen = IvfCodebook.centroids
+    val perturbed = frozen.map(_.clone())
+    perturbed(0)(0) += 1e-3
+    val t1 = Similarity.ivfIndexTable(spark, Sf, frozen)
+    val t2 = Similarity.ivfIndexTable(spark, Sf, perturbed)
+    assert(t1 != t2, "content hash failed to separate two same-size codebooks")
+    assert(spark.catalog.tableExists(t1) && spark.catalog.tableExists(t2))
+    // same ids indexed in both, but assignment follows each codebook
+    assert(spark.table(t1).count() == spark.table(t2).count())
+    spark.sql(s"DROP TABLE IF EXISTS $t2") // the perturbed twin is spec-only
+  }
+
   test("sim_range_search: exactly the vectors inside the radius, none outside") {
     val tau = 0.25
     val rows = Similarity.simRangeSearch(spark, Sf, tau = tau).collect()
