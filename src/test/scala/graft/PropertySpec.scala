@@ -161,4 +161,30 @@ class PropertySpec extends SparkSpec {
       assert(rewritten == naive, s"bands=$bands")
     }
   }
+
+  test("BoundedCollect.MinIds equals (count, sorted.take(cap)) on random grouped longs") {
+    import spark.implicits._
+    // adversarial shapes: groups far beyond cap (truncation path),
+    // exactly at cap, below cap, duplicates, negatives, and enough
+    // partitions that merge() runs on partially-filled buffers
+    val rnd = new scala.util.Random(11)
+    val cap = 5
+    val rows = (0 until 40).flatMap { g =>
+      val sz = rnd.nextInt(20) // 0..19 vs cap 5
+      (0 until sz).map(_ => (g.toLong, rnd.nextInt(30).toLong - 15L))
+    }
+    val agg = udaf(new graft.functions.BoundedCollect.MinIds(cap),
+      graft.functions.BoundedCollect.inputEncoder)
+    val got = rows.toDF("g", "id").repartition(7)
+      .groupBy("g").agg(agg(col("id")).as("b"))
+      .select(col("g"), col("b.n"), col("b.ids"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Long](2).toList)).toMap
+    val want = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> (vs.size.toLong, vs.map(_._2).sorted.take(cap).toList)
+    }
+    assert(got.keySet == want.keySet)
+    for (g <- want.keySet)
+      assert(got(g) == want(g), s"group $g: got ${got(g)}, want ${want(g)}")
+  }
 }
