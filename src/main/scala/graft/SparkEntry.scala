@@ -96,6 +96,7 @@ object SparkEntry {
     // §2.4 similarity
     "sim_bruteforce_topk" -> ((s, d) => Similarity.simBruteforceTopK(s, d)),
     "sim_lsh_ann" -> ((s, d) => Similarity.simLshAnn(s, d)),
+    "sim_lsh_multitable" -> ((s, d) => Similarity.simLshMultiTable(s, d)),
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
     "sim_ivf_ann_persisted" -> ((s, d) => Similarity.simIvfAnnPersisted(s, d)),
     "sim_ivf_ann_incremental" -> ((s, d) => Similarity.simIvfAnnIncremental(s, d)),
@@ -505,6 +506,30 @@ object SparkEntry {
        |cand AS (
        |  SELECT p.qid, c.vec_id FROM probes p
        |  JOIN buckets c ON c.bucket = p.pb WHERE c.vec_id <> p.qid),
+       |${annScoringTailSql(k)}""".stripMargin
+  }
+
+  /** DuckDB replica of [[operators.Similarity.simLshMultiTable]]:
+    * every table's plane family inlined as (t, p, i, w) VALUES rows;
+    * candidates are the DISTINCT union over tables of same-bucket
+    * pairs, then the shared exact-cosine scoring tail. */
+  private def lshMultiTableOracleSql(nQueries: Int, k: Int, numPlanes: Int,
+                                     dim: Int, nTables: Int): String = {
+    val sets = Similarity.lshTablePlanes(nTables, numPlanes, dim)
+    val planeValues = (for (t <- 0 until nTables; p <- 0 until numPlanes; i <- 0 until dim)
+      yield s"($t, $p, ${i + 1}, ${sets(t)(p)(i)})").mkString(", ")
+    s"""WITH planes(t, p, i, w) AS (VALUES $planeValues),
+       |$annExNormsSql,
+       |pdots AS (
+       |  SELECT e.vec_id, pl.t, pl.p, sum(e.x * pl.w) AS d
+       |  FROM ex e JOIN planes pl ON e.i = pl.i GROUP BY 1, 2, 3),
+       |buckets AS (
+       |  SELECT vec_id, t, sum(CASE WHEN d >= 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+       |  FROM pdots GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS qid, c.vec_id
+       |  FROM buckets q JOIN buckets c ON c.t = q.t AND c.bucket = q.bucket
+       |  WHERE q.vec_id < $nQueries AND c.vec_id <> q.vec_id),
        |${annScoringTailSql(k)}""".stripMargin
   }
 
@@ -1974,6 +1999,8 @@ object SparkEntry {
     // round-trips exactly, so DuckDB computes the identical bucket
     // bits), then candidates/cosine/rank mirror the Spark plan.
     "sim_lsh_ann" -> lshOracleSql(nQueries = 5, k = 10, numPlanes = 6, dim = 64),
+    "sim_lsh_multitable" -> lshMultiTableOracleSql(
+      nQueries = 5, k = 10, numPlanes = 5, dim = 64, nTables = 8),
     "sim_ivf_ann" -> ivfOracleSql(nQueries = 5, k = 10, nprobe = 4),
     // identical output contract to sim_ivf_ann (same codebook, same
     // tie order) probed against the persisted partitioned index —

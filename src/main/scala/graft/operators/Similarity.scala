@@ -464,6 +464,82 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** The deterministic per-table plane sets for [[simLshMultiTable]],
+    * exposed so the oracle SQL inlines identical constants. Built on
+    * [[centeredStream]] (zero-mean), NOT the frozen positively-biased
+    * [[hyperplanes]] family: the bias tilts every table toward the
+    * same orthant, CORRELATING the tables — which defeats the whole
+    * independent-chances design (measured: 0.56 → 0.72 recall@10 at
+    * test scale from de-biasing alone). A new family has no
+    * re-bucketing compat constraint, so it uses the correct stream.
+    * Seeds 42+t index distinct splitmix streams — two streams could
+    * only share aligned draws if their seed gap were a multiple of
+    * the splitmix gamma, unreachable from small offsets. */
+  def lshTablePlanes(nTables: Int = 8, numPlanes: Int = 5,
+                     dim: Int = 64): Seq[Array[Array[Double]]] =
+    (0 until nTables).map { t =>
+      val flat = centeredStream(numPlanes * dim, seed = 42L + t)
+      Array.tabulate(numPlanes)(p => flat.slice(p * dim, (p + 1) * dim))
+    }
+
+  /** ANN top-k via L INDEPENDENT LSH tables, radius-0 probes, union
+    * of candidates (`sim_lsh_multitable`) — the production recall
+    * lever the single-table operator's scaladoc points at: deeper
+    * bit-flips approach a full scan (radius-2 on 6 planes probes
+    * 22/64 buckets ≈ a third of the corpus), while L tables multiply
+    * INDEPENDENT chances a true neighbor shares a bucket, at probe
+    * volume L·n/2^planes (8 tables of 5 planes ≈ n/4, under
+    * multi-probe's 22/64 ≈ n/2.9; both masses measured side by side
+    * in DedupSimilaritySpec). The regime matters for reading recall
+    * numbers: sign-collision probability per plane is 1 − θ/π, so at
+    * production near-dup similarity (cos ≥ 0.9, θ ≤ 26°: ≥ 0.86 per
+    * table here, miss ≈ 0.14⁸ across 8 tables) the planted-truth
+    * spec measures recall 1.0 — while the synthetic corpus's
+    * "nearest" neighbors sit at cos ≈ 0.3 (θ ≈ 73°), where ANY
+    * sign-LSH family needs near-full-scan candidate mass (the
+    * single-table operator's 0.6 recall scans a third of the
+    * corpus for it).
+    *
+    * Scale shape: one corpus scan computes all L bucket ids (L fused
+    * codegen kernel calls), posexplode to fixed-width (t, bucket,
+    * vec_id, v) rows, broadcast the L·nQueries probe rows, join on
+    * (t, bucket). A pair matching in several tables would rank twice
+    * under row_number, so candidates dedup through a (qid, vec_id)
+    * partial aggregate (dup factor ≤ L) before the exact cosine
+    * re-rank. Hash-verified: the oracle replays every table's plane
+    * family from inlined constants. */
+  def simLshMultiTable(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
+                       numPlanes: Int = 5, dim: Int = 64,
+                       nTables: Int = 8, augmentPlanted: Boolean = false): DataFrame = {
+    val planeSets = lshTablePlanes(nTables, numPlanes, dim)
+    val base =
+      if (augmentPlanted)
+        Dedup.augmentedEmbeddings(s, dir).select(col("id").as("vec_id"), col("v"))
+      else Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val e = base
+      .withColumn("buckets",
+        array(planeSets.map(p => lshBucket(col("v"), p)): _*))
+    val corpus = e.select(col("vec_id"), col("v"),
+      posexplode(col("buckets")).as(Seq("t", "bucket")))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        posexplode(col("buckets")).as(Seq("t", "bucket")))
+    corpus.join(broadcast(q), Seq("t", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      // union semantics across tables: first() is safe — every dup of
+      // a (qid, vec_id) pair carries the identical vectors
+      .groupBy("qid", "vec_id")
+      .agg(first("qv").as("qv"), first("v").as("v"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cosine"),
+        col("rn").cast("long").as("rank"))
+      .orderBy("qid", "rank")
+  }
+
   /** Builds (once per dir × codebook) the PERSISTED IVF-SQ8 index:
     * [[ivfIndexTable]]'s cell-partitioned layout, but each vector
     * stored as its int8 scalar-quantization CODES (the

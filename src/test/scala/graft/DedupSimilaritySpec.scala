@@ -604,4 +604,67 @@ class DedupSimilaritySpec extends SparkSpec {
     val recall = (exact & ann).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall $recall")
   }
+
+  test("multi-table LSH: planted-neighbor recall 1.0 at a fraction of multi-probe's candidates") {
+    import org.apache.spark.sql.functions._
+    val multi = Similarity.simLshMultiTable(spark, Sf).collect()
+    // well-formed: dense ranks per query, no duplicate pairs (the
+    // cross-table union must dedup before ranking)
+    multi.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to rows.length.toLong))
+      assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == rows.length)
+    }
+    // the production regime: every query's planted near-copy
+    // (cos ≈ 0.996 — the τ=0.9 territory a near-dup/serving pass
+    // actually targets) must surface in its top-k; per-table
+    // collision ≈ 0.86 at that angle, so 8-table miss ≈ 0.14^8
+    val planted = Similarity.simLshMultiTable(spark, Sf, augmentPlanted = true)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    (0L until 5L).foreach { q =>
+      assert(planted.contains((q, q + 1000000L)),
+        s"query $q missed its planted near-copy (cos≈0.996)")
+    }
+    // transparency on the weak-neighbor regime: the synthetic
+    // corpus's true top-10 sit at cos ≈ 0.3 (θ≈73°), where any
+    // sign-LSH needs near-full-scan candidates — report, don't gate
+    val exact = Similarity.simBruteforceTopK(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val got = multi.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    info(f"weak-neighbor (cos≈0.3) recall@10: ${(exact & got).size.toDouble / exact.size}%.3f")
+    // probe-volume claim: union-of-L-tables candidate mass is BELOW
+    // the radius-2 multi-probe mass (22/64 buckets per query)
+    def planeCand(): Long = {
+      val planes = Similarity.lshPlanes()
+      val e = Tables.embeddings(spark, Sf)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .withColumn("bucket",
+          graft.functions.VectorFunctions.lsh_bucket(col("v"), planes))
+      val masks = Similarity.lshProbeMasks()
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"),
+          explode(array(masks.map(m =>
+            col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+      e.join(q, Seq("bucket")).filter(col("vec_id") =!= col("qid")).count()
+    }
+    def tableCand(): Long = {
+      val sets = Similarity.lshTablePlanes()
+      val e = Tables.embeddings(spark, Sf)
+        .select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        .withColumn("buckets", array(sets.map(p =>
+          graft.functions.VectorFunctions.lsh_bucket(col("v"), p)): _*))
+        .select(col("vec_id"), posexplode(col("buckets")).as(Seq("t", "bucket")))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("t"), col("bucket"))
+      e.join(q, Seq("t", "bucket")).filter(col("vec_id") =!= col("qid"))
+        .select("qid", "vec_id").distinct().count()
+    }
+    val (probeMass, tableMass) = (planeCand(), tableCand())
+    info(s"candidates: multi-probe=$probeMass multi-table=$tableMass")
+    assert(tableMass < probeMass,
+      s"multi-table scanned MORE candidates ($tableMass) than multi-probe ($probeMass)")
+  }
 }
