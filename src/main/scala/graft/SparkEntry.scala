@@ -119,6 +119,7 @@ object SparkEntry {
     "pipe_dataset_card" -> ((s, d) => TextAnalysis.pipeDatasetCard(s, d)),
     "pipe_contamination_frac" -> ((s, d) => TextAnalysis.pipeContaminationFrac(s, d)),
     "pipe_sketch_rollup" -> ((s, d) => TextAnalysis.pipeSketchRollup(s, d)),
+    "pipe_heavy_hitters_rollup" -> ((s, d) => TextAnalysis.pipeHeavyHittersRollup(s, d)),
     "pipe_tokenize" -> (TextAnalysis.pipeTokenize(_, _)),
     "pipe_chunk" -> ((s, d) => TextAnalysis.pipeChunk(s, d)),
     "pipe_quantile_rollup" -> ((s, d) => TextAnalysis.pipeQuantileRollup(s, d)),
@@ -941,6 +942,22 @@ object SparkEntry {
     // shared xxhash64'd 20-gram == a shared raw 20-gram substring.
     "pipe_decontaminate" -> decontaminateOracleSql,
     // the sketch contract: the oracle recomputes the EXACT distinct
+    // sketch-family contract: exact k-th token count replayed, both
+    // sketch-quality flags (direct and source->combined rollup)
+    // expected true — maxTracked far exceeds per-lang vocabulary at
+    // oracle scale, so the frequent-items summaries are exact
+    "pipe_heavy_hitters_rollup" ->
+      """WITH wl AS (
+        |  SELECT lang, list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS w
+        |  FROM documents),
+        |tok AS (SELECT lang, unnest(w) AS token FROM wl),
+        |counts AS (SELECT lang, token, count(*) AS cnt FROM tok GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT lang, cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, token) AS rk
+        |  FROM counts)
+        |SELECT lang, cnt AS kth_cnt, TRUE AS direct_ok, TRUE AS rolled_ok
+        |FROM ranked WHERE rk = 5 ORDER BY lang""".stripMargin,
     // side (raw substrings — equal to distinct hashes barring
     // collision) and expects the Spark-computed accuracy flag true
     "pipe_sketch_rollup" ->

@@ -610,6 +610,57 @@ object TextAnalysis {
           .as("type_token_ratio"))
       .orderBy("lang")
 
+  /** MERGEABLE heavy-hitters rollup (`pipe_heavy_hitters_rollup`) —
+    * the [[pipeSketchRollup]] warehouse pattern for TOP-K ITEMS:
+    * per-(lang, source) DataSketches frequent-items partials
+    * (`approx_top_k_accumulate`, a fixed-size stored summary per
+    * group) are COMBINED per-lang (`approx_top_k_combine`) with the
+    * estimate read off the merged sketch — the rollup never
+    * re-scans raw text, which is what exact top-k cannot offer
+    * (per-item counts don't pre-aggregate into bounded state).
+    * Verification contract (the top_bigrams_sketch pattern): per
+    * lang the output carries the EXACT k-th token count, and both
+    * the DIRECT per-lang sketch and the per-source→combined ROLLUP
+    * must return exactly k picks whose TRUE counts are all ≥ that
+    * k-th count (tie swaps allowed, misses not); the oracle
+    * recomputes the exact side and expects both flags true. */
+  def pipeHeavyHittersRollup(s: SparkSession, dir: String, k: Int = 5,
+                             maxTracked: Int = 100000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("token"))
+    val exact = toks.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+      .cacheTracked
+    val kth = exact
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("cnt").desc, col("token"))))
+      .filter(col("rk") === k)
+      .select(col("lang"), col("cnt").as("kth_cnt"))
+    def flags(picks: DataFrame, name: String): DataFrame = picks
+      .select(col("lang"), explode(col("top")).as("e"))
+      .select(col("lang"), col("e.item").as("token"))
+      .join(exact, Seq("lang", "token"))
+      .groupBy("lang")
+      .agg(min("cnt").as("minc"), count(lit(1)).as("np"))
+      .join(kth, "lang")
+      .select(col("lang"),
+        (col("np") === k && col("minc") >= col("kth_cnt")).as(name))
+    val direct = flags(
+      toks.groupBy("lang").agg(expr(s"approx_top_k(token, $k, $maxTracked)").as("top")),
+      "direct_ok")
+    val rolled = flags(
+      toks.groupBy("lang", "source")
+        .agg(expr(s"approx_top_k_accumulate(token, $maxTracked)").as("sk"))
+        .groupBy("lang")
+        .agg(expr(s"approx_top_k_combine(sk, $maxTracked)").as("csk"))
+        .select(col("lang"), expr(s"approx_top_k_estimate(csk, $k)").as("top")),
+      "rolled_ok")
+    kth.join(direct, "lang").join(rolled, "lang")
+      .select("lang", "kth_cnt", "direct_ok", "rolled_ok")
+      .orderBy("lang")
+  }
+
   /** MERGEABLE-sketch rollup (`pipe_sketch_rollup`) — the
     * pre-aggregated distinct-count pattern a 100 TB warehouse runs
     * on: per-(lang, source) HLL sketches (Spark 4's Datasketches

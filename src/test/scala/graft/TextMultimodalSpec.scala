@@ -744,6 +744,28 @@ class TextMultimodalSpec extends SparkSpec {
     half.foreach { case (id, sp) => assert(rows(id) == sp, s"doc $id reassigned on corpus change") }
   }
 
+  test("pipe_heavy_hitters_rollup: source-partial rollup as good as the direct sketch") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.pipeHeavyHittersRollup(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("direct_ok"), s"direct sketch missed top-k: $r")
+      assert(r.getAs[Boolean]("rolled_ok"), s"combined rollup missed top-k: $r")
+    }
+    // the exact k-th count the flags are judged against, recomputed
+    val kth = Tables.documents(spark, Sf)
+      .select(col("lang"),
+        explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("t"))
+      .groupBy("lang", "t").agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("c").desc, col("t"))))
+      .filter(col("rk") === 5)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("c")).toMap
+    rows.foreach(r =>
+      assert(r.getAs[Long]("kth_cnt") == kth(r.getAs[String]("lang"))))
+  }
+
   test("pipe_dataset_card (fused single-pass) equals the composed gates' own rates") {
     import org.apache.spark.sql.functions._
     val card = TextAnalysis.pipeDatasetCard(spark, Sf).collect()
