@@ -412,12 +412,25 @@ object Similarity {
     * build+append path, which must produce identical plans. */
   private[graft] def serveFromIndex(s: SparkSession, dir: String, table: String,
                              nQueries: Int, k: Int, nprobe: Int,
+                             codebook: Array[Array[Double]]): DataFrame =
+    serveQueryFrame(s, table,
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .filter(col("vec_id") < nQueries),
+      k, nprobe, codebook)
+
+  /** [[serveFromIndex]] for an ARBITRARY (vec_id, v) query frame —
+    * the seam the streaming serve path
+    * ([[graft.streaming.VectorServe]]) shares with the batch
+    * operators, so a micro-batch of queries runs the exact plan the
+    * batch path runs: broadcast probes against the partition-pruned
+    * cell scan, exact cosine re-rank, per-query top-k. */
+  private[graft] def serveQueryFrame(s: SparkSession, table: String,
+                             queries: DataFrame, k: Int, nprobe: Int,
                              codebook: Array[Array[Double]]): DataFrame = {
     val assigned = s.table(table)
     val cells = ivfCellStructs(col("v"), codebook)
-    val probes = Tables.embeddings(s, dir)
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .filter(col("vec_id") < nQueries)
+    val probes = queries
       .select(col("vec_id").as("qid"), col("v").as("qv"), explode(cells).as("p"))
       .withColumn("pr", row_number().over(
         Window.partitionBy("qid").orderBy(col("p.ccos").desc, col("p.negidx").desc)))

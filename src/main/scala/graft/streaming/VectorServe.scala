@@ -1,0 +1,46 @@
+package graft.streaming
+
+import graft.operators.{IvfCodebook, Similarity}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+
+/** The vector database's QUERY-side runtime (SURVEY.md §2.6 ∩ §2.4):
+  * a stream of query vectors served micro-batch by micro-batch
+  * against the PERSISTED cell-partitioned IVF index. The static side
+  * is the index table ([[Similarity.ivfIndexTable]] — built once,
+  * offline, mutated only through the append/forget lifecycle); the
+  * stream side is tiny per batch, so each batch runs the SAME plan
+  * the batch operator runs ([[Similarity.serveQueryFrame]]: broadcast
+  * probe rows against a partition-pruned scan of only the probed
+  * cells, exact cosine re-rank, per-query top-k).
+  *
+  * Exactly-once is the cheap case here — serving mutates nothing, and
+  * the serve is a deterministic function of (index content, batch),
+  * so each batch's results land in their own `batch_id=N` partition
+  * with overwrite semantics: a post-crash replay rewrites the same
+  * partition with identical rows instead of appending duplicates.
+  *
+  * At 100 TB: per batch this costs one broadcast of |batch|·nprobe
+  * probe rows and a scan of only the probed cells' partitions —
+  * serving cost tracks the query rate, never the corpus. */
+object VectorServe {
+
+  /** @param queryBatches streaming DataFrame of (vec_id, v) query
+    *   vectors (v: array of double, the [[Similarity.serveQueryFrame]]
+    *   contract). Results stream to `outDir/batch_id=N` partitions. */
+  def serveStream(dir: String, queryBatches: DataFrame,
+                  outDir: String, checkpoint: String,
+                  k: Int = 10, nprobe: Int = 4,
+                  codebook: Array[Array[Double]] = IvfCodebook.centroids)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryBatches.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val table = Similarity.ivfIndexTable(spark, dir, codebook)
+        Similarity.serveQueryFrame(spark, table,
+            batch.select(col("vec_id"), col("v")), k, nprobe, codebook)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .start()
+}

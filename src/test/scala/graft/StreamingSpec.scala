@@ -192,6 +192,41 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static vector serving equals the batch serve over the same queries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{IvfCodebook, Similarity}
+    val base = java.nio.file.Files.createTempDirectory("graft-vserve").toString
+    val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    // query vectors ARE the first five corpus vectors — the exact set
+    // the batch operator serves, split across two micro-batches
+    val qvecs = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .filter(col("vec_id") < 5)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val queries = input.toDF().toDF("vec_id", "v")
+    val query = graft.streaming.VectorServe.serveStream(Sf, queries, outDir, ckpt)
+    input.addData(qvecs.take(3).toSeq)
+    query.processAllAvailable()
+    input.addData(qvecs.drop(3).toSeq)
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.read.parquet(s"$outDir/batch_id=*").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSet
+    val batch = Similarity.serveFromIndex(spark, Sf,
+        Similarity.ivfIndexTable(spark, Sf), nQueries = 5, k = 10,
+        nprobe = 4, IvfCodebook.centroids).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSet
+    assert(streamed == batch,
+      s"streamed serve diverges from batch serve: " +
+        s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-static incremental dedup flags arrivals against the corpus table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
