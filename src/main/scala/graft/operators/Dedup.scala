@@ -478,6 +478,16 @@ object Dedup {
     * to the tombstone table (idempotent by anti-join — a redelivered
     * deletion request is a no-op). O(batch); no state row moves.
     *
+    * SUPPRESSION-LIST semantics, deliberately: a forgotten doc_id
+    * stays forgotten even if the document is REDELIVERED afterwards —
+    * [[appendShardDocs]]' per-table idempotency anti-join swallows the
+    * re-arrival (the signatures are still physically present until
+    * purge) and the tombstone keeps excluding it from every probe.
+    * That is the compliance-correct default: at-least-once upstreams
+    * replay old batches, and an accidental redelivery must not
+    * resurrect a deleted user's data. The INTENTIONAL re-add (user
+    * re-consents) is its own explicit API — [[reinstateInCorpus]].
+    *
     * Concurrency contract: SINGLE WRITER per corpus, like every
     * mutation path over these tables (parquet has no transactional
     * append). Two concurrent deletion batches with overlapping ids
@@ -494,6 +504,32 @@ object Dedup {
     ids.select(col("doc_id")).distinct()
       .join(s.table(t), Seq("doc_id"), "left_anti")
       .write.mode("append").insertInto(t)
+  }
+
+  /** The INTENTIONAL inverse of [[forgetFromCorpus]] (user
+    * re-consents): remove the ids from the tombstone table, which —
+    * BEFORE the physical purge — instantly restores them to every
+    * tombstone-aware probe, because their signatures never left the
+    * state tables. AFTER a purge the signatures are physically gone
+    * and the tombstones already empty, so reinstatement is a no-op
+    * here and the caller re-ingests through the normal
+    * [[appendShardToCorpus]] path (which now accepts them — purge
+    * removed their rows from the idempotency anti-join too). The
+    * tombstone table is tiny by design (pending deletions only), so
+    * the rewrite is O(tombstones); localCheckpoint breaks the
+    * read-then-overwrite cycle on the same table, the
+    * [[Similarity.ivfIndexForget]] staging pattern. */
+  def reinstateInCorpus(s: SparkSession, dir: String, ids: DataFrame, n: Int = 9,
+                        numPerms: Int = 32, rowsPerBand: Int = 4, shardMod: Long = 10,
+                        numBuckets: Int = 8): Unit = {
+    val t = corpusTombstonesTable(s, dir, n, numPerms, rowsPerBand, shardMod, numBuckets)
+    val idSet = ids.select(col("doc_id")).distinct()
+    if (!s.table(t).join(idSet, Seq("doc_id"), "left_semi").isEmpty) {
+      val keep = s.table(t).join(broadcast(idSet), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      s.sql(s"TRUNCATE TABLE $t")
+      keep.write.mode("append").insertInto(t)
+    }
   }
 
   /** [[dedupIncrementalPersisted]] with tombstones honored: each

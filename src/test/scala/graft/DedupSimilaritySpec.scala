@@ -406,6 +406,44 @@ class DedupSimilaritySpec extends SparkSpec {
     Seq(bandsT, hashesT, tombsT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("corpus forget: redelivery stays dead (suppression list); reinstate restores instantly") {
+    import org.apache.spark.sql.functions._
+    val (bandsT, hashesT) = Dedup.corpusStateTables(spark, Sf)
+    val tombsT = Dedup.corpusTombstonesTable(spark, Sf)
+    spark.sql(s"TRUNCATE TABLE $tombsT")
+    val docs = Tables.documents(spark, Sf)
+    val odd = docs.filter(col("doc_id") % 2 === 1).select("doc_id")
+    Dedup.forgetFromCorpus(spark, Sf, odd)
+    def probe(): Map[Long, (Boolean, Boolean)] =
+      Dedup.dedupIncrementalForget(spark, Sf).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          (r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("near_dup"))).toMap
+    val afterForget = probe()
+    // an at-least-once upstream REDELIVERS forgotten documents: the
+    // append must swallow them (suppression-list semantics) — probes
+    // unchanged, tombstones unchanged
+    val nTombs = spark.table(tombsT).count()
+    Dedup.appendShardToCorpus(spark, Sf, odd.limit(20))
+    assert(spark.table(tombsT).count() == nTombs)
+    assert(probe() == afterForget,
+      "redelivered forgotten docs resurfaced without an explicit reinstate")
+    // explicit re-consent: reinstating ALL forgotten ids empties the
+    // tombstones and the tombstone-aware probe must equal the plain
+    // one again — instantly, no purge, no re-ingest (signatures never
+    // physically left)
+    Dedup.reinstateInCorpus(spark, Sf, odd)
+    assert(spark.table(tombsT).isEmpty)
+    val plain = Dedup.dedupIncrementalPersisted(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("exact_dup"), r.getAs[Boolean]("near_dup"))).toMap
+    assert(probe() == plain,
+      "reinstated corpus diverges from the never-forgotten probe")
+    // reinstating ids that are not tombstoned is a no-op
+    Dedup.reinstateInCorpus(spark, Sf, odd.limit(3))
+    assert(spark.table(tombsT).isEmpty)
+    CacheRegistry.releaseAll()
+  }
+
   test("ivf index forget: surgical partition rewrite — untouched cells byte-identical") {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity
