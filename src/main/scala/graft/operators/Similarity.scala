@@ -237,14 +237,58 @@ object Similarity {
     * lays down one file per touched cell instead of
     * shuffle.partitions × cells — the file-count discipline every
     * later pruned scan depends on. */
+  /** `<table>_sup`: the index's SUPPRESSION list (compliance twin of
+    * [[Dedup.forgetFromCorpus]]'s tombstones). Physical deletion
+    * ([[ivfIndexForget]]) removes rows, so by default a redelivered
+    * vector would be RE-ACCEPTED by the append's anti-join — correct
+    * for the build/ingest lifecycle ("append equals rebuild"), wrong
+    * for a compliance deletion replayed by an at-least-once upstream.
+    * `forget(suppress = true)` records the ids here and every later
+    * append anti-joins them until an explicit [[ivfIndexReinstate]]. */
+  private def suppressionTable(s: SparkSession, table: String): String = {
+    val supT = s"${table}_sup"
+    if (!s.catalog.tableExists(supT)) {
+      graft.sources.Sources.clearOrphanedLocation(s, supT)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType))))
+        .write.format("parquet").saveAsTable(supT)
+    }
+    supT
+  }
+
   def ivfIndexAppend(s: SparkSession, table: String, vecs: DataFrame,
                      codebook: Array[Array[Double]] = IvfCodebook.centroids): Unit = {
     val existing = s.table(table).select(col("vec_id"))
-    vecs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val supT = s"${table}_sup"
+    val admitted =
+      if (s.catalog.tableExists(supT))
+        vecs.join(broadcast(s.table(supT).distinct()), Seq("vec_id"), "left_anti")
+      else vecs
+    admitted.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .join(existing, Seq("vec_id"), "left_anti")
       .withColumn("bucket", ivfCell(col("v"), codebook))
       .repartition(col("bucket"))
       .write.mode("append").insertInto(table)
+  }
+
+  /** Intentional inverse of a suppressed forget (user re-consents):
+    * remove the ids from the index's suppression list so the next
+    * append accepts their vectors again. No-op when nothing is
+    * suppressed; the rewrite stages through localCheckpoint to break
+    * the read-then-overwrite cycle (tombstone-reinstate pattern). */
+  def ivfIndexReinstate(s: SparkSession, table: String, ids: DataFrame): Unit = {
+    val supT = s"${table}_sup"
+    if (s.catalog.tableExists(supT)) {
+      val idSet = ids.select(col("vec_id")).distinct()
+      if (!s.table(supT).join(idSet, Seq("vec_id"), "left_semi").isEmpty) {
+        val keep = s.table(supT).join(broadcast(idSet), Seq("vec_id"), "left_anti")
+          .localCheckpoint()
+        s.sql(s"TRUNCATE TABLE $supT")
+        keep.write.mode("append").insertInto(supT)
+      }
+    }
   }
 
   /** The build+ingest+serve loop as one query (`sim_ivf_ann_
@@ -274,8 +318,19 @@ object Similarity {
     * EMPTY — dynamic overwrite has no rows to replace it with, so
     * those partitions are dropped explicitly rather than silently
     * left holding the forgotten rows. */
-  def ivfIndexForget(s: SparkSession, table: String, ids: DataFrame): Unit = {
+  def ivfIndexForget(s: SparkSession, table: String, ids: DataFrame,
+                     suppress: Boolean = false): Unit = {
     val idCol = ids.select(col("vec_id"))
+    // compliance mode: record the ids on the suppression list FIRST so
+    // no append window between removal and recording can re-accept a
+    // redelivery; the whole forget is idempotent, so a crash anywhere
+    // is repaired by re-running it (single-writer, like all mutations)
+    if (suppress) {
+      val supT = suppressionTable(s, table)
+      idCol.distinct()
+        .join(s.table(supT), Seq("vec_id"), "left_anti")
+        .write.mode("append").insertInto(supT)
+    }
     val touched = s.table(table).join(idCol, Seq("vec_id"), "left_semi")
       .select("bucket").distinct().collect().map(_.getInt(0))
     if (touched.nonEmpty) {

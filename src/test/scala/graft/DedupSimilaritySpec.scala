@@ -554,6 +554,41 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $t2") // the perturbed twin is spec-only
   }
 
+  test("ivf index suppressed forget: redelivered vectors stay dead until reinstate") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val table = Similarity.ivfIndexTableForget(spark, Sf)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_sup")
+    Similarity.ivfIndexTableForget(spark, Sf) // full-corpus build
+    val emb = Tables.embeddings(spark, Sf)
+    val gone = emb.filter(col("vec_id") % 10 === 0).select("vec_id")
+    val nGone = gone.count()
+    Similarity.ivfIndexForget(spark, table, gone, suppress = true)
+    val nAfter = spark.table(table).count()
+    assert(spark.table(table).join(gone, Seq("vec_id"), "left_semi").isEmpty)
+    // an at-least-once upstream redelivers the deleted vectors: the
+    // suppressed append must swallow them entirely
+    Similarity.ivfIndexAppend(spark, table, emb.filter(col("vec_id") % 10 === 0))
+    assert(spark.table(table).count() == nAfter,
+      "suppressed vectors resurfaced through a redelivered append")
+    // suppressed forget is idempotent (no duplicate suppression rows)
+    Similarity.ivfIndexForget(spark, table, gone, suppress = true)
+    assert(spark.table(s"${table}_sup").count() == nGone)
+    // explicit re-consent: reinstate half, redeliver all — only the
+    // reinstated half is accepted
+    val back = emb.filter(col("vec_id") % 20 === 0).select("vec_id")
+    Similarity.ivfIndexReinstate(spark, table, back)
+    Similarity.ivfIndexAppend(spark, table, emb.filter(col("vec_id") % 10 === 0))
+    val ids = spark.table(table).select("vec_id").collect().map(_.getLong(0)).toSet
+    val backIds = back.collect().map(_.getLong(0)).toSet
+    val stillGone = gone.collect().map(_.getLong(0)).toSet -- backIds
+    assert(backIds.subsetOf(ids), "reinstated vectors not re-accepted")
+    assert(ids.intersect(stillGone).isEmpty, "non-reinstated vectors resurfaced")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_sup")
+  }
+
   test("sim_range_search: exactly the vectors inside the radius, none outside") {
     val tau = 0.25
     val rows = Similarity.simRangeSearch(spark, Sf, tau = tau).collect()
