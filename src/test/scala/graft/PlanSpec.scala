@@ -145,6 +145,28 @@ class PlanSpec extends SparkSpec {
       s"missing broadcast joins:\n$plan")
   }
 
+  test("GLOBAL sweep: no query in the registry plans a CartesianProduct") {
+    // safety net over the WHOLE surface, not just the queries with
+    // dedicated plan specs: CartesianProductExec is the one join
+    // strategy that can never survive 100 TB (the one-row scalar
+    // attaches plan as BroadcastNestedLoop over a 1-row side, which
+    // is the documented acceptable shape). Plans are CONSTRUCTED,
+    // not executed — construction itself runs the bounded driver
+    // steps some operators contain, which is the cost of admission.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val plan =
+        try SparkEntry.queries(name)(spark, Sf).queryExecution.executedPlan.toString
+        catch { case e: Throwable => s"CONSTRUCTION FAILED: ${e.getMessage}" }
+      CacheRegistry.releaseAll()
+      if (plan.contains("CartesianProduct") || plan.startsWith("CONSTRUCTION FAILED"))
+        Some(name -> plan.linesIterator.take(3).mkString(" | "))
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"queries planning CartesianProduct (or failing to plan):\n" +
+        offenders.map { case (n, p) => s"  $n: $p" }.mkString("\n"))
+  }
+
   test("dedup_substring partially aggregates gram groups map-side with a BOUNDED buffer") {
     val df = graft.operators.Dedup.dedupSubstring(spark, Sf)
     df.collect()
