@@ -97,6 +97,7 @@ object SparkEntry {
     "sim_bruteforce_topk" -> ((s, d) => Similarity.simBruteforceTopK(s, d)),
     "sim_lsh_ann" -> ((s, d) => Similarity.simLshAnn(s, d)),
     "sim_lsh_multitable" -> ((s, d) => Similarity.simLshMultiTable(s, d)),
+    "sim_eval" -> ((s, d) => Similarity.simEval(s, d)),
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
     "sim_ivf_ann_persisted" -> ((s, d) => Similarity.simIvfAnnPersisted(s, d)),
     "sim_ivf_ann_incremental" -> ((s, d) => Similarity.simIvfAnnIncremental(s, d)),
@@ -509,6 +510,25 @@ object SparkEntry {
        |  JOIN buckets c ON c.bucket = p.pb WHERE c.vec_id <> p.qid),
        |${annScoringTailSql(k)}""".stripMargin
   }
+
+  /** DuckDB replica of [[operators.Similarity.simBruteforceTopK]] —
+    * also the exact side of the `sim_eval` composition. */
+  private val bruteforceTopkOracleSql: String =
+    """WITH ex AS (
+      |  SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY vec_id),
+      |dots AS (
+      |  SELECT q.vec_id AS qid, e.vec_id AS vec_id, sum(q.x * e.x) AS dot
+      |  FROM ex q JOIN ex e ON q.i = e.i
+      |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+      |  GROUP BY 1, 2),
+      |cos AS (
+      |  SELECT qid, d.vec_id, d.dot / (nq.nrm * ne.nrm) AS c
+      |  FROM dots d JOIN norms nq ON nq.vec_id = d.qid JOIN norms ne ON ne.vec_id = d.vec_id)
+      |SELECT qid, vec_id, round(c, 4) AS cosine, rn AS rank FROM (
+      |  SELECT qid, vec_id, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn FROM cos)
+      |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin
 
   /** DuckDB replica of [[operators.Similarity.simLshMultiTable]]:
     * every table's plane family inlined as (t, p, i, w) VALUES rows;
@@ -1493,22 +1513,21 @@ object SparkEntry {
         |        row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |      FROM events WHERE ts < TIMESTAMP '2024-01-15')
         |WHERE rn = 1 ORDER BY user_id""".stripMargin,
-    "sim_bruteforce_topk" ->
-      """WITH ex AS (
-        |  SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
-        |  FROM embeddings),
-        |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY vec_id),
-        |dots AS (
-        |  SELECT q.vec_id AS qid, e.vec_id AS vec_id, sum(q.x * e.x) AS dot
-        |  FROM ex q JOIN ex e ON q.i = e.i
-        |  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
-        |  GROUP BY 1, 2),
-        |cos AS (
-        |  SELECT qid, d.vec_id, d.dot / (nq.nrm * ne.nrm) AS c
-        |  FROM dots d JOIN norms nq ON nq.vec_id = d.qid JOIN norms ne ON ne.vec_id = d.vec_id)
-        |SELECT qid, vec_id, round(c, 4) AS cosine, rn AS rank FROM (
-        |  SELECT qid, vec_id, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn FROM cos)
-        |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin,
+    "sim_bruteforce_topk" -> bruteforceTopkOracleSql,
+    // recall eval is a pure composition of two already-hash-verified
+    // formulations: both sides replay EXACTLY in SQL (the IVF oracle
+    // is linear — unlike dedup_eval's quadratic exact-truth side),
+    // so the eval row itself is hash-verified, not flag-verified
+    "sim_eval" ->
+      s"""WITH exactq AS (SELECT qid, vec_id FROM ($bruteforceTopkOracleSql)),
+         |annq AS (SELECT qid, vec_id FROM (${ivfOracleSql(nQueries = 5, k = 10, nprobe = 4)}))
+         |SELECT n_exact, n_ann, n_hit,
+         |  CASE WHEN n_exact = 0 THEN 0.0
+         |       ELSE round(n_hit::DOUBLE / n_exact, 4) END AS recall
+         |FROM (SELECT count(*)::BIGINT AS n_exact FROM exactq),
+         |     (SELECT count(*)::BIGINT AS n_ann FROM annq),
+         |     (SELECT count(*)::BIGINT AS n_hit FROM
+         |        (SELECT * FROM annq INTERSECT SELECT * FROM exactq))""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.Tables
+import graft.CacheRegistry.Cacheable
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -606,6 +607,29 @@ object Similarity {
       .select(col("qid"), col("vec_id"), round(col("cos"), 4).as("cosine"),
         col("rn").cast("long").as("rank"))
       .orderBy("qid", "rank")
+  }
+
+  /** ANN quality evaluation (`sim_eval`) — [[Dedup.dedupEval]]'s
+    * pattern for the SERVING family: run the approximate server (IVF,
+    * the preferred path) and the exact brute force over the same
+    * query set and report pair-level recall@k in one summary row —
+    * the number an operator dashboard tracks to catch codebook drift
+    * before users do. Fully hash-verified: unlike dedup_eval's
+    * quadratic exact-truth side, BOTH formulations here replay
+    * linearly in SQL at any oracle scale. The final crossJoins are
+    * one-row scalar attaches (the documented shape). */
+  def simEval(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
+              nprobe: Int = 4): DataFrame = {
+    val exact = simBruteforceTopK(s, dir, nQueries, k).select("qid", "vec_id").cacheTracked
+    val ann = simIvfAnn(s, dir, nQueries, k, nprobe).select("qid", "vec_id").cacheTracked
+    val hit = ann.join(exact, Seq("qid", "vec_id"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(ann.agg(count(lit(1)).as("n_ann")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_ann"), col("n_hit"),
+        round(when(col("n_exact") === 0, 0.0)
+          .otherwise(col("n_hit").cast("double") / col("n_exact").cast("double")), 4)
+          .as("recall"))
   }
 
   /** Builds (once per dir × codebook) the PERSISTED IVF-SQ8 index:

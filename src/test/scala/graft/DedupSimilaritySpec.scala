@@ -589,6 +589,24 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS ${table}_sup")
   }
 
+  test("sim_eval: summary row equals recomputation from the two serving operators") {
+    import graft.operators.Similarity
+    val row = Similarity.simEval(spark, Sf).collect()
+    assert(row.length == 1)
+    val exact = Similarity.simBruteforceTopK(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val ann = Similarity.simIvfAnn(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val r = row.head
+    assert(r.getAs[Long]("n_exact") == exact.size)
+    assert(r.getAs[Long]("n_ann") == ann.size)
+    assert(r.getAs[Long]("n_hit") == (exact & ann).size)
+    val want = BigDecimal((exact & ann).size.toDouble / exact.size)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("recall") == want)
+    CacheRegistry.releaseAll()
+  }
+
   test("sim_range_search: exactly the vectors inside the radius, none outside") {
     val tau = 0.25
     val rows = Similarity.simRangeSearch(spark, Sf, tau = tau).collect()
