@@ -471,6 +471,10 @@ object Dedup {
             org.apache.spark.sql.types.LongType))))
         .write.format("parquet").saveAsTable(table)
     }
+    // every consumer routes through this accessor, so an interrupted
+    // reinstate rewrite is healed BEFORE any probe reads the table —
+    // a crash mid-swap can never present an empty suppression list
+    StagedRewrite.recover(s, table)
     table
   }
 
@@ -516,19 +520,22 @@ object Dedup {
     * [[appendShardToCorpus]] path (which now accepts them — purge
     * removed their rows from the idempotency anti-join too). The
     * tombstone table is tiny by design (pending deletions only), so
-    * the rewrite is O(tombstones); localCheckpoint breaks the
-    * read-then-overwrite cycle on the same table, the
-    * [[Similarity.ivfIndexForget]] staging pattern. */
+    * the rewrite is O(tombstones); it runs through
+    * [[StagedRewrite]]'s durable staging + commit-marker protocol,
+    * so a crash at ANY point — including between the TRUNCATE and
+    * the re-append — is repaired by the next call (or by the next
+    * probe, via the accessor's recover hook) without losing any
+    * OTHER user's pending deletion. */
   def reinstateInCorpus(s: SparkSession, dir: String, ids: DataFrame, n: Int = 9,
                         numPerms: Int = 32, rowsPerBand: Int = 4, shardMod: Long = 10,
-                        numBuckets: Int = 8): Unit = {
+                        numBuckets: Int = 8,
+                        afterStage: () => Unit = () => (),
+                        afterTruncate: () => Unit = () => ()): Unit = {
     val t = corpusTombstonesTable(s, dir, n, numPerms, rowsPerBand, shardMod, numBuckets)
     val idSet = ids.select(col("doc_id")).distinct()
     if (!s.table(t).join(idSet, Seq("doc_id"), "left_semi").isEmpty) {
       val keep = s.table(t).join(broadcast(idSet), Seq("doc_id"), "left_anti")
-        .localCheckpoint()
-      s.sql(s"TRUNCATE TABLE $t")
-      keep.write.mode("append").insertInto(t)
+      StagedRewrite.rewrite(s, t, keep, afterStage, afterTruncate)
     }
   }
 

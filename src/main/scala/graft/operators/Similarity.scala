@@ -256,6 +256,9 @@ object Similarity {
             org.apache.spark.sql.types.LongType))))
         .write.format("parquet").saveAsTable(supT)
     }
+    // heal an interrupted reinstate swap before any consumer reads —
+    // a crash mid-rewrite must never present an empty suppression list
+    graft.operators.StagedRewrite.recover(s, supT)
     supT
   }
 
@@ -263,6 +266,7 @@ object Similarity {
                      codebook: Array[Array[Double]] = IvfCodebook.centroids): Unit = {
     val existing = s.table(table).select(col("vec_id"))
     val supT = s"${table}_sup"
+    graft.operators.StagedRewrite.recover(s, supT)
     val admitted =
       if (s.catalog.tableExists(supT))
         vecs.join(broadcast(s.table(supT).distinct()), Seq("vec_id"), "left_anti")
@@ -277,17 +281,21 @@ object Similarity {
   /** Intentional inverse of a suppressed forget (user re-consents):
     * remove the ids from the index's suppression list so the next
     * append accepts their vectors again. No-op when nothing is
-    * suppressed; the rewrite stages through localCheckpoint to break
-    * the read-then-overwrite cycle (tombstone-reinstate pattern). */
-  def ivfIndexReinstate(s: SparkSession, table: String, ids: DataFrame): Unit = {
+    * suppressed; the rewrite runs through [[StagedRewrite]]'s durable
+    * staging + commit-marker protocol (tombstone-reinstate twin), so
+    * a crash anywhere — including between the TRUNCATE and the
+    * re-append — is repaired by the next call or the next consumer's
+    * recover hook without losing any other suppression entry. */
+  def ivfIndexReinstate(s: SparkSession, table: String, ids: DataFrame,
+                        afterStage: () => Unit = () => (),
+                        afterTruncate: () => Unit = () => ()): Unit = {
     val supT = s"${table}_sup"
+    graft.operators.StagedRewrite.recover(s, supT)
     if (s.catalog.tableExists(supT)) {
       val idSet = ids.select(col("vec_id")).distinct()
       if (!s.table(supT).join(idSet, Seq("vec_id"), "left_semi").isEmpty) {
         val keep = s.table(supT).join(broadcast(idSet), Seq("vec_id"), "left_anti")
-          .localCheckpoint()
-        s.sql(s"TRUNCATE TABLE $supT")
-        keep.write.mode("append").insertInto(supT)
+        graft.operators.StagedRewrite.rewrite(s, supT, keep, afterStage, afterTruncate)
       }
     }
   }

@@ -589,6 +589,88 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS ${table}_sup")
   }
 
+  test("reinstate crash windows: staged rewrite never loses another user's suppression") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.StagedRewrite
+    val tombsT = Dedup.corpusTombstonesTable(spark, Sf)
+    spark.sql(s"TRUNCATE TABLE $tombsT")
+    val docs = Tables.documents(spark, Sf)
+    val forgotten = docs.filter(col("doc_id") % 2 === 1).select("doc_id")
+    Dedup.forgetFromCorpus(spark, Sf, forgotten)
+    val all = spark.table(tombsT).collect().map(_.getLong(0)).toSet
+    assert(all.size > 5)
+    val backIds = all.toSeq.sorted.take(5)
+    val expectedKeep = all -- backIds
+    import spark.implicits._
+    val back = backIds.toDF("doc_id")
+    // window 1: crash AFTER the durable stage write, BEFORE the commit
+    // marker — the target must be untouched and the garbage stage dropped
+    intercept[RuntimeException] {
+      Dedup.reinstateInCorpus(spark, Sf, back,
+        afterStage = () => throw new RuntimeException("injected crash after stage"))
+    }
+    assert(spark.table(Dedup.corpusTombstonesTable(spark, Sf)).count() == all.size,
+      "pre-commit crash mutated the tombstone table")
+    assert(!spark.catalog.tableExists(StagedRewrite.stageTable(tombsT)),
+      "garbage stage not cleaned by recover")
+    // window 2: THE old data-loss window — crash between the TRUNCATE
+    // and the re-append (the localCheckpoint era lost EVERY remaining
+    // suppression here, and re-running was a no-op)
+    intercept[RuntimeException] {
+      Dedup.reinstateInCorpus(spark, Sf, back,
+        afterTruncate = () => throw new RuntimeException("injected crash after truncate"))
+    }
+    // raw read: the table IS mid-swap empty — the window is real...
+    assert(spark.table(tombsT).isEmpty, "crash window not reached")
+    // ...but every consumer routes through the accessor, which heals
+    // from the durable stage before reading
+    val healed = spark.table(Dedup.corpusTombstonesTable(spark, Sf))
+      .collect().map(_.getLong(0)).toSet
+    assert(healed == expectedKeep, "a non-reinstated suppression entry was lost")
+    // re-running the interrupted reinstate is a clean no-op and leaves
+    // no protocol residue behind
+    Dedup.reinstateInCorpus(spark, Sf, back)
+    assert(spark.table(tombsT).collect().map(_.getLong(0)).toSet == expectedKeep)
+    assert(!spark.catalog.tableExists(StagedRewrite.stageTable(tombsT)) &&
+      !spark.catalog.tableExists(StagedRewrite.markerTable(tombsT)))
+    spark.sql(s"TRUNCATE TABLE $tombsT")
+    CacheRegistry.releaseAll()
+  }
+
+  test("ivf reinstate crash window: suppression survives mid-swap; redelivery stays dead") {
+    import org.apache.spark.sql.functions._
+    val table = Similarity.ivfIndexTableForget(spark, Sf)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_sup")
+    Similarity.ivfIndexTableForget(spark, Sf) // full-corpus build
+    val emb = Tables.embeddings(spark, Sf)
+    val gone = emb.filter(col("vec_id") % 10 === 0).select("vec_id")
+    Similarity.ivfIndexForget(spark, table, gone, suppress = true)
+    val supT = s"${table}_sup"
+    val allSup = spark.table(supT).collect().map(_.getLong(0)).toSet
+    val back = emb.filter(col("vec_id") % 20 === 0).select("vec_id")
+    val backIds = back.collect().map(_.getLong(0)).toSet
+    val expectedKeep = allSup -- backIds
+    assert(expectedKeep.nonEmpty)
+    intercept[RuntimeException] {
+      Similarity.ivfIndexReinstate(spark, table, back,
+        afterTruncate = () => throw new RuntimeException("injected crash after truncate"))
+    }
+    assert(spark.table(supT).isEmpty, "crash window not reached") // raw mid-swap read
+    // the next redelivered append heals FIRST (recover hook), then
+    // admits exactly the reinstated half — no suppression entry lost,
+    // no suppressed vector resurrected
+    Similarity.ivfIndexAppend(spark, table, emb.filter(col("vec_id") % 10 === 0))
+    assert(spark.table(supT).collect().map(_.getLong(0)).toSet == expectedKeep,
+      "a suppression entry was lost to the mid-swap crash")
+    val ids = spark.table(table).select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(backIds.subsetOf(ids), "reinstated vectors not re-accepted after heal")
+    assert(ids.intersect(expectedKeep).isEmpty,
+      "suppressed vectors resurfaced after the crash")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS $supT")
+  }
+
   test("sim_eval: summary row equals recomputation from the two serving operators") {
     import graft.operators.Similarity
     val row = Similarity.simEval(spark, Sf).collect()
