@@ -624,12 +624,49 @@ object TextAnalysis {
     * must return exactly k picks whose TRUE counts are all ≥ that
     * k-th count (tie swaps allowed, misses not); the oracle
     * recomputes the exact side and expects both flags true. */
+  /** The whitespace token stream shared by the heavy-hitters contract
+    * harness and its production form — ONE definition, so the two can
+    * never drift on tokenization. */
+  private def hhTokenStream(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("token"))
+
+  /** The ROLLED sketch side: per-(lang, source) frequent-items
+    * partials combined per-lang. (lang, top: array<struct<item,count>>). */
+  private def hhRolledTop(toks: DataFrame, k: Int, maxTracked: Int): DataFrame =
+    toks.groupBy("lang", "source")
+      .agg(expr(s"approx_top_k_accumulate(token, $maxTracked)").as("sk"))
+      .groupBy("lang")
+      .agg(expr(s"approx_top_k_combine(sk, $maxTracked)").as("csk"))
+      .select(col("lang"), expr(s"approx_top_k_estimate(csk, $k)").as("top"))
+
+  /** PRODUCTION form of [[pipeHeavyHittersRollup]] — the sketch
+    * result alone: per-lang top-k tokens with their sketch-estimated
+    * counts, built from per-(lang, source) mergeable partials. This
+    * is what a 100 TB pipeline ships: fixed-size sketch state per
+    * group, NO corpus-wide exact (lang, token) count — that exact
+    * aggregate exists only in the registry CONTRACT HARNESS
+    * ([[pipeHeavyHittersRollup]]), which certifies this plan against
+    * the truth at test scale. Plan-spec'd: contains no count
+    * aggregate and no cached intermediate. */
+  def pipeHeavyHittersRollupProd(s: SparkSession, dir: String, k: Int = 5,
+                                 maxTracked: Int = 100000): DataFrame =
+    hhRolledTop(hhTokenStream(s, dir), k, maxTracked)
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.item").as("token"), col("col.count").as("est_cnt"))
+      .orderBy("lang", "rank")
+
   def pipeHeavyHittersRollup(s: SparkSession, dir: String, k: Int = 5,
                              maxTracked: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(s, dir)
-      .select(col("lang"), col("source"),
-        explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("token"))
+    val toks = hhTokenStream(s, dir)
+    // contract-harness side: the corpus-wide exact count exists ONLY
+    // to certify the sketches — production runs the sketch half alone
+    // (pipeHeavyHittersRollupProd); vocabulary-bounded, not
+    // corpus-bounded, but still the largest cached intermediate in the
+    // registry, which is why it stays out of the prod plan
     val exact = toks.groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
       .cacheTracked
     val kth = exact
@@ -649,13 +686,7 @@ object TextAnalysis {
     val direct = flags(
       toks.groupBy("lang").agg(expr(s"approx_top_k(token, $k, $maxTracked)").as("top")),
       "direct_ok")
-    val rolled = flags(
-      toks.groupBy("lang", "source")
-        .agg(expr(s"approx_top_k_accumulate(token, $maxTracked)").as("sk"))
-        .groupBy("lang")
-        .agg(expr(s"approx_top_k_combine(sk, $maxTracked)").as("csk"))
-        .select(col("lang"), expr(s"approx_top_k_estimate(csk, $k)").as("top")),
-      "rolled_ok")
+    val rolled = flags(hhRolledTop(toks, k, maxTracked), "rolled_ok")
     kth.join(direct, "lang").join(rolled, "lang")
       .select("lang", "kth_cnt", "direct_ok", "rolled_ok")
       .orderBy("lang")
@@ -677,7 +708,38 @@ object TextAnalysis {
     * estimator, so the two estimates may differ from each other;
     * both must still be accurate) — and the oracle recomputes the
     * exact side and expects the flags true. */
+  /** The raw (lang, source, shingle-hash) stream shared by the
+    * HLL contract harness and its production form. */
+  private def shingleStream(s: SparkSession, dir: String, n: Int): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        explode(graft.functions.VectorFunctions.ngram_hashes(lower(col("text")), n)).as("sh"))
+
+  /** The per-(lang, source) HLL partial → per-lang union rollup —
+    * ONE definition shared by harness and prod form. */
+  private def hllUnionRollup(sh: DataFrame): DataFrame =
+    sh.groupBy("lang", "source").agg(expr("hll_sketch_agg(sh)").as("sk"))
+      .groupBy("lang")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_union"))
+
+  /** PRODUCTION form of [[pipeSketchRollup]] — the union-rolled HLL
+    * estimate alone: per-(lang, source) sketches (kilobytes each)
+    * unioned per-lang, straight off the RAW shingle stream (HLL
+    * updates are idempotent per value, so no pre-distinct is needed —
+    * the partials aggregate map-side into fixed-size state, the true
+    * bounded-memory path at 100 TB). The corpus-wide exact distinct
+    * count lives ONLY in the registry CONTRACT HARNESS
+    * ([[pipeSketchRollup]]); a pipeline must ship THIS form, not the
+    * harness. Plan-spec'd: no count aggregate, no cache. */
+  def pipeSketchRollupProd(s: SparkSession, dir: String, n: Int = 12): DataFrame =
+    hllUnionRollup(shingleStream(s, dir, n))
+      .select(col("lang"), round(col("est_union"), 4).as("est_union"))
+      .orderBy("lang")
+
   def pipeSketchRollup(s: SparkSession, dir: String, n: Int = 12): DataFrame = {
+    // contract harness: certifies the sketch rollup against the exact
+    // distinct count — production ships pipeSketchRollupProd (the
+    // sketch half alone); the exact side below exists only here.
     // distinct FIRST: HLL updates are idempotent per value, so
     // pre-distincting (lang, source, sh) — a map-side-partial
     // aggregate — leaves every estimate and the exact count
@@ -687,14 +749,10 @@ object TextAnalysis {
     // raw exploded shingle stream through the shuffle (the q46
     // pitfall; measured 4.4 s → 1.1 s at sf0.1). The cache holds the
     // distinct flat rows, not the raw explode.
-    val sh = Tables.documents(s, dir)
-      .select(col("lang"), col("source"),
-        explode(graft.functions.VectorFunctions.ngram_hashes(lower(col("text")), n)).as("sh"))
+    val sh = shingleStream(s, dir, n)
       .distinct()
       .cacheTracked
-    val perLS = sh.groupBy("lang", "source").agg(expr("hll_sketch_agg(sh)").as("sk"))
-    val unioned = perLS.groupBy("lang")
-      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_union"))
+    val unioned = hllUnionRollup(sh)
     val exact = sh.select("lang", "sh").distinct()
       .groupBy("lang").agg(count(lit(1)).as("exact_distinct"))
     val direct = sh.groupBy("lang")
@@ -713,13 +771,19 @@ object TextAnalysis {
     * map-side; the per-language top-k runs through the typed TopK
     * Aggregator, so only k rows per (partition, lang) reach the final
     * shuffle. */
-  def textTopBigrams(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val topk = udaf(new graft.functions.TopKAgg.TopK(k), graft.functions.TopKAgg.inputEncoder)
-    val bigrams = Tables.documents(s, dir)
+  /** The (lang, bigram) stream shared by the exact top-k, the sketch
+    * contract harness, and the sketch production form — one
+    * tokenization definition for all three. */
+  private def bigramStream(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("lang"),
         expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("w"))
       .select(col("lang"), explode(expr(
         "if(size(w) >= 2, transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1])), array())")).as("bigram"))
+
+  def textTopBigrams(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg.TopK(k), graft.functions.TopKAgg.inputEncoder)
+    val bigrams = bigramStream(s, dir)
     // Ties in counts are broken by a deterministic md5-derived
     // surrogate id — the same 60-bit hash the DuckDB oracle computes,
     // so both engines rank identically. TopK orders (score desc, id
@@ -748,14 +812,29 @@ object TextAnalysis {
     * (`kth_cnt`) and asserts the Spark-computed `sketch_ok` flag —
     * the sketch returned exactly k picks and every pick's TRUE count
     * is ≥ the exact k-th count (tie swaps allowed, misses not). */
+  /** PRODUCTION form of [[textTopBigramsSketch]] — the one-pass
+    * bounded-memory sketch result alone: per-lang approximate top-k
+    * bigrams with sketch-estimated counts. The corpus-wide exact
+    * (lang, bigram) count table lives ONLY in the registry CONTRACT
+    * HARNESS ([[textTopBigramsSketch]]), which certifies this plan;
+    * shipping the harness as the pipeline would pay the exact count
+    * the sketch exists to avoid. Plan-spec'd: no count aggregate,
+    * no cache. */
+  def textTopBigramsSketchProd(s: SparkSession, dir: String, k: Int = 5,
+                               maxTracked: Int = 100000): DataFrame =
+    bigramStream(s, dir).groupBy("lang")
+      .agg(expr(s"approx_top_k(bigram, $k, $maxTracked)").as("top"))
+      .select(col("lang"), posexplode(col("top")))
+      .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.item").as("bigram"), col("col.count").as("est_cnt"))
+      .orderBy("lang", "rank")
+
   def textTopBigramsSketch(s: SparkSession, dir: String, k: Int = 5,
                            maxTracked: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val bigrams = Tables.documents(s, dir)
-      .select(col("lang"),
-        expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("w"))
-      .select(col("lang"), explode(expr(
-        "if(size(w) >= 2, transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1])), array())")).as("bigram"))
+    val bigrams = bigramStream(s, dir)
+    // contract harness: the exact count below certifies the sketch —
+    // production ships textTopBigramsSketchProd (the sketch alone)
     val exact = bigrams.groupBy("lang", "bigram").agg(count(lit(1)).as("cnt"))
       .cacheTracked
     val kth = exact
@@ -763,10 +842,10 @@ object TextAnalysis {
         Window.partitionBy("lang").orderBy(col("cnt").desc, col("bigram"))))
       .filter(col("rk") === k)
       .select(col("lang"), col("cnt").as("kth_cnt"))
-    val picks = bigrams.groupBy("lang")
-      .agg(expr(s"approx_top_k(bigram, $k, $maxTracked)").as("top"))
-      .select(col("lang"), explode(col("top")).as("e"))
-      .select(col("lang"), col("e.item").as("bigram"))
+    // the certified sketch side IS the production plan — shared
+    // construction, so the harness can never certify a drifted twin
+    val picks = textTopBigramsSketchProd(s, dir, k, maxTracked)
+      .select(col("lang"), col("bigram"))
     val picksTrue = picks.join(exact, Seq("lang", "bigram"))
       .groupBy("lang")
       .agg(min("cnt").as("min_pick_cnt"), count(lit(1)).as("n_picks"))

@@ -184,4 +184,33 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"pair generation planned a join instead of group-explode:\n$plan")
   }
+
+  test("sketch PROD forms carry no exact-count verification aggregate") {
+    import graft.operators.TextAnalysis
+    // the registry queries are the CONTRACT HARNESSES (sketch vs
+    // exact); these are the forms a pipeline actually ships — their
+    // plans must hold ONLY fixed-size sketch state: no count()
+    // aggregate over the token/shingle stream, no distinct, no cached
+    // intermediate, no window rank
+    val prods = Seq(
+      "pipe_heavy_hitters_rollup" -> TextAnalysis.pipeHeavyHittersRollupProd(spark, Sf),
+      "pipe_sketch_rollup" -> TextAnalysis.pipeSketchRollupProd(spark, Sf),
+      "text_top_bigrams_sketch" -> TextAnalysis.textTopBigramsSketchProd(spark, Sf))
+    prods.foreach { case (name, df) =>
+      assert(df.count() > 0, s"$name prod form returned no rows")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("count(1)") && !plan.contains("count_distinct") &&
+        !plan.contains("partial_count"),
+        s"$name prod form plans an exact count aggregate:\n$plan")
+      assert(!plan.contains("InMemoryTableScan"),
+        s"$name prod form caches an intermediate:\n$plan")
+      assert(!plan.contains("row_number"),
+        s"$name prod form plans the harness's exact-rank window:\n$plan")
+    }
+    // and the certified sketch halves share construction with these
+    // plans: the bigram harness literally calls the prod form for its
+    // picks; the heavy-hitters rolled side and the HLL rollup are the
+    // same private builders — certify-then-drift is impossible
+    CacheRegistry.releaseAll()
+  }
 }
