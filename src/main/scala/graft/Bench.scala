@@ -107,6 +107,21 @@ object Bench {
     // must not be misattributed to the first timed query.
     val confBaseline = spark.conf.getAll
     val confDrift = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Listener-bus delivery is ASYNC: without a drain, a warm run's
+    // TaskEnd events can land AFTER the sh0/in0 snapshot and a timed
+    // run's stragglers after the final read — a sub-second query's
+    // byte fingerprint could be dominated by the previous query's
+    // lag. waitUntilEmpty blocks until every queued event is
+    // delivered; it is private[spark] at the Scala level but public
+    // in bytecode, so reflection is the way in. A drain failure
+    // degrades to the old behavior (still guarded by the 1.5x drift
+    // granularity) rather than failing the bench.
+    def drainListenerBus(): Unit =
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Throwable => () }
     // warmup once, then min of two timed runs — single-run totals
     // swung ~25% from GC/JIT noise at this scale, min-of-2 tracks the
     // steady-state cost the round-over-round comparison needs.
@@ -123,7 +138,9 @@ object Bench {
       }
       // bytes snapshot AFTER the warm run: the timed runs' structural
       // footprint only (cached subtrees built in warm don't re-shuffle
-      // — the steady state being timed is also the one fingerprinted)
+      // — the steady state being timed is also the one fingerprinted);
+      // drained first so no warm-run event lands inside the window
+      drainListenerBus()
       val sh0 = byteCounter.shuffle.get
       val in0 = byteCounter.input.get
       val two = Seq.fill(2)(timedOnce())
@@ -162,6 +179,7 @@ object Bench {
           }
         }
       }
+      drainListenerBus() // every timed-run event delivered before the read
       val shPerRun = (byteCounter.shuffle.get - sh0) / all.size
       val inPerRun = (byteCounter.input.get - in0) / all.size
       (name, dt, shPerRun, inPerRun)

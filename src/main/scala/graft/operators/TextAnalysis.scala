@@ -111,18 +111,19 @@ object TextAnalysis {
   def pipeQualityFilter(s: SparkSession, dir: String, minWords: Int = 30,
                         minAlpha: Double = 0.6): DataFrame =
     Tables.documents(s, dir)
+      .filter(qualityPassCol(col("text"), minWords, minAlpha))
       .withColumn("words", nWords(col("text")))
       .withColumn("alpha_ratio",
         charCount(col("text"), "[A-Za-z]") / greatest(length(col("text")), lit(1)))
-      .filter(col("words") >= minWords && col("alpha_ratio") >= minAlpha)
       .select(col("doc_id"), col("words"), round(col("alpha_ratio"), 4).as("alpha_ratio"))
       .orderBy("doc_id")
 
-  /** The quality gate's pass predicate, built from the same blocks
-    * ([[nWords]], [[charCount]] alpha ratio) and thresholds as
-    * [[pipeQualityFilter]]'s filter; the fused [[pipeDatasetCard]]
-    * uses it directly, and the card spec asserts rate equality
-    * against the real gate so the two can never drift. */
+  /** The quality gate's pass predicate — the SINGLE definition:
+    * [[pipeQualityFilter]] filters on it and the fused
+    * [[pipeDatasetCard]] aggregates it, so gate and card share one
+    * expression BY CONSTRUCTION (a threshold edit reaches both or
+    * neither); the card spec's rate-equality assertion is a
+    * regression tripwire on top, not the only line of defense. */
   private[graft] def qualityPassCol(text: Column, minWords: Int = 30,
                                     minAlpha: Double = 0.6): Column =
     nWords(text) >= minWords &&
@@ -163,7 +164,14 @@ object TextAnalysis {
       avg(col("qual").cast("double")).as("qr"),
       avg(col("keep").cast("double")).as("gr"),
       avg(col("pii").cast("double")).as("pr"),
-      countDistinct(col("h64"), col("h128")).cast("double").as("ndist"))
+      // NULL-safe distinct key: md5(NULL text) is NULL and
+      // count(DISTINCT ...) would silently DROP those rows (while n
+      // counts them), diverging from dedupExact's groupBy — which
+      // keeps the all-NULL-text group as ONE key. Coalescing the md5
+      // half to a sentinel (never a 32-hex md5) makes both
+      // formulations agree by construction; xxhash64 is non-nullable
+      // (NULL folds into the seed), so the pair stays one key.
+      countDistinct(col("h64"), coalesce(col("h128"), lit(""))).cast("double").as("ndist"))
       .collect() // bounded: one row per language + the total row
     def r4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
