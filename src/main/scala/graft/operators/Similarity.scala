@@ -106,8 +106,10 @@ object Similarity {
     * multi-probe holds recall 1.0 on the target pairs) and both
     * engines share via the inlined constants, so the family is
     * FROZEN as-is: re-centering would silently re-bucket every
-    * shipped LSH table. Zero-mean consumers (JL projection) use
-    * [[centeredStream]] instead. */
+    * shipped LSH table, and "fixing" these constants is a data-loss
+    * bug, not a cleanup. Zero-mean consumers (JL projection) use
+    * [[centeredStream]] instead — as must every NEW plane family
+    * (the multitable families in [[lshTablePlanes]] already do). */
   private[operators] def hyperplanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
     var x = seed
     def next(): Double = {
@@ -627,12 +629,25 @@ object Similarity {
     * linearly in SQL at any oracle scale. The final crossJoins are
     * one-row scalar attaches (the documented shape). */
   def simEval(s: SparkSession, dir: String, nQueries: Int = 5, k: Int = 10,
-              nprobe: Int = 4): DataFrame = {
+              nprobe: Int = 4): DataFrame =
+    simEvalAgainst(s, dir, simIvfAnn(s, dir, nQueries, k, nprobe), nQueries, k)
+
+  /** [[simEval]] generalized over the ANN side — the same
+    * recall-vs-exact summary row for ANY serving tier (`ann` must
+    * carry (qid, vec_id) picks). The registry's `sim_eval` entry
+    * stays pinned to IVF-flat (the preferred path); the
+    * DedupSimilaritySpec tier sweep runs this against SQ8, PQ, and
+    * multitable LSH so a quantization regression that eats through
+    * the over-fetch margin — invisible to the bit-identical re-rank
+    * contract only while the margin holds — surfaces as a recall row
+    * below the IVF floor. */
+  def simEvalAgainst(s: SparkSession, dir: String, ann: DataFrame,
+                     nQueries: Int = 5, k: Int = 10): DataFrame = {
     val exact = simBruteforceTopK(s, dir, nQueries, k).select("qid", "vec_id").cacheTracked
-    val ann = simIvfAnn(s, dir, nQueries, k, nprobe).select("qid", "vec_id").cacheTracked
-    val hit = ann.join(exact, Seq("qid", "vec_id"), "left_semi")
+    val annIds = ann.select("qid", "vec_id").cacheTracked
+    val hit = annIds.join(exact, Seq("qid", "vec_id"), "left_semi")
     exact.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(ann.agg(count(lit(1)).as("n_ann")))
+      .crossJoin(annIds.agg(count(lit(1)).as("n_ann")))
       .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
       .select(col("n_exact"), col("n_ann"), col("n_hit"),
         round(when(col("n_exact") === 0, 0.0)

@@ -32,6 +32,10 @@ import org.apache.spark.sql.functions._
   *                    The one-time state BUILD happens before the
   *                    clock starts — production state exists before
   *                    ingest does.
+  *   - `serve`      — the [[graft.streaming.VectorServe.serveStream]]
+  *                    query-side runtime: the corpus's vectors
+  *                    replayed as a query stream against the
+  *                    persisted IVF index; reports queries/sec.
   *
   * The events table is staged as a multi-file parquet directory;
   * `maxFilesPerTrigger` paces micro-batches the way a production
@@ -58,6 +62,7 @@ object StreamThroughput {
     import spark.implicits._
 
     if (mode == "ingest") { runIngest(spark, sfDir); return }
+    if (mode == "serve") { runServe(spark, sfDir); return }
 
     val events = Tables.events(spark, sfDir)
     val nRows = events.count()
@@ -86,7 +91,7 @@ object StreamThroughput {
         ("stream_user_stats_rows_per_sec",
           EventStream.runningUserStats(typed).toDF(),
           "update")
-      case other => sys.error(s"unknown mode: $other (dedup|sessionize|stats)")
+      case other => sys.error(s"unknown mode: $other (dedup|sessionize|stats|ingest|serve)")
     }
     val query = out.writeStream
       .format("noop")
@@ -100,6 +105,47 @@ object StreamThroughput {
     query.stop()
     spark.stop()
     println(f"""{"metric":"$metric%s","value":${nRows / dt}%.0f,"rows":$nRows,"input_rows":$total,"sec":$dt%.2f,"sf":"$sfDir"}""")
+  }
+
+  /** `serve` mode: [[graft.streaming.VectorServe.serveStream]] driven
+    * through the rate-limited file source — the full corpus's vectors
+    * replayed AS QUERIES against the persisted IVF index, each
+    * micro-batch running the batch serving plan (broadcast probes,
+    * partition-pruned cell scan, exact top-k) and landing in its own
+    * idempotent batch_id partition. Reports queries/sec; the one-time
+    * index build is offline cost, before the clock. */
+  private def runServe(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val t0b = System.nanoTime()
+    val table = graft.operators.Similarity.ivfIndexTable(spark, sfDir)
+    val buildSec = (System.nanoTime() - t0b) / 1e9
+    val queries = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val nQ = queries.count()
+    val src = java.nio.file.Files.createTempDirectory("graft-serve-src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-serve-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-serve-ckpt").toString
+    queries.repartition(16).write.mode("overwrite").parquet(src)
+    val staged = spark.read.parquet(src)
+    val stream = spark.readStream
+      .schema(staged.schema)
+      .option("maxFilesPerTrigger", sys.env.getOrElse("SPARK_GRAFT_FILES_PER_TRIGGER", "2"))
+      .parquet(src)
+    val t0 = System.nanoTime()
+    val query = graft.streaming.VectorServe.serveStream(sfDir, stream, out, ckpt)
+    query.processAllAvailable()
+    val dt = (System.nanoTime() - t0) / 1e9
+    val nBatches = query.recentProgress.count(_.numInputRows > 0)
+    query.stop()
+    // every query vector served exactly once across the batch_id
+    // partitions (k result rows each) — the throughput number only
+    // counts if the work actually happened
+    val results = spark.read.parquet(out)
+    val servedQ = results.select("qid").distinct().count()
+    val nRes = results.count()
+    spark.stop()
+    require(servedQ == nQ, s"served $servedQ of $nQ query vectors")
+    println(f"""{"metric":"stream_serve_queries_per_sec","value":${nQ / dt}%.0f,"queries":$nQ,"result_rows":$nRes,"batches":$nBatches,"index_build_sec":$buildSec%.2f,"index_table":"$table%s","sec":$dt%.2f,"sf":"$sfDir"}""")
   }
 
   private def runIngest(spark: SparkSession, sfDir: String): Unit = {

@@ -671,6 +671,32 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $supT")
   }
 
+  test("sim_eval tier sweep: every serving tier gets a recall row; none below the IVF floor") {
+    import graft.operators.Similarity
+    def recallOf(ann: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val r = Similarity.simEvalAgainst(spark, Sf, ann).collect().head
+      (r.getAs[Double]("recall"), r.getAs[Long]("n_ann"))
+    }
+    val (ivf, _) = recallOf(Similarity.simIvfAnn(spark, Sf))
+    val (sq8, nSq8) = recallOf(Similarity.simIvfSq8(spark, Sf))
+    val (pq, nPq) = recallOf(Similarity.simIvfPq(spark, Sf))
+    val (multi, nMulti) = recallOf(Similarity.simLshMultiTable(spark, Sf))
+    info(s"recall@10 — ivf=$ivf sq8=$sq8 pq=$pq lsh_multitable=$multi")
+    // SQ8/PQ re-rank exactly from the over-fetched candidate set and
+    // recover the IVF output bit-for-bit WHILE the margin holds; a
+    // quantization regression that eats the margin shows up here as a
+    // recall drop the bit-identity specs cannot see
+    assert(sq8 == ivf, s"SQ8 recall $sq8 fell below the IVF floor $ivf")
+    assert(pq == ivf, s"PQ recall $pq fell below the IVF floor $ivf")
+    // multitable LSH is an independent family (not IVF-derived): its
+    // floor is its own planted-truth spec; here it must stay a real
+    // server — full k picks per query and nonzero overlap with exact
+    assert(nMulti > 0 && multi > 0.0,
+      s"multitable LSH produced no exact-overlapping picks (recall=$multi)")
+    assert(nSq8 == nPq, "SQ8 and PQ pick counts diverged")
+    CacheRegistry.releaseAll()
+  }
+
   test("sim_eval: summary row equals recomputation from the two serving operators") {
     import graft.operators.Similarity
     val row = Similarity.simEval(spark, Sf).collect()
