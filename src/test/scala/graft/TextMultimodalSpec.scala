@@ -683,6 +683,31 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("pipeSketchRollupProd equals the harness's certified union estimate (HLL idempotence)") {
+    // the prod form skips the harness's pre-distinct and runs the HLL
+    // partials on the RAW shingle stream — legitimate ONLY because HLL
+    // updates are idempotent per value; assert it on the output, not
+    // just the shared construction
+    val harness = TextAnalysis.pipeSketchRollup(spark, Sf).collect()
+      .map(r => r.getAs[String]("lang")).toSet
+    val prod = TextAnalysis.pipeSketchRollupProd(spark, Sf).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Double]("est_union")).toMap
+    assert(prod.keySet == harness, "prod form covers a different language set")
+    // recompute the harness's own union estimate per lang and compare
+    // exactly — same sketches, same merge, distinct vs raw input
+    import org.apache.spark.sql.functions._
+    val harnessEst = Tables.documents(spark, Sf)
+      .select(col("lang"), col("source"),
+        explode(graft.functions.VectorFunctions.ngram_hashes(lower(col("text")), 12)).as("sh"))
+      .distinct()
+      .groupBy("lang", "source").agg(expr("hll_sketch_agg(sh)").as("sk"))
+      .groupBy("lang")
+      .agg(round(expr("hll_sketch_estimate(hll_union_agg(sk))"), 4).as("est"))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Double]("est")).toMap
+    assert(prod == harnessEst,
+      s"raw-stream HLL diverged from pre-distinct HLL: $prod vs $harnessEst")
+  }
+
   test("pipe_contamination_frac: frac>0 iff boolean decontaminate flags; policy consistent") {
     val frac = TextAnalysis.pipeContaminationFrac(spark, Sf).collect()
       .map(r => r.getAs[Long]("doc_id") ->
