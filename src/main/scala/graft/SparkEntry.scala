@@ -98,6 +98,7 @@ object SparkEntry {
     "sim_lsh_ann" -> ((s, d) => Similarity.simLshAnn(s, d)),
     "sim_lsh_multitable" -> ((s, d) => Similarity.simLshMultiTable(s, d)),
     "sim_eval" -> ((s, d) => Similarity.simEval(s, d)),
+    "sim_knn_graph" -> ((s, d) => Similarity.simKnnGraph(s, d)),
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
     "sim_ivf_ann_persisted" -> ((s, d) => Similarity.simIvfAnnPersisted(s, d)),
     "sim_ivf_ann_incremental" -> ((s, d) => Similarity.simIvfAnnIncremental(s, d)),
@@ -529,6 +530,59 @@ object SparkEntry {
       |SELECT qid, vec_id, round(c, 4) AS cosine, rn AS rank FROM (
       |  SELECT qid, vec_id, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, vec_id) AS rn FROM cos)
       |WHERE rn <= 10 ORDER BY qid, rank""".stripMargin
+
+  /** DuckDB replica of [[operators.Similarity.simKnnGraph]] — the
+    * NN-Descent run UNROLLED: the all-pairs cosine matrix is computed
+    * once (the dedup_embedding pattern; n² pairs is exactly what the
+    * descent exists to avoid at scale, and exactly what the oracle
+    * can afford at sf0.01), the deterministic affine-hash seeding is
+    * replayed literally, and each round re-derives
+    * current ∪ reversed ∪ neighbors-of-neighbors → per-vertex top-k
+    * by (cosine DESC, id) — the identical total order the Spark
+    * window uses. */
+  private def knnGraphOracleSql(k: Int, iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      val prev = s"e${t - 1}"
+      s"""u$t AS (SELECT a, b FROM $prev UNION
+         |        SELECT a, b FROM (
+         |          SELECT p.b AS a, p.a AS b,
+         |                 row_number() OVER (PARTITION BY p.b ORDER BY p.a) AS rr
+         |          FROM $prev p) WHERE rr <= $k),
+         |c$t AS (SELECT a, b FROM u$t UNION
+         |        SELECT x.a, y.b FROM u$t x JOIN u$t y ON x.b = y.a WHERE x.a <> y.b),
+         |e$t AS (SELECT a, b FROM (
+         |  SELECT c$t.a, c$t.b,
+         |         row_number() OVER (PARTITION BY c$t.a ORDER BY cs.c DESC, c$t.b) AS rn
+         |  FROM c$t JOIN cs ON cs.ia = c$t.a AND cs.ib = c$t.b) WHERE rn <= $k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ex AS (
+       |  SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY vec_id),
+       |dots AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.x * b.x) AS dot
+       |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |cs AS (
+       |  SELECT ia, ib, d.dot / (na.nrm * nb.nrm) AS c
+       |  FROM dots d JOIN norms na ON na.vec_id = d.ia JOIN norms nb ON nb.vec_id = d.ib),
+       |mm AS (SELECT max(vec_id) + 1 AS m FROM embeddings),
+       |ids AS (SELECT vec_id FROM embeddings),
+       |e0 AS (
+       |  SELECT DISTINCT i.vec_id AS a,
+       |         (i.vec_id * 1664525 + t.j * 40503) % mm.m AS b
+       |  FROM ids i CROSS JOIN mm CROSS JOIN range(1, ${k + 1}) t(j)
+       |  WHERE (i.vec_id * 1664525 + t.j * 40503) % mm.m <> i.vec_id
+       |    AND (i.vec_id * 1664525 + t.j * 40503) % mm.m IN (SELECT vec_id FROM ids)),
+       |$rounds,
+       |fin AS (
+       |  SELECT e$iters.a, e$iters.b, cs.c,
+       |         row_number() OVER (PARTITION BY e$iters.a ORDER BY cs.c DESC, e$iters.b) AS rn
+       |  FROM e$iters JOIN cs ON cs.ia = e$iters.a AND cs.ib = e$iters.b)
+       |SELECT a AS vec_id, rn::BIGINT AS rank, b AS nbr_id, round(c, 4) AS cosine
+       |FROM fin ORDER BY vec_id, rank""".stripMargin
+  }
 
   /** DuckDB replica of [[operators.Similarity.simLshMultiTable]]:
     * every table's plane family inlined as (t, p, i, w) VALUES rows;
@@ -1528,6 +1582,7 @@ object SparkEntry {
          |     (SELECT count(*)::BIGINT AS n_ann FROM annq),
          |     (SELECT count(*)::BIGINT AS n_hit FROM
          |        (SELECT * FROM annq INTERSECT SELECT * FROM exactq))""".stripMargin,
+    "sim_knn_graph" -> knnGraphOracleSql(k = 10, iters = 3),
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

@@ -655,6 +655,102 @@ object Similarity {
           .as("recall"))
   }
 
+  /** k-NN GRAPH construction via NN-Descent (`sim_knn_graph`; Dong,
+    * Charikar & Li, "Efficient K-Nearest Neighbor Graph Construction
+    * for Generic Similarity Measures", WWW 2011) — the GRAPH-based
+    * member of the ANN family, completing IVF-flat/SQ8/PQ and
+    * single/multi-table LSH. For a training-data pipeline the k-NN
+    * graph is itself the deliverable (connected-component semantic
+    * dedup, diversity sampling, and label propagation all consume
+    * it), and NN-Descent is the one graph construction that is
+    * NATURALLY data-parallel: "a neighbor of a neighbor is likely a
+    * neighbor" becomes self-joins —
+    *
+    *   init    k deterministic pseudo-random seeds per vertex
+    *           (affine hash mod (max id + 1), semi-joined to the
+    *           existing ids; misses/collisions on sparse id spaces
+    *           just seed thinner, which the descent repairs — the
+    *           published algorithm's random init has the same
+    *           property)
+    *   iterate (fixed T) candidates = current ∪ reversed ∪
+    *           neighbors-of-neighbors (one integer self-join on the
+    *           shared endpoint); score DISTINCT candidates with the
+    *           codegen'd cosine kernel; keep top-k per vertex
+    *           (per-(a) window, map-side WindowGroupLimit partial)
+    *
+    * Scale shape: every shuffle is fixed-width (a, b) id pairs
+    * bounded by n·(2k)² per round; vectors attach to candidates via
+    * two id-keyed joins (co-partitioned with the corpus layout on a
+    * cluster); no global window, no driver-side state beyond the
+    * one-row max-id scalar. Graph SERVING (greedy walks) is
+    * inherently sequential and deliberately out of scope — the
+    * IVF/LSH tiers serve point queries; this operator builds the
+    * graph artifact those batch consumers read.
+    *
+    * Cost model, honestly: T·n·(2k)² candidate scorings vs brute
+    * force's n² — the descent's win is ASYMPTOTIC (n=2000: 2.4M vs
+    * 4M, near breakeven and visible in the bench line; n=10⁶:
+    * 1.2·10⁹ vs 10¹², ~800×). The paper's further constant-factor
+    * lever (score only pairs involving a NEW neighbor) is noted, not
+    * implemented — it complicates the replayable contract for a
+    * constant factor the asymptotics already dominate.
+    *
+    * Fully deterministic (hash init, fixed T, total (cos DESC, id)
+    * order), so the DuckDB oracle replays the ENTIRE descent — the
+    * all-pairs cosine matrix once (the dedup_embedding pattern),
+    * then T unrolled candidate/top-k rounds — and the final graph
+    * hash-matches. */
+  def simKnnGraph(s: SparkSession, dir: String, k: Int = 10, iters: Int = 3): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")).cacheTracked
+    val ids = e.select(col("vec_id"))
+    val m = ids.agg((max(col("vec_id")) + 1).as("m")) // one-row scalar attach
+    val seeds = ids.crossJoin(m)
+      .select(col("vec_id").as("a"), explode(array((1 to k).map(j =>
+        pmod(col("vec_id") * 1664525L + lit(j * 40503L), col("m"))): _*)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .join(ids.select(col("vec_id").as("b")), Seq("b"), "left_semi")
+    val va = e.select(col("vec_id").as("a"), col("v").as("va"))
+    val vb = e.select(col("vec_id").as("b"), col("v").as("vb"))
+    def topk(cand: DataFrame): DataFrame =
+      cand.join(va, "a").join(vb, "b")
+        .withColumn("c", cosine(col("va"), col("vb")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("a").orderBy(col("c").desc, col("b"))))
+        .filter(col("rn") <= k)
+    var edges = seeds.select("a", "b").distinct()
+    for (_ <- 1 to iters) {
+      // TRUNCATE THE LOGICAL PLAN each round (eager localCheckpoint,
+      // the iterative-algorithm shape): und appears 3× in the next
+      // round's tree and edges 2× in und's, so the lazy chain grows
+      // ~6× per round and ANALYSIS time — not execution — dominates
+      // (measured at sf0.1: 36 s lazy, 21 s cache+count — count
+      // forces execution but the analyzer still walks the whole
+      // tree — vs 4.4 s with flat lineage). Session-scoped storage
+      // is fine here —
+      // this is transient in-query state, not durable compliance
+      // state (contrast StagedRewrite).
+      // cap REVERSE degree at k (deterministic lowest-id sample —
+      // the paper's ρ·k reverse sampling): a popular vector attracts
+      // unbounded in-edges, and without the cap the
+      // neighbor-of-neighbor join is quadratic in hub degree instead
+      // of bounded by n·(2k)²
+      val rev = edges.select(col("b").as("a"), col("a").as("b"))
+        .withColumn("rr", row_number().over(
+          Window.partitionBy("a").orderBy("b")))
+        .filter(col("rr") <= k).drop("rr")
+      val und = edges.union(rev).distinct().cacheTracked
+      val nn = und.as("x").join(und.as("y"), col("x.b") === col("y.a"))
+        .select(col("x.a").as("a"), col("y.b").as("b"))
+        .filter(col("a") =!= col("b"))
+      edges = topk(und.union(nn).distinct()).select("a", "b").localCheckpoint()
+    }
+    topk(edges) // final pass re-derives rank + score for the output
+      .select(col("a").as("vec_id"), col("rn").cast("long").as("rank"),
+        col("b").as("nbr_id"), round(col("c"), 4).as("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** Builds (once per dir × codebook) the PERSISTED IVF-SQ8 index:
     * [[ivfIndexTable]]'s cell-partitioned layout, but each vector
     * stored as its int8 scalar-quantization CODES (the

@@ -671,6 +671,44 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $supT")
   }
 
+  test("sim_knn_graph: well-formed NN-Descent graph; edge recall vs exact knn above floor") {
+    import org.apache.spark.sql.functions._
+    val k = 10
+    val g = Similarity.simKnnGraph(spark, Sf).collect()
+    val n = Tables.embeddings(spark, Sf).count()
+    val byV = g.groupBy(_.getAs[Long]("vec_id"))
+    assert(byV.size == n, "every vertex must carry a neighbor list")
+    byV.foreach { case (v, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to rows.length.toLong), s"ranks not dense for $v")
+      assert(rows.forall(_.getAs[Long]("nbr_id") != v), s"self edge at $v")
+      assert(rows.map(_.getAs[Long]("nbr_id")).distinct.length == rows.length,
+        s"duplicate neighbor at $v")
+      assert(rows.length == k, s"vertex $v has ${rows.length} != $k neighbors")
+    }
+    // graph quality: fraction of the TRUE top-k edges (exact all-pairs
+    // per vertex) present after 3 descent rounds — the number the
+    // WWW'11 paper tracks; on this 10-cluster corpus the descent
+    // converges within clusters quickly
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val ex = e.as("x").join(e.as("y"), col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        graft.functions.VectorFunctions.cosine_similarity(col("x.v"), col("y.v")).as("c"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("a")
+          .orderBy(col("c").desc, col("b"))))
+      .filter(col("rn") <= k)
+      .select("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = g.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id"))).toSet
+    val recall = (ex & got).size.toDouble / ex.size
+    info(f"knn-graph edge recall vs exact: $recall%.3f (n=$n)")
+    // measured 0.779 at n=500 with the reverse-degree cap (0.831
+    // uncapped) — floor set with margin under the measured value
+    assert(recall >= 0.7, f"NN-Descent recall $recall%.3f below floor after 3 rounds")
+  }
+
   test("sim_eval tier sweep: every serving tier gets a recall row; none below the IVF floor") {
     import graft.operators.Similarity
     def recallOf(ann: org.apache.spark.sql.DataFrame): (Double, Long) = {
