@@ -99,6 +99,7 @@ object SparkEntry {
     "sim_lsh_multitable" -> ((s, d) => Similarity.simLshMultiTable(s, d)),
     "sim_eval" -> ((s, d) => Similarity.simEval(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.simKnnGraph(s, d)),
+    "sim_knn_components" -> ((s, d) => Similarity.simKnnComponents(s, d)),
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
     "sim_ivf_ann_persisted" -> ((s, d) => Similarity.simIvfAnnPersisted(s, d)),
     "sim_ivf_ann_incremental" -> ((s, d) => Similarity.simIvfAnnIncremental(s, d)),
@@ -540,7 +541,9 @@ object SparkEntry {
     * current ∪ reversed ∪ neighbors-of-neighbors → per-vertex top-k
     * by (cosine DESC, id) — the identical total order the Spark
     * window uses. */
-  private def knnGraphOracleSql(k: Int, iters: Int): String = {
+  /** The descent's CTE chain (shared by the graph oracle and its
+    * components consumer), ending at `fin` (a, b, c, rn). */
+  private def knnGraphOracleCtes(k: Int, iters: Int): String = {
     val rounds = (1 to iters).map { t =>
       val prev = s"e${t - 1}"
       s"""u$t AS (SELECT a, b FROM $prev UNION
@@ -556,7 +559,7 @@ object SparkEntry {
          |  FROM c$t JOIN cs ON cs.ia = c$t.a AND cs.ib = c$t.b) WHERE rn <= $k)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH ex AS (
+    s"""ex AS (
        |  SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
        |  FROM embeddings),
        |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY vec_id),
@@ -579,9 +582,57 @@ object SparkEntry {
        |fin AS (
        |  SELECT e$iters.a, e$iters.b, cs.c,
        |         row_number() OVER (PARTITION BY e$iters.a ORDER BY cs.c DESC, e$iters.b) AS rn
-       |  FROM e$iters JOIN cs ON cs.ia = e$iters.a AND cs.ib = e$iters.b)
+       |  FROM e$iters JOIN cs ON cs.ia = e$iters.a AND cs.ib = e$iters.b)""".stripMargin
+  }
+
+  private def knnGraphOracleSql(k: Int, iters: Int): String =
+    s"""WITH ${knnGraphOracleCtes(k, iters)}
        |SELECT a AS vec_id, rn::BIGINT AS rank, b AS nbr_id, round(c, 4) AS cosine
        |FROM fin ORDER BY vec_id, rank""".stripMargin
+
+  /** DuckDB replica of [[operators.Similarity.simKnnComponents]]:
+    * the descent's `fin` CTE, thresholded on the ROUNDED cosine
+    * (both engines compare the same 4-decimal value), undirected,
+    * transitively closed, min-labeled.
+    *
+    * The closure is UNROLLED PATH DOUBLING, not a recursive CTE: the
+    * dedup_clusters-style `WITH RECURSIVE reach` cannot be combined
+    * with the descent chain — DuckDB evaluates the chain's windowed
+    * UNION CTEs differently under the RECURSIVE keyword (measured:
+    * the same prefix yields 6,992 vs 6,954 u1 rows and a collapsed
+    * 48-pair p), silently corrupting the graph being closed. Each
+    * doubling round covers paths of length 2^r, so `closureRounds`
+    * rounds close any component of diameter ≤ 2^rounds — with
+    * diameter bounded by the thresholded pair count (~10² at oracle
+    * scale), 10 rounds (1,024 hops) is a safe ceiling. `p`, `r0`,
+    * and each round are MATERIALIZED: DuckDB inlines plain CTEs per
+    * reference, and each round references its predecessor twice, so
+    * an uninlined chain re-plans the whole descent 2^rounds times
+    * (measured: "Too many open files" from 1,024 inlined parquet
+    * scans). */
+  private def knnComponentsOracleSql(k: Int, iters: Int, tau: Double,
+                                     closureRounds: Int = 10): String = {
+    val doubling = (1 to closureRounds).map { r =>
+      s"""r$r AS MATERIALIZED (SELECT src, dst FROM r${r - 1}
+         |        UNION
+         |        SELECT x.src, y.dst FROM r${r - 1} x JOIN r${r - 1} y ON x.dst = y.src
+         |        WHERE x.src <> y.dst)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ${knnGraphOracleCtes(k, iters)},
+       |p AS MATERIALIZED (
+       |  SELECT DISTINCT least(a, b) AS id_a, greatest(a, b) AS id_b
+       |  FROM fin WHERE round(c, 4) >= $tau),
+       |r0 AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM p
+       |       UNION SELECT id_b, id_a FROM p),
+       |$doubling,
+       |labels AS (SELECT src AS vec_id, least(src, min(dst)) AS cluster_id
+       |           FROM r$closureRounds GROUP BY src)
+       |SELECT emb.vec_id,
+       |       coalesce(l.cluster_id, emb.vec_id) AS cluster_id,
+       |       emb.vec_id = coalesce(l.cluster_id, emb.vec_id) AS is_rep
+       |FROM embeddings emb LEFT JOIN labels l ON l.vec_id = emb.vec_id
+       |ORDER BY emb.vec_id""".stripMargin
   }
 
   /** DuckDB replica of [[operators.Similarity.simLshMultiTable]]:
@@ -1583,6 +1634,7 @@ object SparkEntry {
          |     (SELECT count(*)::BIGINT AS n_hit FROM
          |        (SELECT * FROM annq INTERSECT SELECT * FROM exactq))""".stripMargin,
     "sim_knn_graph" -> knnGraphOracleSql(k = 10, iters = 3),
+    "sim_knn_components" -> knnComponentsOracleSql(k = 10, iters = 3, tau = 0.4),
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

@@ -751,6 +751,39 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** Semantic clusters FROM the k-NN graph (`sim_knn_components`) —
+    * the first consumer of [[simKnnGraph]]'s artifact, and the
+    * graph-based route to semantic near-dup clustering: threshold
+    * the graph's edges at cosine ≥ τ (on the ROUNDED 4-decimal score
+    * both engines agree on), undirect, and label connected
+    * components through [[Dedup.connectedComponents]] (driver-local
+    * min-rooted union-find under the edge cap, alternating
+    * large/small-star contraction above it — the dedup_clusters
+    * machinery verbatim). Every vector gets a row:
+    * (vec_id, cluster_id = component min, is_rep).
+    *
+    * Why this shape at 100 TB: the knn graph is built ONCE (bounded
+    * n·(2k)² candidate work), and every downstream consumer —
+    * clustering at several τ, diversity sampling, label
+    * propagation — re-reads the O(n·k) edge artifact instead of
+    * re-scanning the vector corpus; the τ sweep that tunes a
+    * semantic-dedup threshold costs one filter + components pass per
+    * value, not one ANN run per value. */
+  def simKnnComponents(s: SparkSession, dir: String, k: Int = 10, iters: Int = 3,
+                       tau: Double = 0.4): DataFrame = {
+    val pairs = simKnnGraph(s, dir, k, iters)
+      .filter(col("cosine") >= tau)
+      .select(least(col("vec_id"), col("nbr_id")).as("id_a"),
+        greatest(col("vec_id"), col("nbr_id")).as("id_b"))
+      .distinct()
+    val labels = Dedup.connectedComponents(pairs)
+    Tables.embeddings(s, dir).select(col("vec_id"))
+      .join(labels.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("label"), col("vec_id")).as("cluster_id"))
+      .withColumn("is_rep", col("vec_id") === col("cluster_id"))
+      .orderBy("vec_id")
+  }
+
   /** Builds (once per dir × codebook) the PERSISTED IVF-SQ8 index:
     * [[ivfIndexTable]]'s cell-partitioned layout, but each vector
     * stored as its int8 scalar-quantization CODES (the

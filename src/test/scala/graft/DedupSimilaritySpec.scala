@@ -709,6 +709,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, f"NN-Descent recall $recall%.3f below floor after 3 rounds")
   }
 
+  test("sim_knn_components: labels equal union-find over the thresholded graph edges") {
+    val tau = 0.4
+    val comp = Similarity.simKnnComponents(spark, Sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Boolean]("is_rep"))).toMap
+    val n = Tables.embeddings(spark, Sf).count()
+    assert(comp.size == n, "every vector must carry a cluster row")
+    // independent recomputation: thresholded graph edges → driver
+    // union-find (the same truth the oracle derives by path doubling)
+    val pairs = Similarity.simKnnGraph(spark, Sf).collect()
+      .filter(_.getAs[Double]("cosine") >= tau)
+      .map(r => (math.min(r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id")),
+        math.max(r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id")))).distinct
+    assert(pairs.nonEmpty, "threshold leaves no edges — spec is vacuous")
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    comp.foreach { case (v, (label, isRep)) =>
+      assert(label == find(v), s"vector $v labeled $label, union-find says ${find(v)}")
+      assert(isRep == (label == v))
+    }
+    // non-vacuous: at least one multi-member cluster exists
+    val sizes = comp.values.groupBy(_._1).map(_._2.size)
+    assert(sizes.exists(_ > 1), "no multi-member cluster — threshold too high")
+    CacheRegistry.releaseAll()
+  }
+
   test("sim_eval tier sweep: every serving tier gets a recall row; none below the IVF floor") {
     import graft.operators.Similarity
     def recallOf(ann: org.apache.spark.sql.DataFrame): (Double, Long) = {
