@@ -100,6 +100,7 @@ object SparkEntry {
     "sim_eval" -> ((s, d) => Similarity.simEval(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.simKnnGraph(s, d)),
     "sim_knn_components" -> ((s, d) => Similarity.simKnnComponents(s, d)),
+    "sim_knn_label_prop" -> ((s, d) => Similarity.simKnnLabelProp(s, d)),
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
     "sim_ivf_ann_persisted" -> ((s, d) => Similarity.simIvfAnnPersisted(s, d)),
     "sim_ivf_ann_incremental" -> ((s, d) => Similarity.simIvfAnnIncremental(s, d)),
@@ -633,6 +634,37 @@ object SparkEntry {
        |       emb.vec_id = coalesce(l.cluster_id, emb.vec_id) AS is_rep
        |FROM embeddings emb LEFT JOIN labels l ON l.vec_id = emb.vec_id
        |ORDER BY emb.vec_id""".stripMargin
+  }
+
+  /** DuckDB replica of [[operators.Similarity.simKnnLabelProp]]: the
+    * descent chain → undirected edges, then `rounds` unrolled
+    * synchronous label-propagation steps (integer vote counts, ties
+    * to the smallest label, isolated vertices keep their own). Every
+    * round's label table is MATERIALIZED (each is referenced twice —
+    * the knnComponents inlining lesson). Vote counts are integers,
+    * so past the (hash-verified) edge list the replay is tie-proof
+    * by construction. */
+  private def knnLabelPropOracleSql(k: Int, iters: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val prev = s"l${r - 1}"
+      s"""t$r AS MATERIALIZED (
+         |  SELECT a AS id, lbl FROM (
+         |    SELECT u.a, $prev.lbl, count(*) AS cnt,
+         |           row_number() OVER (PARTITION BY u.a
+         |             ORDER BY count(*) DESC, $prev.lbl) AS rn
+         |    FROM und u JOIN $prev ON $prev.id = u.b
+         |    GROUP BY u.a, $prev.lbl) WHERE rn = 1),
+         |l$r AS MATERIALIZED (
+         |  SELECT $prev.id, coalesce(t$r.lbl, $prev.lbl) AS lbl
+         |  FROM $prev LEFT JOIN t$r ON t$r.id = $prev.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ${knnGraphOracleCtes(k, iters)},
+       |und AS MATERIALIZED (
+       |  SELECT a, b FROM fin UNION SELECT b, a FROM fin),
+       |l0 AS MATERIALIZED (SELECT vec_id AS id, vec_id AS lbl FROM embeddings),
+       |$steps
+       |SELECT id AS vec_id, lbl AS label FROM l$rounds ORDER BY vec_id""".stripMargin
   }
 
   /** DuckDB replica of [[operators.Similarity.simLshMultiTable]]:
@@ -1635,6 +1667,7 @@ object SparkEntry {
          |        (SELECT * FROM annq INTERSECT SELECT * FROM exactq))""".stripMargin,
     "sim_knn_graph" -> knnGraphOracleSql(k = 10, iters = 3),
     "sim_knn_components" -> knnComponentsOracleSql(k = 10, iters = 3, tau = 0.4),
+    "sim_knn_label_prop" -> knnLabelPropOracleSql(k = 10, iters = 3, rounds = 4),
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

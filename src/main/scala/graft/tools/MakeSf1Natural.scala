@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   *     distribution; each new doc samples i.i.d. words — the
   *     generator's own bag-of-small-vocab shape, without planted
   *     copies.
-  *   - embeddings: per-label centroid + per-label residual σ (the
-  *     observed 10-cluster structure); new vectors are
+  *   - embeddings: per-label centroid + per-label residual σ (fits
+  *     whatever per-label structure exists — measured, the labels
+  *     are nearly geometry-free, so this reduces to the global
+  *     distribution, which is exactly what "natural growth" should
+  *     reproduce); new vectors are
   *     centroid + σ·gaussian, re-normalized to the unit sphere the
   *     source vectors live on; empirical label marginals.
   *
