@@ -101,6 +101,7 @@ object SparkEntry {
     "sim_knn_graph" -> ((s, d) => Similarity.simKnnGraph(s, d)),
     "sim_knn_components" -> ((s, d) => Similarity.simKnnComponents(s, d)),
     "sim_knn_label_prop" -> ((s, d) => Similarity.simKnnLabelProp(s, d)),
+    "sim_knn_diversity" -> ((s, d) => Similarity.simKnnDiversity(s, d)),
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
     "sim_ivf_ann_persisted" -> ((s, d) => Similarity.simIvfAnnPersisted(s, d)),
     "sim_ivf_ann_incremental" -> ((s, d) => Similarity.simIvfAnnIncremental(s, d)),
@@ -665,6 +666,49 @@ object SparkEntry {
        |l0 AS MATERIALIZED (SELECT vec_id AS id, vec_id AS lbl FROM embeddings),
        |$steps
        |SELECT id AS vec_id, lbl AS label FROM l$rounds ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB replica of [[operators.Similarity.simKnnDiversity]]: the
+    * descent chain → thresholded undirected edges, then `rounds`
+    * unrolled Luby steps — per round, an undecided vertex enters the
+    * MIS iff no undecided neighbor has a strictly smaller
+    * (affine-hash priority, id); MIS neighbors become excluded. All
+    * comparisons are integers (tie-proof), every round MATERIALIZED
+    * (the inlining lesson). */
+  private def knnDiversityOracleSql(k: Int, iters: Int, tau: Double,
+                                    rounds: Int): String = {
+    def pr(x: String) = s"(($x * 2654435761) % 1000003)"
+    val steps = (1 to rounds).map { r =>
+      val prev = s"s${r - 1}"
+      s"""ud$r AS MATERIALIZED (SELECT id FROM $prev WHERE st = 0),
+         |ue$r AS MATERIALIZED (
+         |  SELECT u.a, u.b FROM und u
+         |  JOIN ud$r x ON x.id = u.a JOIN ud$r y ON y.id = u.b),
+         |mis$r AS MATERIALIZED (
+         |  SELECT id FROM ud$r WHERE id NOT IN (
+         |    SELECT a FROM ue$r
+         |    WHERE ${pr("b")} < ${pr("a")}
+         |       OR (${pr("b")} = ${pr("a")} AND b < a))),
+         |exc$r AS MATERIALIZED (
+         |  SELECT DISTINCT e.a AS id FROM ue$r e JOIN mis$r m ON m.id = e.b),
+         |s$r AS MATERIALIZED (
+         |  SELECT $prev.id,
+         |         CASE WHEN mis$r.id IS NOT NULL THEN 1
+         |              WHEN exc$r.id IS NOT NULL THEN 2
+         |              ELSE $prev.st END AS st
+         |  FROM $prev LEFT JOIN mis$r ON mis$r.id = $prev.id
+         |             LEFT JOIN exc$r ON exc$r.id = $prev.id)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ${knnGraphOracleCtes(k, iters)},
+       |p AS MATERIALIZED (
+       |  SELECT DISTINCT least(a, b) AS id_a, greatest(a, b) AS id_b
+       |  FROM fin WHERE round(c, 4) >= $tau),
+       |und AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM p
+       |       UNION SELECT id_b, id_a FROM p),
+       |s0 AS MATERIALIZED (SELECT vec_id AS id, 0 AS st FROM embeddings),
+       |$steps
+       |SELECT id AS vec_id, st = 1 AS selected FROM s$rounds ORDER BY vec_id""".stripMargin
   }
 
   /** DuckDB replica of [[operators.Similarity.simLshMultiTable]]:
@@ -1668,6 +1712,7 @@ object SparkEntry {
     "sim_knn_graph" -> knnGraphOracleSql(k = 10, iters = 3),
     "sim_knn_components" -> knnComponentsOracleSql(k = 10, iters = 3, tau = 0.4),
     "sim_knn_label_prop" -> knnLabelPropOracleSql(k = 10, iters = 3, rounds = 4),
+    "sim_knn_diversity" -> knnDiversityOracleSql(k = 10, iters = 3, tau = 0.4, rounds = 8),
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,

@@ -850,6 +850,59 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** DIVERSITY SAMPLE over the thresholded k-NN graph
+    * (`sim_knn_diversity`) — a MAXIMAL INDEPENDENT SET via Luby-style
+    * parallel rounds with deterministic hash priorities (Luby 1986,
+    * static-priority variant): selected documents are mutually
+    * dissimilar (no selected pair has cosine ≥ τ — independence) and
+    * the sample is maximal (every unselected document is ≥τ-similar
+    * to a selected one — coverage). The dedup-aware sampling step a
+    * curation pipeline runs to pick diverse exemplars.
+    *
+    * Per round, on the subgraph induced by UNDECIDED vertices: a
+    * vertex joins the MIS iff no undecided neighbor has a strictly
+    * smaller (priority, id) — priorities are an affine hash
+    * (id·2654435761 mod 1000003), comparisons pure integers, so
+    * rounds are a pure function of the edge list and the DuckDB
+    * oracle replays them tie-proof. MIS members' undecided
+    * neighbors become excluded; fixed `rounds` suffice because
+    * components of the τ-thresholded graph are tiny (the spec
+    * asserts zero undecided at test scale; at production scale
+    * rounds is the O(log n) Luby bound for hashed priorities).
+    * All state is fixed-width (id, st) rows; lineage cut per round
+    * (the [[simKnnGraph]] lesson). Consumes the PERSISTED
+    * [[knnGraphTable]] artifact like every other graph consumer. */
+  def simKnnDiversity(s: SparkSession, dir: String, k: Int = 10, iters: Int = 3,
+                      tau: Double = 0.4, rounds: Int = 8): DataFrame = {
+    def pr(c: Column): Column = pmod(c * lit(2654435761L), lit(1000003L))
+    val g = s.table(knnGraphTable(s, dir, k, iters)).filter(col("cosine") >= tau)
+    val und = g.select(col("vec_id").as("a"), col("nbr_id").as("b"))
+      .union(g.select(col("nbr_id").as("a"), col("vec_id").as("b")))
+      .distinct().localCheckpoint()
+    var st = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id")).withColumn("st", lit(0))
+    for (_ <- 1 to rounds) {
+      val undec = st.filter(col("st") === 0).select("id").localCheckpoint()
+      val ue = und
+        .join(undec.select(col("id").as("a")), Seq("a"), "left_semi")
+        .join(undec.select(col("id").as("b")), Seq("b"), "left_semi")
+      val losers = ue.filter(pr(col("b")) < pr(col("a")) ||
+          (pr(col("b")) === pr(col("a")) && col("b") < col("a")))
+        .select(col("a").as("id")).distinct()
+      val mis = undec.join(losers, Seq("id"), "left_anti")
+      val exc = ue.join(mis.select(col("id").as("b")), Seq("b"), "left_semi")
+        .select(col("a").as("id")).distinct()
+      st = st
+        .join(mis.withColumn("m", lit(1)), Seq("id"), "left")
+        .join(exc.withColumn("e", lit(1)), Seq("id"), "left")
+        .select(col("id"),
+          when(col("m") === 1, 1).when(col("e") === 1, 2).otherwise(col("st")).as("st"))
+        .localCheckpoint()
+    }
+    st.select(col("id").as("vec_id"), (col("st") === 1).as("selected"))
+      .orderBy("vec_id")
+  }
+
   /** Builds (once per dir × codebook) the PERSISTED IVF-SQ8 index:
     * [[ivfIndexTable]]'s cell-partitioned layout, but each vector
     * stored as its int8 scalar-quantization CODES (the

@@ -787,6 +787,37 @@ class DedupSimilaritySpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("sim_knn_diversity: independence and coverage of the maximal independent set") {
+    val tau = 0.4
+    val sel = Similarity.simKnnDiversity(spark, Sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("selected")).toMap
+    val n = Tables.embeddings(spark, Sf).count()
+    assert(sel.size == n, "every vector must carry a selection row")
+    val edges = Similarity.simKnnGraph(spark, Sf).collect()
+      .filter(_.getAs[Double]("cosine") >= tau)
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id")))
+    assert(edges.nonEmpty, "threshold leaves no edges — spec is vacuous")
+    // INDEPENDENCE: no two selected documents are ≥τ-similar
+    edges.foreach { case (a, b) =>
+      assert(!(sel(a) && sel(b)), s"τ-similar pair ($a,$b) both selected")
+    }
+    // COVERAGE (maximality): every unselected document is ≥τ-similar
+    // to a selected one — this also proves zero vertices were left
+    // undecided by the fixed round count (an undecided vertex would
+    // be unselected with no selected neighbor)
+    val nbrs = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2).toSet }
+    sel.foreach { case (v, isSel) =>
+      if (!isSel) {
+        val nb = nbrs.getOrElse(v, Set.empty[Long])
+        assert(nb.exists(sel), s"unselected $v has no selected τ-neighbor")
+      }
+    }
+    // at this τ most vertices are isolated → selected (sanity scale)
+    assert(sel.values.count(identity) > n / 2)
+    CacheRegistry.releaseAll()
+  }
+
   test("sim_eval tier sweep: every serving tier gets a recall row; none below the IVF floor") {
     import graft.operators.Similarity
     def recallOf(ann: org.apache.spark.sql.DataFrame): (Double, Long) = {
