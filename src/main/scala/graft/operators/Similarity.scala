@@ -881,8 +881,19 @@ object Similarity {
       .distinct().localCheckpoint()
     var st = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id")).withColumn("st", lit(0))
-    for (_ <- 1 to rounds) {
+    var round = 0
+    var done = false
+    while (round < rounds && !done) {
+      round += 1
       val undec = st.filter(col("st") === 0).select("id").localCheckpoint()
+      // EARLY EXIT, output-identical: a round with no undecided
+      // vertices selects and excludes nobody, so the remaining
+      // rounds are no-ops — the fixed-round oracle replay still
+      // matches while the engine skips the empty jobs (bounded
+      // scalar check; components die off geometrically, so this
+      // usually fires after 2-3 of the 8 budgeted rounds)
+      done = undec.isEmpty
+      if (!done) {
       val ue = und
         .join(undec.select(col("id").as("a")), Seq("a"), "left_semi")
         .join(undec.select(col("id").as("b")), Seq("b"), "left_semi")
@@ -898,6 +909,7 @@ object Similarity {
         .select(col("id"),
           when(col("m") === 1, 1).when(col("e") === 1, 2).otherwise(col("st")).as("st"))
         .localCheckpoint()
+      }
     }
     st.select(col("id").as("vec_id"), (col("st") === 1).as("selected"))
       .orderBy("vec_id")
