@@ -769,6 +769,110 @@ object Similarity {
     table
   }
 
+  /** PRODUCTION form of [[simKnnGraph]] — NN-Descent run TO
+    * CONVERGENCE instead of a fixed round count. The registry's
+    * `sim_knn_graph` (fixed T) is the REPLAYABLE CONTRACT HARNESS
+    * (DuckDB unrolls exactly T rounds); but descent quality at fixed
+    * T degrades as n grows — measured edge recall vs exact @ T=3:
+    * 0.78 at n=500, 0.45 at n=2000, 0.00 at the 10×-replica's
+    * n=20000 (each vector's true top-10 are its planted twins, which
+    * random seeding + 3 rounds never reach). The paper's loop runs
+    * until the graph stops improving; rounds grow ~log n. This form
+    * iterates until the edge set's order-independent (count,
+    * hash-sum) fingerprint is UNCHANGED between rounds (the
+    * [[Dedup.connectedComponentsLoop]] probe — one bounded aggregate
+    * per round, nothing collected), throwing past `maxIters` instead
+    * of returning a silently-unconverged graph. Deterministic like
+    * the fixed form (the stop round is a pure function of the data),
+    * just not fixed-T-replayable — which is exactly the
+    * harness-vs-production split the sketch rollup family documents.
+    *
+    * Init is HYBRID: the hash seeds plus LSH BUCKET-MATES (4
+    * zero-mean tables, ≤k pseudo-random mates per vertex per table).
+    * Pure NN-Descent transitivity cannot reach an isolated
+    * high-similarity clique that no seed chain touches — measured on
+    * the 10×-replica (every vector's true top-10 are its planted twins):
+    * converged recall 0.000 from hash seeds alone, because the twin
+    * cliques sit cos≈0.3 away from everything else. Sign-LSH puts
+    * near-identical vectors in the same bucket w.h.p., so bucket-mate
+    * seeding hands the descent exactly the candidates transitivity
+    * cannot discover — the standard KGraph-style hybrid. */
+  def simKnnGraphConverged(s: SparkSession, dir: String, k: Int = 10,
+                           maxIters: Int = 30, delta: Double = 0.001): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")).cacheTracked
+    val ids = e.select(col("vec_id"))
+    val m = ids.agg((max(col("vec_id")) + 1).as("m"))
+    val hashSeeds = ids.crossJoin(m)
+      .select(col("vec_id").as("a"), explode(array((1 to k).map(j =>
+        pmod(col("vec_id") * 1664525L + lit(j * 40503L), col("m"))): _*)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .join(ids.select(col("vec_id").as("b")), Seq("b"), "left_semi")
+    // LSH bucket-mate seeds: ≤k pseudo-random same-bucket partners
+    // per (vertex, table) — the candidates transitivity can't reach
+    val lshSeeds = lshTablePlanes(nTables = 4, numPlanes = 7)
+      .map { p =>
+        val bucketed = e.select(col("vec_id"), lshBucket(col("v"), p).as("bk"))
+        bucketed.select(col("vec_id").as("a"), col("bk")).as("x")
+          .join(bucketed.select(col("vec_id").as("b"), col("bk")).as("y"), "bk")
+          .filter(col("a") =!= col("b"))
+          .withColumn("rr", row_number().over(
+            Window.partitionBy("a").orderBy(xxhash64(col("a"), col("b")))))
+          .filter(col("rr") <= k)
+          .select("a", "b")
+      }
+      .reduce(_ union _)
+    val seeds = hashSeeds.union(lshSeeds)
+    val va = e.select(col("vec_id").as("a"), col("v").as("va"))
+    val vb = e.select(col("vec_id").as("b"), col("v").as("vb"))
+    def topk(cand: DataFrame): DataFrame =
+      cand.join(va, "a").join(vb, "b")
+        .withColumn("c", cosine(col("va"), col("vb")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("a").orderBy(col("c").desc, col("b"))))
+        .filter(col("rn") <= k)
+    def probe(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).collect().head
+      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
+    }
+    var edges = topk(seeds.select("a", "b").distinct())
+      .select("a", "b").localCheckpoint()
+    var prev = probe(edges)
+    val updateFloor = math.max(1L, (delta * prev._1).toLong)
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      iter += 1
+      val rev = edges.select(col("b").as("a"), col("a").as("b"))
+        .withColumn("rr", row_number().over(
+          Window.partitionBy("a").orderBy("b")))
+        .filter(col("rr") <= k).drop("rr")
+      val und = edges.union(rev).distinct().localCheckpoint()
+      val nn = und.as("x").join(und.as("y"), col("x.b") === col("y.a"))
+        .select(col("x.a").as("a"), col("y.b").as("b"))
+        .filter(col("a") =!= col("b"))
+      val prevEdges = edges
+      edges = topk(und.union(nn).distinct()).select("a", "b").localCheckpoint()
+      val cur = probe(edges)
+      // exact fixpoint (fingerprint unchanged) OR the paper's δ
+      // termination: stop once the round changed fewer than δ·|edges|
+      // entries — the long tail past that moves single edges per
+      // round at full-round cost for no measurable recall (the
+      // changed-edge count is one bounded anti-join aggregate)
+      converged = cur == prev ||
+        edges.join(prevEdges, Seq("a", "b"), "left_anti").count() < updateFloor
+      prev = cur
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"NN-Descent did not converge in $maxIters rounds — raise maxIters")
+    topk(edges)
+      .select(col("a").as("vec_id"), col("rn").cast("long").as("rank"),
+        col("b").as("nbr_id"), round(col("c"), 4).as("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
   /** Semantic clusters FROM the k-NN graph (`sim_knn_components`) —
     * the first consumer of [[simKnnGraph]]'s artifact, and the
     * graph-based route to semantic near-dup clustering: threshold

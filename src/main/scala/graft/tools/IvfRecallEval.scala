@@ -37,8 +37,43 @@ object IvfRecallEval {
       val rLsh = (exact & lsh).size.toDouble / exact.size
       println(f"[recall] $dir%s  exact_pairs=${exact.size}%d  ivf@10=$rIvf%.3f  lsh@10=$rLsh%.3f")
       multiTableRow(spark, dir, exact)
+      knnGraphRow(spark, dir)
     }
     spark.stop()
+  }
+
+  /** NN-Descent graph quality at scale (round 11): edge recall vs the
+    * exact top-k for a 100-vertex deterministic sample (vec_id < 100
+    * — exact truth for the sample costs 100·n cosines, tractable at
+    * any measured scale, and the sample estimate is what the WWW'11
+    * paper reports too). */
+  private def knnGraphRow(spark: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val k = 10
+    val got = Similarity.simKnnGraph(spark, dir).filter(col("vec_id") < 100)
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gotConv = Similarity.simKnnGraphConverged(spark, dir)
+      .filter(col("vec_id") < 100)
+      .select("vec_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("a"), col("v").as("va"))
+    val exact = q.join(e.select(col("vec_id").as("b"), col("v").as("vb")),
+        col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        graft.functions.VectorFunctions.cosine_similarity(col("va"), col("vb")).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("a").orderBy(col("c").desc, col("b"))))
+      .filter(col("rn") <= k)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    val recallConv = (exact & gotConv).size.toDouble / exact.size
+    println(f"[knngraph] $dir%s  sample=100  fixedT_recall@$k%d=$recall%.3f" +
+      f"  converged_recall@$k%d=$recallConv%.3f")
   }
 
   /** The multitable-LSH scale row (round-11 verdict #5): planted-truth

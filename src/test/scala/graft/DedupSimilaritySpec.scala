@@ -708,6 +708,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, f"NN-Descent recall $recall%.3f below floor after 3 rounds")
   }
 
+  test("sim_knn_graph converged production form: terminates, well-formed, at/above fixed-T recall") {
+    import org.apache.spark.sql.functions._
+    val k = 10
+    val conv = Similarity.simKnnGraphConverged(spark, Sf).collect()
+    val n = Tables.embeddings(spark, Sf).count()
+    val byV = conv.groupBy(_.getAs[Long]("vec_id"))
+    assert(byV.size == n)
+    byV.foreach { case (v, rows) =>
+      assert(rows.length == k && rows.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to k.toLong), s"malformed neighbor list at $v")
+    }
+    val e = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val exact = e.as("x").join(e.as("y"), col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        graft.functions.VectorFunctions.cosine_similarity(col("x.v"), col("y.v")).as("c"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("a")
+          .orderBy(col("c").desc, col("b"))))
+      .filter(col("rn") <= k)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val convEdges = conv.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id"))).toSet
+    val fixedEdges = Similarity.simKnnGraph(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id"))).toSet
+    val rConv = (exact & convEdges).size.toDouble / exact.size
+    val rFixed = (exact & fixedEdges).size.toDouble / exact.size
+    info(f"converged recall $rConv%.3f vs fixed-T harness $rFixed%.3f")
+    // running to convergence with LSH-seeded init must never lose to
+    // the fixed-T contract harness (at 10x the gap is 0.96-vs-0.00 on
+    // the replica — tools.IvfRecallEval's measured rows)
+    assert(rConv >= rFixed,
+      f"converged form ($rConv%.3f) below the fixed-T harness ($rFixed%.3f)")
+    CacheRegistry.releaseAll()
+  }
+
   test("sim_knn_components: labels equal union-find over the thresholded graph edges") {
     val tau = 0.4
     val comp = Similarity.simKnnComponents(spark, Sf).collect()
