@@ -873,6 +873,39 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  /** COMPLIANCE deletion from the persisted k-NN graph — the forget
+    * path that completes the graph artifact's lifecycle (the
+    * [[ivfIndexForget]] analog): every row where the deleted vector
+    * appears on EITHER side is removed — as a vertex (its neighbor
+    * list) and as a neighbor (other vertices' lists) — so a deleted
+    * user's vector influences no downstream consumer immediately.
+    * Surviving vertices keep their remaining ≤k neighbors with
+    * ORIGINAL ranks (rank gaps mark where deletions happened — an
+    * auditable trace, and consumers rank-agnostically read edge
+    * sets); top-up repair is deliberately DEFERRED to the next
+    * rebuild, because back-filling would re-run descent against the
+    * full corpus for what is usually a tiny deletion batch. O(graph)
+    * one-pass rewrite through a durable [[StagedRewrite]], so a
+    * crash mid-forget cannot lose the graph. Single-writer per
+    * table, like every mutation path. */
+  def knnGraphForget(s: SparkSession, table: String, ids: DataFrame): Unit = {
+    StagedRewrite.recover(s, table)
+    val del = ids.select(col("vec_id").as("d")).distinct()
+    val g = s.table(table)
+    // two broadcast hash anti-joins (codegen'd membership tests), not
+    // one OR-condition nested loop
+    val keep = g
+      .join(broadcast(del.select(col("d").as("vec_id"))), Seq("vec_id"), "left_anti")
+      .join(broadcast(del.select(col("d").as("nbr_id"))), Seq("nbr_id"), "left_anti")
+      .select(g.columns.map(col): _*)
+    val asVertex = g.join(broadcast(del.select(col("d").as("vec_id"))),
+      Seq("vec_id"), "left_semi")
+    val asNbr = g.join(broadcast(del.select(col("d").as("nbr_id"))),
+      Seq("nbr_id"), "left_semi")
+    if (!asVertex.isEmpty || !asNbr.isEmpty)
+      StagedRewrite.rewrite(s, table, keep)
+  }
+
   /** Semantic clusters FROM the k-NN graph (`sim_knn_components`) —
     * the first consumer of [[simKnnGraph]]'s artifact, and the
     * graph-based route to semantic near-dup clustering: threshold

@@ -743,6 +743,49 @@ class DedupSimilaritySpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("knn graph forget: deleted vectors vanish from BOTH sides; survivors untouched; crash-safe") {
+    import org.apache.spark.sql.functions._
+    val table = Similarity.knnGraphTable(spark, Sf)
+    // rebuild fresh so this spec owns the table's mutation sequence
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Similarity.knnGraphTable(spark, Sf)
+    val before = spark.table(table).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nbr_id"), r.getAs[Double]("cosine")))
+    import spark.implicits._
+    val delIds = Set(1L, 7L, 42L)
+    val del = delIds.toSeq.toDF("vec_id")
+    Similarity.knnGraphForget(spark, table, del)
+    val after = spark.table(table).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nbr_id"), r.getAs[Double]("cosine")))
+    // gone from both sides
+    assert(!after.exists(r => delIds(r._1) || delIds(r._3)),
+      "a deleted vector survived in the graph")
+    // survivors byte-equal: exactly the before-rows not touching del,
+    // original ranks preserved (gaps are the auditable deletion trace)
+    val expect = before.filterNot(r => delIds(r._1) || delIds(r._3)).toSet
+    assert(after.toSet == expect, "forget disturbed surviving rows")
+    // idempotent re-run is a no-op
+    Similarity.knnGraphForget(spark, table, del)
+    assert(spark.table(table).collect().length == after.length)
+    // crash between TRUNCATE and re-append: the durable stage heals
+    // via recover-on-next-mutation, losing nothing
+    val del2 = Seq(3L).toDF("vec_id")
+    intercept[RuntimeException] {
+      graft.operators.StagedRewrite.rewrite(spark, table,
+        spark.table(table)
+          .join(broadcast(del2.select(col("vec_id"))), Seq("vec_id"), "left_anti"),
+        afterTruncate = () => throw new RuntimeException("injected crash"))
+    }
+    assert(spark.table(table).isEmpty, "crash window not reached") // raw mid-swap
+    Similarity.knnGraphForget(spark, table, del2) // heals, then applies
+    val healed = spark.table(table).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id")))
+    assert(healed.nonEmpty && !healed.exists(p => p._1 == 3L || p._2 == 3L))
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("sim_knn_components: labels equal union-find over the thresholded graph edges") {
     val tau = 0.4
     val comp = Similarity.simKnnComponents(spark, Sf).collect()
