@@ -790,9 +790,11 @@ object Dedup {
     * adjacency list is ever collected (a hub node's Γ(u) stays a
     * grouped aggregate, never an array). The convergence probe is a
     * count + order-independent xxhash64 fingerprint in ONE aggregate
-    * per half-round; lineage is truncated per round via lazy
-    * localCheckpoint so round N's planning doesn't re-analyze rounds
-    * 1..N-1. */
+    * per half-round; lineage is truncated per round via a lazy
+    * [[Lineage.cut]] (localCheckpoint by default, reliable checkpoint
+    * under `graft.reliableCheckpointDir` — executor loss mid-loop on
+    * a real cluster is then a retry, not a job failure) so round N's
+    * planning doesn't re-analyze rounds 1..N-1. */
   private[graft] def connectedComponentsLoop(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     // The near-dup edge set is orders of magnitude smaller than the
     // corpus, so the loop runs on a handful of partitions — per-round
@@ -803,7 +805,7 @@ object Dedup {
     var edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .coalesce(4)
-      .localCheckpoint(false)
+      .transform(Lineage.cut(_, eager = false))
     def largeStar(e: DataFrame): DataFrame = {
       val bidir = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val mins = bidir.groupBy("u").agg(least(col("u"), min("v")).as("m"))
@@ -836,7 +838,7 @@ object Dedup {
     var iter = 0
     var converged = prev._1 == 0L
     while (iter < maxIter && !converged) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(false)
+      val next = Lineage.cut(smallStar(largeStar(edges)), eager = false)
       val cur = probe(next)
       edges = next
       converged = cur == prev

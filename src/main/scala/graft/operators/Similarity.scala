@@ -720,8 +720,10 @@ object Similarity {
         .filter(col("rn") <= k)
     var edges = seeds.select("a", "b").distinct()
     for (_ <- 1 to iters) {
-      // TRUNCATE THE LOGICAL PLAN each round (eager localCheckpoint,
-      // the iterative-algorithm shape): und appears 3× in the next
+      // TRUNCATE THE LOGICAL PLAN each round (eager [[Lineage.cut]]
+      // — localCheckpoint by default, durable checkpoint() under
+      // `graft.reliableCheckpointDir` for cluster runs where executor
+      // loss mid-descent must be a retry, not a job failure): und appears 3× in the next
       // round's tree and edges 2× in und's, so the lazy chain grows
       // ~6× per round and ANALYSIS time — not execution — dominates
       // (measured at sf0.1: 36 s lazy, 21 s cache+count — count
@@ -743,7 +745,7 @@ object Similarity {
       val nn = und.as("x").join(und.as("y"), col("x.b") === col("y.a"))
         .select(col("x.a").as("a"), col("y.b").as("b"))
         .filter(col("a") =!= col("b"))
-      edges = topk(und.union(nn).distinct()).select("a", "b").localCheckpoint()
+      edges = Lineage.cut(topk(und.union(nn).distinct()).select("a", "b"))
     }
     topk(edges) // final pass re-derives rank + score for the output
       .select(col("a").as("vec_id"), col("rn").cast("long").as("rank"),
@@ -765,6 +767,14 @@ object Similarity {
       graft.sources.Sources.clearOrphanedLocation(s, table)
       simKnnGraph(s, dir, k, iters)
         .write.format("parquet").saveAsTable(table)
+    } else {
+      // [[knnGraphForget]]/[[knnGraphAppend]] mutate this table via
+      // StagedRewrite, so every READ accessor heals an interrupted
+      // swap first (the suppressionTable invariant): a crash between
+      // TRUNCATE and re-append otherwise leaves the graph EMPTY and
+      // every consumer (components / label-prop / MIS) silently
+      // returns singleton clusters until the next mutation runs.
+      StagedRewrite.recover(s, table)
     }
     table
   }
@@ -778,10 +788,11 @@ object Similarity {
     * n=20000 (each vector's true top-10 are its planted twins, which
     * random seeding + 3 rounds never reach). The paper's loop runs
     * until the graph stops improving; rounds grow ~log n. This form
-    * iterates until the edge set's order-independent (count,
-    * hash-sum) fingerprint is UNCHANGED between rounds (the
-    * [[Dedup.connectedComponentsLoop]] probe — one bounded aggregate
-    * per round, nothing collected), throwing past `maxIters` instead
+    * iterates until a round changes fewer than δ·|edges₀| entries
+    * (one bounded anti-join aggregate per round, nothing collected —
+    * and since per-vertex top-k counts are monotone non-decreasing,
+    * a zero-change round IS an exact fixpoint, so no separate
+    * fingerprint probe is needed), throwing past `maxIters` instead
     * of returning a silently-unconverged graph. Deterministic like
     * the fixed form (the stop round is a pure function of the data),
     * just not fixed-T-replayable — which is exactly the
@@ -798,8 +809,17 @@ object Similarity {
     * seeding hands the descent exactly the candidates transitivity
     * cannot discover — the standard KGraph-style hybrid. */
   def simKnnGraphConverged(s: SparkSession, dir: String, k: Int = 10,
-                           maxIters: Int = 30, delta: Double = 0.001): DataFrame = {
-    val e = Tables.embeddings(s, dir)
+                           maxIters: Int = 30, delta: Double = 0.001): DataFrame =
+    knnDescentConverged(s, Tables.embeddings(s, dir), k, maxIters, delta)
+
+  /** [[simKnnGraphConverged]]'s corpus-parameterized core — `corpus`
+    * is any (vec_id, embedding) frame, so the same converged descent
+    * builds the base graph of the incremental path
+    * ([[knnGraphAppend]]'s base twin) and any filtered/augmented
+    * variant the specs need. */
+  private[graft] def knnDescentConverged(s: SparkSession, corpus: DataFrame, k: Int = 10,
+                                         maxIters: Int = 30, delta: Double = 0.001): DataFrame = {
+    val e = corpus
       .select(col("vec_id"), asDouble(col("embedding")).as("v")).cacheTracked
     val ids = e.select(col("vec_id"))
     val m = ids.agg((max(col("vec_id")) + 1).as("m"))
@@ -831,15 +851,11 @@ object Similarity {
         .withColumn("rn", row_number().over(
           Window.partitionBy("a").orderBy(col("c").desc, col("b"))))
         .filter(col("rn") <= k)
-    def probe(df: DataFrame): (Long, java.math.BigDecimal) = {
-      val r = df.agg(count(lit(1)),
-        sum(xxhash64(col("a"), col("b")).cast("decimal(38,0)"))).collect().head
-      (r.getLong(0), if (r.isNullAt(1)) java.math.BigDecimal.ZERO else r.getDecimal(1))
-    }
-    var edges = topk(seeds.select("a", "b").distinct())
-      .select("a", "b").localCheckpoint()
-    var prev = probe(edges)
-    val updateFloor = math.max(1L, (delta * prev._1).toLong)
+    var edges = Lineage.cut(topk(seeds.select("a", "b").distinct())
+      .select("a", "b"))
+    // δ floor from the initial edge count — one bounded aggregate,
+    // paid once, not per round
+    val updateFloor = math.max(1L, (delta * edges.count()).toLong)
     var iter = 0
     var converged = false
     while (iter < maxIters && !converged) {
@@ -848,21 +864,24 @@ object Similarity {
         .withColumn("rr", row_number().over(
           Window.partitionBy("a").orderBy("b")))
         .filter(col("rr") <= k).drop("rr")
-      val und = edges.union(rev).distinct().localCheckpoint()
+      val und = Lineage.cut(edges.union(rev).distinct())
       val nn = und.as("x").join(und.as("y"), col("x.b") === col("y.a"))
         .select(col("x.a").as("a"), col("y.b").as("b"))
         .filter(col("a") =!= col("b"))
       val prevEdges = edges
-      edges = topk(und.union(nn).distinct()).select("a", "b").localCheckpoint()
-      val cur = probe(edges)
-      // exact fixpoint (fingerprint unchanged) OR the paper's δ
-      // termination: stop once the round changed fewer than δ·|edges|
-      // entries — the long tail past that moves single edges per
-      // round at full-round cost for no measurable recall (the
-      // changed-edge count is one bounded anti-join aggregate)
-      converged = cur == prev ||
+      edges = Lineage.cut(topk(und.union(nn).distinct()).select("a", "b"))
+      // ONE bounded aggregate per round (the paper's δ termination):
+      // stop once the round changed fewer than δ·|edges₀| entries —
+      // the long tail past that moves single edges per round at
+      // full-round cost for no measurable recall. The anti-join
+      // changed-edge count SUBSUMES the old (count, hash-sum)
+      // fingerprint probe: per-vertex top-k counts are monotone
+      // non-decreasing (the candidate set always contains the
+      // current edges), so zero new-not-in-prev edges ⟹ the edge
+      // sets are EQUAL — exact-fixpoint detection falls out of the δ
+      // check for free, one job per round instead of two.
+      converged =
         edges.join(prevEdges, Seq("a", "b"), "left_anti").count() < updateFloor
-      prev = cur
     }
     if (!converged)
       throw new IllegalStateException(
@@ -885,9 +904,12 @@ object Similarity {
     * sets); top-up repair is deliberately DEFERRED to the next
     * rebuild, because back-filling would re-run descent against the
     * full corpus for what is usually a tiny deletion batch. O(graph)
-    * one-pass rewrite through a durable [[StagedRewrite]], so a
-    * crash mid-forget cannot lose the graph. Single-writer per
-    * table, like every mutation path. */
+    * one-pass rewrite through a durable [[StagedRewrite]] — the
+    * protocol DOUBLE-WRITES the graph (stage + re-append), which on
+    * the O(n·k) artifact is the stated durability price of a
+    * crash-proof forget (contrast the O(tombstones) compliance
+    * tables where it is noise). Single-writer per table, like every
+    * mutation path. */
   def knnGraphForget(s: SparkSession, table: String, ids: DataFrame): Unit = {
     StagedRewrite.recover(s, table)
     val del = ids.select(col("vec_id").as("d")).distinct()
@@ -898,11 +920,13 @@ object Similarity {
       .join(broadcast(del.select(col("d").as("vec_id"))), Seq("vec_id"), "left_anti")
       .join(broadcast(del.select(col("d").as("nbr_id"))), Seq("nbr_id"), "left_anti")
       .select(g.columns.map(col): _*)
-    val asVertex = g.join(broadcast(del.select(col("d").as("vec_id"))),
-      Seq("vec_id"), "left_semi")
-    val asNbr = g.join(broadcast(del.select(col("d").as("nbr_id"))),
-      Seq("nbr_id"), "left_semi")
-    if (!asVertex.isEmpty || !asNbr.isEmpty)
+    // ONE pre-check scan for "does any row touch a deleted id on
+    // EITHER side": explode both endpoints and broadcast-hash
+    // semi-join — same codegen'd membership test, half the graph
+    // scans of the previous two-probe form
+    val touched = g.select(explode(array(col("vec_id"), col("nbr_id"))).as("d"))
+      .join(broadcast(del), Seq("d"), "left_semi")
+    if (!touched.isEmpty)
       StagedRewrite.rewrite(s, table, keep)
   }
 
@@ -959,7 +983,7 @@ object Similarity {
     * labels, one (a, lbl) partial-aggregated count, one per-vertex
     * top-1 window (map-side WindowGroupLimit), one left join back —
     * all fixed-width rows bounded by the O(n·k) edge table; lineage
-    * cut per round (localCheckpoint, the [[simKnnGraph]] lesson).
+    * cut per round ([[Lineage.cut]], the [[simKnnGraph]] lesson).
     * The training-data uses: cheap community structure for corpus
     * curation (topic-ish sampling weights, per-community quotas)
     * without a clustering model. */
@@ -968,7 +992,7 @@ object Similarity {
     val g = s.table(knnGraphTable(s, dir, k, iters))
     val und = g.select(col("vec_id").as("a"), col("nbr_id").as("b"))
       .union(g.select(col("nbr_id").as("a"), col("vec_id").as("b")))
-      .distinct().localCheckpoint()
+      .distinct().transform(Lineage.cut(_))
     var labels = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"), col("vec_id").as("lbl"))
     for (_ <- 1 to rounds) {
@@ -979,9 +1003,8 @@ object Similarity {
           Window.partitionBy("a").orderBy(col("cnt").desc, col("lbl"))))
         .filter(col("rn") === 1)
         .select(col("a").as("id"), col("lbl").as("new_lbl"))
-      labels = labels.join(top, Seq("id"), "left")
-        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+      labels = Lineage.cut(labels.join(top, Seq("id"), "left")
+        .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl")))
     }
     labels.select(col("id").as("vec_id"), col("lbl").as("label"))
       .orderBy("vec_id")
@@ -1007,7 +1030,7 @@ object Similarity {
     * asserts zero undecided at test scale; at production scale
     * rounds is the O(log n) Luby bound for hashed priorities).
     * All state is fixed-width (id, st) rows; lineage cut per round
-    * (the [[simKnnGraph]] lesson). Consumes the PERSISTED
+    * ([[Lineage.cut]], the [[simKnnGraph]] lesson). Consumes the PERSISTED
     * [[knnGraphTable]] artifact like every other graph consumer. */
   def simKnnDiversity(s: SparkSession, dir: String, k: Int = 10, iters: Int = 3,
                       tau: Double = 0.4, rounds: Int = 8): DataFrame = {
@@ -1015,14 +1038,14 @@ object Similarity {
     val g = s.table(knnGraphTable(s, dir, k, iters)).filter(col("cosine") >= tau)
     val und = g.select(col("vec_id").as("a"), col("nbr_id").as("b"))
       .union(g.select(col("nbr_id").as("a"), col("vec_id").as("b")))
-      .distinct().localCheckpoint()
+      .distinct().transform(Lineage.cut(_))
     var st = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id")).withColumn("st", lit(0))
     var round = 0
     var done = false
     while (round < rounds && !done) {
       round += 1
-      val undec = st.filter(col("st") === 0).select("id").localCheckpoint()
+      val undec = Lineage.cut(st.filter(col("st") === 0).select("id"))
       // EARLY EXIT, output-identical: a round with no undecided
       // vertices selects and excludes nobody, so the remaining
       // rounds are no-ops — the fixed-round oracle replay still
@@ -1045,9 +1068,19 @@ object Similarity {
         .join(exc.withColumn("e", lit(1)), Seq("id"), "left")
         .select(col("id"),
           when(col("m") === 1, 1).when(col("e") === 1, 2).otherwise(col("st")).as("st"))
-        .localCheckpoint()
+        .transform(Lineage.cut(_))
       }
     }
+    // MAXIMALITY guard (the [[simKnnGraphConverged]] throw-on-
+    // non-convergence contract): a vertex still undecided when the
+    // round budget runs out would be emitted selected=false with NO
+    // selected ≥τ-neighbor — silently breaking the documented
+    // coverage invariant. Fail loudly instead; `rounds` is the
+    // O(log n) Luby bound, so hitting this means raise it.
+    if (!done && !st.filter(col("st") === 0).isEmpty)
+      throw new IllegalStateException(
+        s"Luby MIS left undecided vertices after $rounds rounds — " +
+          "raise `rounds` (O(log n) suffices for hashed priorities)")
     st.select(col("id").as("vec_id"), (col("st") === 1).as("selected"))
       .orderBy("vec_id")
   }

@@ -35,11 +35,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * marker drop but before the stage drop → recover sees
   * stage-without-marker and drops it; `t` already holds the result.
   * Recovery itself re-enters the same branches, so a crash DURING
-  * recovery is also repaired by the next call. Single-writer per
-  * table, like every mutation path over these tables.
+  * recovery is also repaired by the next call.
   *
-  * Bounded by design: only ever applied to the pending-deletions
-  * tables (O(tombstones) rows), never to corpus state. */
+  * Concurrency contract: SINGLE SESSION per managed table — for
+  * READS as well as writes. [[recover]] is invoked from the read
+  * accessors (a probe heals an interrupted swap before reading), so
+  * any reader may become a writer: two concurrent sessions both
+  * observing a pending marker could interleave the TRUNCATE+append
+  * replay (one truncating after the other's append), duplicating or
+  * losing rows. This matches the warehouse-wide single-session rule
+  * the repo already operates under (concurrent fresh-catalog
+  * sessions clobber each other's tables regardless of this
+  * protocol); a multi-writer deployment needs a catalog-level lock
+  * or an atomic-rename table format underneath.
+  *
+  * Cost: the rewrite double-writes the table (stage + re-append).
+  * For the pending-deletions tables that is O(tombstones) — noise.
+  * [[Similarity.knnGraphForget]]/[[Similarity.knnGraphAppend]] apply
+  * it to the O(n·k) persisted graph artifact, where the double-write
+  * IS the durability price and each method's contract says so. */
 object StagedRewrite {
   private[graft] def stageTable(t: String): String = s"${t}_rstage"
   private[graft] def markerTable(t: String): String = s"${t}_rcommit"

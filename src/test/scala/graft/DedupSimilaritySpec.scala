@@ -1091,4 +1091,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(tableMass < probeMass,
       s"multi-table scanned MORE candidates ($tableMass) than multi-probe ($probeMass)")
   }
+
+  test("reliable-checkpoint knob: identical output on the durable lineage-cut path") {
+    // the iterative family's cluster-grade durability form: with
+    // graft.reliableCheckpointDir set, every Lineage.cut becomes a
+    // reliable checkpoint() (executor loss = retry, not job failure);
+    // output must be IDENTICAL to the localCheckpoint default, and
+    // checkpoint data must actually land in the directory.
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toFile
+    val baseGraph = Similarity.simKnnGraph(spark, Sf, k = 4, iters = 2).collect().toSeq
+    val baseClusters = Dedup.dedupClusters(spark, Sf).collect().toSeq
+    val (relGraph, relClusters) =
+      withConf(graft.operators.Lineage.ReliableDirKey -> ckpt.getAbsolutePath) {
+        (Similarity.simKnnGraph(spark, Sf, k = 4, iters = 2).collect().toSeq,
+          // exercises the LAZY cut variant (the CC star loop)
+          Dedup.dedupClusters(spark, Sf).collect().toSeq)
+      }
+    assert(relGraph == baseGraph, "descent output differs on the reliable-checkpoint path")
+    assert(relClusters == baseClusters, "CC output differs on the reliable-checkpoint path")
+    def files(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(files).sum else 1L
+    assert(files(ckpt) > 0, "no checkpoint data written to the reliable dir")
+  }
 }
