@@ -99,6 +99,7 @@ object SparkEntry {
     "sim_lsh_multitable" -> ((s, d) => Similarity.simLshMultiTable(s, d)),
     "sim_eval" -> ((s, d) => Similarity.simEval(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.simKnnGraph(s, d)),
+    "sim_knn_graph_incremental" -> ((s, d) => Similarity.simKnnGraphIncremental(s, d)),
     "sim_knn_components" -> ((s, d) => Similarity.simKnnComponents(s, d)),
     "sim_knn_label_prop" -> ((s, d) => Similarity.simKnnLabelProp(s, d)),
     "sim_knn_diversity" -> ((s, d) => Similarity.simKnnDiversity(s, d)),
@@ -591,6 +592,112 @@ object SparkEntry {
     s"""WITH ${knnGraphOracleCtes(k, iters)}
        |SELECT a AS vec_id, rn::BIGINT AS rank, b AS nbr_id, round(c, 4) AS cosine
        |FROM fin ORDER BY vec_id, rank""".stripMargin
+
+  /** DuckDB replica of
+    * [[operators.Similarity.simKnnGraphIncremental]] — the
+    * build+grow trace unrolled end to end: the fixed-T base descent
+    * over vec_id % 10 != 0 (its OWN id space and modulus), then
+    * `appendIters` restricted append rounds for the held-out ids
+    * (hash-only seeds over the FULL id space; reverse edges capped
+    * onto new vertices only; expansion through the UNION graph so a
+    * new vertex climbs the frozen base lists), then the back-edge
+    * merge — touched old vertices re-top-k their frozen list ∪ the
+    * reversed new edges, untouched base rows pass through with their
+    * original rank and rounded cosine. The shared all-pairs cosine
+    * matrix is computed once (the sim_knn_graph pattern); every
+    * multiply-referenced round is MATERIALIZED (the
+    * knnComponents inlining lesson). */
+  private def knnGraphIncrementalOracleSql(k: Int, iters: Int, appendIters: Int): String = {
+    val baseRounds = (1 to iters).map { t =>
+      val prev = s"be${t - 1}"
+      s"""bu$t AS MATERIALIZED (SELECT a, b FROM $prev UNION
+         |        SELECT a, b FROM (
+         |          SELECT p.b AS a, p.a AS b,
+         |                 row_number() OVER (PARTITION BY p.b ORDER BY p.a) AS rr
+         |          FROM $prev p) WHERE rr <= $k),
+         |bc$t AS (SELECT a, b FROM bu$t UNION
+         |        SELECT x.a, y.b FROM bu$t x JOIN bu$t y ON x.b = y.a WHERE x.a <> y.b),
+         |be$t AS MATERIALIZED (SELECT a, b FROM (
+         |  SELECT bc$t.a, bc$t.b,
+         |         row_number() OVER (PARTITION BY bc$t.a ORDER BY cs.c DESC, bc$t.b) AS rn
+         |  FROM bc$t JOIN cs ON cs.ia = bc$t.a AND cs.ib = bc$t.b) WHERE rn <= $k)"""
+        .stripMargin
+    }.mkString(",\n")
+    val appendRounds = (1 to appendIters).map { t =>
+      val prev = s"n${t - 1}"
+      s"""rv$t AS (SELECT a, b FROM (
+         |  SELECT p.b AS a, p.a AS b,
+         |         row_number() OVER (PARTITION BY p.b ORDER BY p.a) AS rr
+         |  FROM $prev p WHERE p.b % 10 = 0) WHERE rr <= $k),
+         |al$t AS MATERIALIZED (SELECT a, b FROM $prev UNION SELECT a, b FROM bfe),
+         |cn$t AS (SELECT a, b FROM $prev UNION SELECT a, b FROM rv$t UNION
+         |        SELECT x.a, y.b FROM $prev x JOIN al$t y ON x.b = y.a WHERE x.a <> y.b),
+         |n$t AS MATERIALIZED (SELECT a, b FROM (
+         |  SELECT cn$t.a, cn$t.b,
+         |         row_number() OVER (PARTITION BY cn$t.a ORDER BY cs.c DESC, cn$t.b) AS rn
+         |  FROM cn$t JOIN cs ON cs.ia = cn$t.a AND cs.ib = cn$t.b) WHERE rn <= $k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ex AS (
+       |  SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY vec_id),
+       |dots AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.x * b.x) AS dot
+       |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |cs AS MATERIALIZED (
+       |  SELECT ia, ib, d.dot / (na.nrm * nb.nrm) AS c
+       |  FROM dots d JOIN norms na ON na.vec_id = d.ia JOIN norms nb ON nb.vec_id = d.ib),
+       |bids AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 0),
+       |nids AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 = 0),
+       |bm AS (SELECT max(vec_id) + 1 AS m FROM bids),
+       |be0 AS (
+       |  SELECT DISTINCT i.vec_id AS a,
+       |         (i.vec_id * 1664525 + t.j * 40503) % bm.m AS b
+       |  FROM bids i CROSS JOIN bm CROSS JOIN range(1, ${k + 1}) t(j)
+       |  WHERE (i.vec_id * 1664525 + t.j * 40503) % bm.m <> i.vec_id
+       |    AND (i.vec_id * 1664525 + t.j * 40503) % bm.m IN (SELECT vec_id FROM bids)),
+       |$baseRounds,
+       |bfe AS MATERIALIZED (SELECT a, b FROM be$iters),
+       |fm AS (SELECT max(vec_id) + 1 AS m FROM embeddings),
+       |s0 AS (
+       |  SELECT DISTINCT i.vec_id AS a,
+       |         (i.vec_id * 1664525 + t.j * 40503) % fm.m AS b
+       |  FROM nids i CROSS JOIN fm CROSS JOIN range(1, ${k + 1}) t(j)
+       |  WHERE (i.vec_id * 1664525 + t.j * 40503) % fm.m <> i.vec_id
+       |    AND (i.vec_id * 1664525 + t.j * 40503) % fm.m IN (SELECT vec_id FROM embeddings)),
+       |n0 AS MATERIALIZED (SELECT a, b FROM (
+       |  SELECT s0.a, s0.b,
+       |         row_number() OVER (PARTITION BY s0.a ORDER BY cs.c DESC, s0.b) AS rn
+       |  FROM s0 JOIN cs ON cs.ia = s0.a AND cs.ib = s0.b) WHERE rn <= $k),
+       |$appendRounds,
+       |back AS MATERIALIZED (
+       |  SELECT p.b AS a, p.a AS b FROM n$appendIters p WHERE p.b % 10 <> 0),
+       |tch AS MATERIALIZED (SELECT DISTINCT a FROM back),
+       |mc AS (SELECT f.a, f.b FROM bfe f JOIN tch ON tch.a = f.a
+       |       UNION SELECT a, b FROM back),
+       |mg AS (SELECT a, b, c, rn FROM (
+       |  SELECT mc.a, mc.b, cs.c,
+       |         row_number() OVER (PARTITION BY mc.a ORDER BY cs.c DESC, mc.b) AS rn
+       |  FROM mc JOIN cs ON cs.ia = mc.a AND cs.ib = mc.b) WHERE rn <= $k),
+       |nf AS (SELECT a, b, c, rn FROM (
+       |  SELECT p.a, p.b, cs.c,
+       |         row_number() OVER (PARTITION BY p.a ORDER BY cs.c DESC, p.b) AS rn
+       |  FROM n$appendIters p JOIN cs ON cs.ia = p.a AND cs.ib = p.b) WHERE rn <= $k),
+       |bfin AS (SELECT a, b, c, rn FROM (
+       |  SELECT f.a, f.b, cs.c,
+       |         row_number() OVER (PARTITION BY f.a ORDER BY cs.c DESC, f.b) AS rn
+       |  FROM bfe f JOIN cs ON cs.ia = f.a AND cs.ib = f.b) WHERE rn <= $k)
+       |SELECT vec_id, rank, nbr_id, cosine FROM (
+       |  SELECT f.a AS vec_id, f.rn::BIGINT AS rank, f.b AS nbr_id, round(f.c, 4) AS cosine
+       |  FROM bfin f WHERE f.a NOT IN (SELECT a FROM tch)
+       |  UNION ALL
+       |  SELECT a, rn::BIGINT, b, round(c, 4) FROM mg
+       |  UNION ALL
+       |  SELECT a, rn::BIGINT, b, round(c, 4) FROM nf)
+       |ORDER BY vec_id, rank""".stripMargin
+  }
 
   /** DuckDB replica of [[operators.Similarity.simKnnComponents]]:
     * the descent's `fin` CTE, thresholded on the ROUNDED cosine
@@ -1710,6 +1817,8 @@ object SparkEntry {
          |     (SELECT count(*)::BIGINT AS n_hit FROM
          |        (SELECT * FROM annq INTERSECT SELECT * FROM exactq))""".stripMargin,
     "sim_knn_graph" -> knnGraphOracleSql(k = 10, iters = 3),
+    "sim_knn_graph_incremental" ->
+      knnGraphIncrementalOracleSql(k = 10, iters = 3, appendIters = 3),
     "sim_knn_components" -> knnComponentsOracleSql(k = 10, iters = 3, tau = 0.4),
     "sim_knn_label_prop" -> knnLabelPropOracleSql(k = 10, iters = 3, rounds = 4),
     "sim_knn_diversity" -> knnDiversityOracleSql(k = 10, iters = 3, tau = 0.4, rounds = 8),
