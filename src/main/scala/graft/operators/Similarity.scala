@@ -290,7 +290,16 @@ object Similarity {
     * recover hook without losing any other suppression entry. */
   def ivfIndexReinstate(s: SparkSession, table: String, ids: DataFrame,
                         afterStage: () => Unit = () => (),
-                        afterTruncate: () => Unit = () => ()): Unit = {
+                        afterTruncate: () => Unit = () => ()): Unit =
+    reinstateSuppressed(s, table, ids, afterStage, afterTruncate)
+
+  /** [[ivfIndexReinstate]]'s table-generic core — the `<table>_sup`
+    * suppression protocol is identical for every artifact that
+    * carries one (IVF index, k-NN graph), so the reinstate rewrite
+    * is too. */
+  private def reinstateSuppressed(s: SparkSession, table: String, ids: DataFrame,
+                                  afterStage: () => Unit = () => (),
+                                  afterTruncate: () => Unit = () => ()): Unit = {
     val supT = s"${table}_sup"
     graft.operators.StagedRewrite.recover(s, supT)
     if (s.catalog.tableExists(supT)) {
@@ -988,9 +997,24 @@ object Similarity {
     * the O(n·k) artifact is the stated durability price of a
     * crash-proof forget (contrast the O(tombstones) compliance
     * tables where it is noise). Single-writer per table, like every
-    * mutation path. */
-  def knnGraphForget(s: SparkSession, table: String, ids: DataFrame): Unit = {
+    * mutation path.
+    *
+    * `suppress = true` is the at-least-once-upstream compliance mode
+    * ([[ivfIndexForget]]'s contract, same `<table>_sup` list): the
+    * ids are recorded FIRST — no append window between removal and
+    * recording can re-accept a redelivery — and every later
+    * [[knnGraphAppend]] anti-joins them until an explicit
+    * [[knnGraphReinstate]]. Default stays physical-only ("append
+    * equals rebuild"), matching the IVF side. */
+  def knnGraphForget(s: SparkSession, table: String, ids: DataFrame,
+                     suppress: Boolean = false): Unit = {
     StagedRewrite.recover(s, table)
+    if (suppress) {
+      val supT = suppressionTable(s, table)
+      ids.select(col("vec_id")).distinct()
+        .join(s.table(supT), Seq("vec_id"), "left_anti")
+        .write.mode("append").insertInto(supT)
+    }
     val del = ids.select(col("vec_id").as("d")).distinct()
     val g = s.table(table)
     // two broadcast hash anti-joins (codegen'd membership tests), not
@@ -1059,8 +1083,15 @@ object Similarity {
                      useLshSeeds: Boolean = true,
                      fixedIters: Option[Int] = None): Unit = {
     StagedRewrite.recover(s, table)
-    val e = corpus
-      .select(col("vec_id"), asDouble(col("embedding")).as("v")).cacheTracked
+    // compliance admission ([[ivfIndexAppend]]'s contract): ids a
+    // suppressing forget recorded stay out — as frontier vertices AND
+    // as neighbor candidates — until reinstated
+    val supT = s"${table}_sup"
+    StagedRewrite.recover(s, supT)
+    val e0 = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val e = (if (s.catalog.tableExists(supT))
+        e0.join(broadcast(s.table(supT).distinct()), Seq("vec_id"), "left_anti")
+      else e0).cacheTracked
     val g = s.table(table)
     val oldE = g.select(col("vec_id").as("a"), col("nbr_id").as("b"))
     // lineage-cut: the tiny new-id list is semi/anti-joined in every
@@ -1151,6 +1182,14 @@ object Similarity {
     StagedRewrite.rewrite(s, table,
       untouched.unionByName(shape(mergedOld)).unionByName(shape(topk(newE))))
   }
+
+  /** Graph twin of [[ivfIndexReinstate]] (user re-consents): remove
+    * the ids from the graph artifact's suppression list so the next
+    * [[knnGraphAppend]] admits their vectors again — as frontier
+    * vertices and as neighbor candidates. Same crash-safe
+    * [[StagedRewrite]] protocol, same no-op-when-absent contract. */
+  def knnGraphReinstate(s: SparkSession, table: String, ids: DataFrame): Unit =
+    reinstateSuppressed(s, table, ids)
 
   /** Semantic clusters FROM the k-NN graph (`sim_knn_components`) —
     * the first consumer of [[simKnnGraph]]'s artifact, and the

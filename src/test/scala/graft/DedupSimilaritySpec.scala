@@ -786,6 +786,58 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
 
+  test("knn graph suppression: suppressing forget blocks re-append until reinstate") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val k = 10
+    val full = Tables.embeddings(spark, Sf).select("vec_id", "embedding")
+    val table = "graft_knn_graph_sup_spec"
+    val supT = s"${table}_sup"
+    Seq(table, supT).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.sources.Sources.clearOrphanedLocation(spark, t)
+    }
+    Similarity.knnDescentConverged(spark, full, k)
+      .write.format("parquet").saveAsTable(table)
+    val delIds = Set(20L, 40L)
+    val del = delIds.toSeq.toDF("vec_id")
+    // compliance mode: physical removal AND the suppression record
+    Similarity.knnGraphForget(spark, table, del, suppress = true)
+    assert(spark.table(supT).collect().map(_.getLong(0)).toSet == delIds)
+    val afterForget = spark.table(table).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nbr_id"))).toSet
+    assert(!afterForget.exists(r => delIds(r._1) || delIds(r._3)))
+    // an at-least-once upstream redelivers the whole corpus: the
+    // append's suppression anti-join must keep the forgotten vectors
+    // out — graph unchanged row for row (empty frontier, early return)
+    Similarity.knnGraphAppend(spark, table, full, k)
+    val afterApp = spark.table(table).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nbr_id"))).toSet
+    assert(afterApp == afterForget, "suppressed redelivery mutated the graph")
+    // suppress re-run is idempotent (no duplicate list entries)
+    Similarity.knnGraphForget(spark, table, del, suppress = true)
+    assert(spark.table(supT).count() == delIds.size)
+    // reinstate (user re-consents): list empties, the next append
+    // re-admits the vectors with well-formed 1..k lists
+    Similarity.knnGraphReinstate(spark, table, del)
+    assert(spark.table(supT).isEmpty)
+    Similarity.knnGraphAppend(spark, table, full, k)
+    val back = spark.table(table).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nbr_id")))
+    val byV = back.groupBy(_._1)
+    assert(byV.size == full.count(), "reinstated vectors missing from the graph")
+    delIds.foreach { id =>
+      val rows = byV(id)
+      assert(rows.length == k && rows.map(_._2).sorted.toSeq == (1L to k.toLong),
+        s"malformed neighbor list at reinstated $id")
+    }
+    Seq(table, supT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    CacheRegistry.releaseAll()
+  }
+
   test("sim_knn_components: labels equal union-find over the thresholded graph edges") {
     val tau = 0.4
     val comp = Similarity.simKnnComponents(spark, Sf).collect()

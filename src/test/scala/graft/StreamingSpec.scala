@@ -1,7 +1,7 @@
 package graft
 
 import graft.operators.Dedup
-import graft.streaming.{EventStream, StreamingIngest}
+import graft.streaming.{EventStream, GraphIngest, StreamingIngest}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -493,5 +493,82 @@ class StreamingSpec extends SparkSpec {
     q.stop()
     assert(seen.size == batchOut.size)
     assert(seen.toMap == batchOut, "streamed gate diverges from batch gate")
+  }
+
+  test("knn graph streaming ingest: corpus + graph maintained per batch, crash-safe, redelivery no-op") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val k = 10
+    val base = java.nio.file.Files.createTempDirectory("graft-gingest").toString
+    val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    val full = Tables.embeddings(spark, Sf).select("vec_id", "embedding")
+    val seed = full.filter(col("vec_id") % 10 =!= 0)
+    val b0 = full.filter(col("vec_id") % 20 === 0)
+    val b1 = full.filter(col("vec_id") % 20 === 10)
+    val corpusT = "graft_knn_stream_corpus_spec"
+    val graphT = "graft_knn_stream_graph_spec"
+    val refT = "graft_knn_stream_graph_ref"
+    Seq(corpusT, graphT, refT).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.sources.Sources.clearOrphanedLocation(spark, t)
+    }
+    seed.write.format("parquet").saveAsTable(corpusT)
+    val baseGraph = Similarity.knnDescentConverged(spark, seed, k)
+      .localCheckpoint() // one descent, two identical table writes
+    baseGraph.write.format("parquet").saveAsTable(graphT)
+    baseGraph.write.format("parquet").saveAsTable(refT)
+    // reference: the SAME batch sequence applied directly — append is
+    // deterministic, so the streamed tables must land byte-identical
+    Similarity.knnGraphAppend(spark, refT, seed.union(b0), k)
+    Similarity.knnGraphAppend(spark, refT, full, k)
+    val expected = spark.table(refT).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nbr_id"), r.getAs[Double]("cosine"))).toSet
+
+    def writeSrc(df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).write.mode("append").parquet(srcDir)
+    def src = spark.readStream.schema(full.schema).parquet(srcDir)
+
+    // batch 0 applies ALL effects (corpus append + graph swap), then
+    // the injected crash lands before the commit log — the worst
+    // window; the replay must be a no-op end to end because both
+    // effects are idempotent by key
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    writeSrc(b0)
+    val q1 = GraphIngest.knnGraphIngest(src, corpusT, graphT, ckpt, k = k,
+      afterBatch = { id =>
+        if (id >= 0 && crashed.compareAndSet(false, true))
+          throw new RuntimeException("injected crash after all effects, before commit")
+      })
+    try { q1.processAllAvailable(); q1.awaitTermination() } catch { case _: Exception => () }
+    assert(crashed.get, "crash injection never fired")
+
+    // restart: batch 0 replays (no-op), then batch 1 arrives carrying
+    // two REDELIVERED batch-0 vectors (at-least-once upstream) — the
+    // corpus anti-join drops them, the graph frontier is empty for them
+    val redelivered = b0.orderBy("vec_id").limit(2)
+    val q2 = GraphIngest.knnGraphIngest(src, corpusT, graphT, ckpt, k = k)
+    q2.processAllAvailable()
+    writeSrc(b1.union(redelivered))
+    q2.processAllAvailable()
+    q2.stop()
+
+    // corpus: every vector exactly once, nothing extra
+    val corpusIds = spark.table(corpusT).select("vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    val fullIds = full.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(corpusIds.distinct.size == corpusIds.size, "corpus has duplicate vec_ids")
+    assert(corpusIds.toSet == fullIds,
+      s"corpus missing ${fullIds -- corpusIds.toSet}, extra ${corpusIds.toSet -- fullIds}")
+    // graph: identical to the directly-appended reference sequence
+    val got = spark.table(graphT).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("nbr_id"), r.getAs[Double]("cosine"))).toSet
+    assert(got == expected,
+      s"streamed graph diverges from direct-append reference: " +
+        s"missing ${(expected -- got).take(5)}, extra ${(got -- expected).take(5)}")
+    Seq(corpusT, graphT, refT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    CacheRegistry.releaseAll()
   }
 }
