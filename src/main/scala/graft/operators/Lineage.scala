@@ -40,6 +40,15 @@ object Lineage {
     * instead of executor-local `localCheckpoint()`. */
   val ReliableDirKey = "graft.reliableCheckpointDir"
 
+  /** The dir most recently passed to `setCheckpointDir`. Spark stores
+    * the fully-qualified `<dir>/<UUID>` path internally, so comparing
+    * `getCheckpointDir` against the CONFIGURED dir never matches —
+    * re-setting on every cut would mint a fresh UUID subdirectory per
+    * lineage cut (directory proliferation plus an FS round-trip per
+    * round on object stores). Track what we set ourselves instead and
+    * only re-set when the conf actually changes. */
+  @volatile private var lastSetDir: String = null
+
   /** `eager = false` keeps the checkpoint lazy (the connected-
     * components loop materializes through its own fingerprint probe
     * immediately after, so an eager job there would run twice). */
@@ -47,8 +56,10 @@ object Lineage {
     val s = df.sparkSession
     s.conf.getOption(ReliableDirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
-        if (!s.sparkContext.getCheckpointDir.contains(dir))
+        if (dir != lastSetDir) {
           s.sparkContext.setCheckpointDir(dir)
+          lastSetDir = dir
+        }
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)
     }

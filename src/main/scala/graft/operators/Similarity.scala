@@ -818,6 +818,94 @@ object Similarity {
     table
   }
 
+  /** GRAPH-BASED ANN SERVING (`sim_graph_search`) — beam search over
+    * the persisted k-NN graph, the QUERY PATH that makes the graph
+    * artifact a serving structure and not just an analysis input
+    * (the DiskANN / HNSW-layer-0 search discipline: Subramanya et
+    * al., "DiskANN", NeurIPS 2019; Malkov & Yashunin, TPAMI 2018).
+    * IVF answers "which cell"; the graph answers "walk toward the
+    * query": start from entry points, repeatedly expand the current
+    * best `beam` candidates through their graph edges, re-rank by
+    * true cosine, keep the best `beam`, emit top-k after `hops`
+    * rounds. FIXED hops is the serving form on purpose — query
+    * latency is bounded by construction (each hop is one bounded
+    * join, candidates ≤ queries·beam·(graphK+1) before re-rank),
+    * the property a p99-governed serving tier needs; δ-style "walk
+    * until no improvement" belongs to offline builds, not queries.
+    *
+    * Per hop, EVERY beam member expands (best-first-batch), not just
+    * the single best — the batched form trades a little extra
+    * scoring for one round-trip per hop instead of one per visited
+    * vertex, which is the only shape that makes sense when a hop is
+    * a distributed join over a MILLION concurrent queries rather
+    * than a pointer chase in RAM.
+    *
+    * Entry points are the descent's own LCG hash seeds (replayable
+    * contract — the DuckDB oracle unrolls seed → hop₁..hopₕ → top-k
+    * exactly); a production deployment seeds from LSH bucket-mates
+    * instead (the [[simKnnGraphConverged]] hybrid argument: hash
+    * entry points can land a beam in a basin transitivity never
+    * leaves — the measured failure mode of this family), and serves
+    * queries NOT in the corpus identically: nothing below reads the
+    * query's own graph row, only its embedding.
+    *
+    * At 100 TB: queries shuffle by candidate id to meet the edge
+    * table (O(hops) bounded joins against the O(n·graphK) artifact),
+    * the per-query state is `beam` ids — no brute-force n·Q scoring
+    * anywhere ([[simBruteforceTopK]] is the quality oracle, not the
+    * serving path). Self-matches are excluded (a member query's
+    * nearest neighbor is itself — serving returns NEIGHBORS). */
+  def simGraphSearch(s: SparkSession, dir: String, nQueries: Int = 5,
+                     k: Int = 10, beam: Int = 20, hops: Int = 3,
+                     graphK: Int = 10, graphIters: Int = 3): DataFrame = {
+    val graph = s.table(knnGraphTable(s, dir, graphK, graphIters))
+      .select(col("vec_id").as("ga"), col("nbr_id").as("gb"))
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    graphSearchCore(graph, corpus, queries, k, beam, hops)
+  }
+
+  /** [[simGraphSearch]]'s graph/corpus/query-parameterized core —
+    * `queries` is any (qid, qv) frame, NOT necessarily members of
+    * `corpus`: the search touches only the query's embedding (seed
+    * scoring + re-rank), never its graph row, so held-out vectors
+    * serve identically — the spec proves exactly that shape
+    * (graph built on 90% of the corpus, the held-out 10% searched
+    * against it). */
+  private[graft] def graphSearchCore(graph: DataFrame, corpus: DataFrame,
+                                     queries: DataFrame, k: Int, beam: Int,
+                                     hops: Int): DataFrame = {
+    val ids = corpus.select(col("vec_id"))
+    val m = ids.agg((max(col("vec_id")) + 1).as("m")) // one-row scalar attach
+    val seeds = queries.select("qid").crossJoin(m)
+      .select(col("qid"), explode(array((1 to beam).map(j =>
+        pmod(col("qid") * 1664525L + lit(j * 40503L), col("m"))): _*)).as("b"))
+      .filter(col("qid") =!= col("b"))
+      .join(ids.select(col("vec_id").as("b")), Seq("b"), "left_semi")
+    val vb = corpus.select(col("vec_id").as("b"), col("v").as("vb"))
+    def rerank(cand: DataFrame, limit: Int): DataFrame =
+      cand.join(vb, "b").join(queries, "qid")
+        .withColumn("c", cosine(col("qv"), col("vb")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(col("c").desc, col("b"))))
+        .filter(col("rn") <= limit)
+    var bm = rerank(seeds.select("qid", "b").distinct(), beam).select("qid", "b")
+    for (_ <- 1 to hops) {
+      val expand = bm.join(graph, bm("b") === graph("ga"))
+        .select(col("qid"), col("gb").as("b"))
+        .filter(col("qid") =!= col("b"))
+      // same lineage discipline as the descent loops: hops is small,
+      // but each round's plan embeds the last 2× — cut it flat
+      bm = Lineage.cut(rerank(bm.union(expand).distinct(), beam).select("qid", "b"))
+    }
+    rerank(bm, k)
+      .select(col("qid"), col("rn").cast("long").as("rank"),
+        col("b").as("vec_id"), round(col("c"), 4).as("cosine"))
+      .orderBy("qid", "rank")
+  }
+
   /** PRODUCTION form of [[simKnnGraph]] — NN-Descent run TO
     * CONVERGENCE instead of a fixed round count. The registry's
     * `sim_knn_graph` (fixed T) is the REPLAYABLE CONTRACT HARNESS
@@ -941,12 +1029,19 @@ object Similarity {
     * (once per JVM) fixed-T from vec_id % 10 != 0 only; the held-out
     * rest arrives via [[knnGraphAppend]] in harness mode. A separate
     * physical table so the mutation never aliases the shared
-    * consumer artifact. */
+    * consumer artifact. `appendIters` is part of the table slug even
+    * though only the APPEND uses it: after the first
+    * [[simKnnGraphIncremental]] run the append no-ops (empty
+    * frontier), so without it a later call with a different
+    * appendIters would silently return the graph accreted under the
+    * first value — mismatching its appendIters-parameterized
+    * oracle. */
   private[graft] def knnGraphTableIncremental(s: SparkSession, dir: String,
-                                              k: Int = 10, iters: Int = 3): String = {
+                                              k: Int = 10, iters: Int = 3,
+                                              appendIters: Int = 3): String = {
     val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
     val dirTag = (scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff).toHexString
-    val table = s"graft_knn_graph_incr_${slug}_${dirTag}_k${k}_t${iters}_v1"
+    val table = s"graft_knn_graph_incr_${slug}_${dirTag}_k${k}_t${iters}_a${appendIters}_v1"
     if (!s.catalog.tableExists(table)) {
       graft.sources.Sources.clearOrphanedLocation(s, table)
       knnDescentFixed(s,
@@ -974,7 +1069,7 @@ object Similarity {
     * integrated, re-append derives an empty new-id set and no-ops. */
   def simKnnGraphIncremental(s: SparkSession, dir: String, k: Int = 10,
                              iters: Int = 3, appendIters: Int = 3): DataFrame = {
-    val table = knnGraphTableIncremental(s, dir, k, iters)
+    val table = knnGraphTableIncremental(s, dir, k, iters, appendIters)
     knnGraphAppend(s, table, Tables.embeddings(s, dir), k,
       useLshSeeds = false, fixedIters = Some(appendIters))
     s.table(table).orderBy("vec_id", "rank")

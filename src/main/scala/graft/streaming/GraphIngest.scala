@@ -40,12 +40,12 @@ import org.apache.spark.sql.functions._
   * Compliance composes natively: a
   * [[Similarity.knnGraphForget]]`(suppress = true)` records the ids
   * on the graph's `<table>_sup` suppression list, and the
-  * `knnGraphAppend` inside this loop anti-joins that list — so a
-  * forgotten vector REDELIVERED by an at-least-once upstream stays
-  * out of the graph (though it does land in the corpus table, which
-  * holds no per-user signal beyond the vector the ingest was handed;
-  * corpus-side deletion remains the caller's retention policy) until
-  * an explicit [[Similarity.knnGraphReinstate]]. The default
+  * `knnGraphAppend` inside this loop anti-joins that list — and the
+  * CORPUS APPEND anti-joins it too, so a forgotten vector REDELIVERED
+  * by an at-least-once upstream stays out of BOTH persisted artifacts
+  * (re-inserting the embedding into the corpus would re-persist the
+  * very data the compliance deletion removed) until an explicit
+  * [[Similarity.knnGraphReinstate]]. The default
   * (physical-only forget) keeps "append equals rebuild", exactly as
   * the IVF side documents.
   *
@@ -86,7 +86,19 @@ object GraphIngest {
         val hot = s.table(corpusTable).select("vec_id")
           .join(broadcast(arrivals.select("vec_id")), Seq("vec_id"), "left_semi")
         val fresh = arrivals.join(broadcast(hot), Seq("vec_id"), "left_anti")
-        fresh.write.mode("append").insertInto(corpusTable)
+        // Suppression covers BOTH persisted artifacts the loop
+        // maintains: without this anti-join, a forgotten
+        // (suppress = true) vector redelivered after corpus-side
+        // deletion would be re-INSERTED into the corpus table —
+        // re-persisting the embedding even though knnGraphAppend
+        // keeps it out of the graph. O(tombstones) broadcast.
+        val supT = s"${graphTable}_sup"
+        val admitted =
+          if (s.catalog.tableExists(supT)) {
+            graft.operators.StagedRewrite.recover(s, supT)
+            fresh.join(broadcast(s.table(supT).distinct()), Seq("vec_id"), "left_anti")
+          } else fresh
+        admitted.write.mode("append").insertInto(corpusTable)
         // bring the graph up to date with the grown corpus — the
         // identity when a replayed batch is already integrated
         Similarity.knnGraphAppend(s, graphTable, s.table(corpusTable),

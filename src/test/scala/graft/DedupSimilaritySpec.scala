@@ -1242,4 +1242,58 @@ class DedupSimilaritySpec extends SparkSpec {
       if (f.isDirectory) f.listFiles().map(files).sum else 1L
     assert(files(ckpt) > 0, "no checkpoint data written to the reliable dir")
   }
+
+  test("sim_graph_search: beam recall vs brute force; held-out queries serve identically") {
+    import org.apache.spark.sql.functions._
+    // registry form: member queries against the shared persisted graph
+    val got = Similarity.simGraphSearch(spark, Sf).collect()
+    assert(got.length == 50, s"expected 5 queries x k=10, got ${got.length}")
+    assert(got.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("vec_id")),
+      "search returned a query as its own neighbor")
+    val exact = Similarity.simBruteforceTopK(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val pred = got.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact & pred).size.toDouble / exact.size
+    // measured 0.74 at sf0.001 / 0.86 at sf0.01 on the isotropic
+    // corpus (beam=20, hops=3 over the fixed-T=3 graph) — the
+    // true-cosine re-rank lifts the beam well above the raw graph's
+    // per-query edge recall; floor pinned under the measurement
+    assert(recall >= 0.7, s"member-query beam-search recall $recall below 0.7 floor")
+
+    // the SERVING shape: graph built on 90% of the corpus, held-out
+    // vectors searched against it — nothing reads a query's graph row
+    val allRows = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val baseCorpus = allRows.filter(col("vec_id") % 10 =!= 0)
+    val graph = Similarity.knnDescentFixed(spark,
+      Tables.embeddings(spark, Sf).filter(col("vec_id") % 10 =!= 0), k = 10, iters = 3)
+      .select(col("vec_id").as("ga"), col("nbr_id").as("gb"))
+      .localCheckpoint()
+    val queries = allRows.filter(col("vec_id") % 10 === 0 && col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val served = Similarity.graphSearchCore(graph, baseCorpus, queries,
+      k = 10, beam = 20, hops = 3).collect()
+    // held-out ids are NOT graph vertices: results only from the base corpus
+    assert(served.forall(_.getAs[Long]("vec_id") % 10 != 0),
+      "held-out search returned a non-member id")
+    assert(served.map(_.getAs[Long]("qid")).distinct.length == 5)
+    // exact truth per held-out query over the base corpus, in-scala
+    val base = baseCorpus.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray)
+    val qs = queries.collect()
+      .map(r => r.getAs[Long]("qid") -> r.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val exactHeld = qs.flatMap { case (qid, qv) =>
+      base.map { case (vid, v) => (qid, vid, cos(qv, v)) }
+        .sortBy { case (_, vid, c) => (-c, vid) }.take(10).map(t => (t._1, t._2))
+    }.toSet
+    val servedSet = served.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val heldRecall = (exactHeld & servedSet).size.toDouble / exactHeld.size
+    assert(heldRecall >= 0.7, s"held-out serving recall $heldRecall below 0.7 floor")
+    CacheRegistry.releaseAll()
+  }
 }

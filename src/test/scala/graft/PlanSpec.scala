@@ -167,22 +167,59 @@ class PlanSpec extends SparkSpec {
         offenders.map { case (n, p) => s"  $n: $p" }.mkString("\n"))
   }
 
-  test("dedup_substring partially aggregates gram groups map-side with a BOUNDED buffer") {
+  test("dedup_substring stays in fixed-width codegen aggregation — no object-agg, no unbounded buffer") {
     val df = graft.operators.Dedup.dedupSubstring(spark, Sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    // the (hash, doc_id) rollup must combine map-side: partial
-    // aggregate before the Exchange keyed on the gram hash
+    // the gram df-count and the final pair count must both combine
+    // map-side: partial aggregate before each Exchange
     assert(plan.contains("partial_"), s"no map-side partial aggregation:\n$plan")
-    // memory bounded BY CONSTRUCTION: the per-gram aggregate is the
-    // df-capped MinIds aggregator, never an unbounded collect_list
-    // whose buffer a later size filter cannot shrink
+    // memory bounded BY CONSTRUCTION and ALLOCATION-FREE: every
+    // aggregate is a long-only HashAggregate (fixed-width UnsafeRow
+    // state, whole-stage codegen). ObjectHashAggregate falls back to
+    // sort-based object aggregation at 128 distinct keys — millions
+    // of gram groups would run the slow path, and its per-group
+    // buffer churn made this the bench's most GC-sensitive line
+    // (2 s quiet / 18 s under host memory pressure, r11/r12).
+    assert(!plan.contains("ObjectHashAggregate"),
+      s"object aggregation on the gram rollup (GC-pressure-sensitive):\n$plan")
     assert(!plan.toLowerCase.contains("collect_list"),
       s"unbounded collect_list buffers the full id list pre-filter:\n$plan")
-    assert(plan.contains("MinIds") || plan.contains("minids"),
-      s"expected the bounded MinIds aggregate in the plan:\n$plan")
-    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
-      s"pair generation planned a join instead of group-explode:\n$plan")
+    // pair generation is the df-capped self-join on the gram hash —
+    // fan-out <= maxDf²/2 per gram by the BETWEEN filter, never a
+    // cartesian
+    assert(!plan.contains("CartesianProduct"), s"cartesian pair generation:\n$plan")
+    // the exploded gram table feeds the df-count AND both join sides
+    // but is computed once: cached below the size crossover
+    // (InMemoryTableScan at spec scale), reused-exchange above it
+    assert(plan.contains("InMemoryTableScan") || plan.contains("ReusedExchange"),
+      s"gram table recomputed per consumer (no cache, no exchange reuse):\n$plan")
+    // the AT-SCALE form (above the cache crossover, where the gram
+    // explosion is ~16 bytes per corpus character and must not be
+    // cached): the (g, doc_id) exchange is shuffled ONCE and reused
+    // on the second side of the self-join
+    // (force the shuffled-join shape a real corpus would take — at
+    // spec scale AQE broadcasts every side, leaving no exchange to
+    // reuse or measure; and drop the registry run's gram cache first,
+    // or CacheManager substitutes it into the "uncached" probe by
+    // canonical-plan match)
+    CacheRegistry.releaseAll()
+    import org.apache.spark.sql.functions._
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val gramsUncached = Tables.documents(spark, Sf)
+        .select(col("doc_id"), explode(array_distinct(
+          graft.functions.VectorFunctions.ngram_hashes(lower(col("text")), 50))).as("g"))
+      val atScale = graft.operators.Dedup.substringPairs(gramsUncached, 50)
+      atScale.collect()
+      val scalePlan = atScale.queryExecution.executedPlan.toString
+      assert(scalePlan.contains("ReusedExchange"),
+        s"at-scale form shuffles the gram table twice (no exchange reuse):\n$scalePlan")
+      assert(!scalePlan.contains("ObjectHashAggregate"),
+        s"at-scale form fell back to object aggregation:\n$scalePlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    CacheRegistry.releaseAll()
   }
 
   test("sketch PROD forms carry no exact-count verification aggregate") {

@@ -571,4 +571,61 @@ class StreamingSpec extends SparkSpec {
     Seq(corpusT, graphT, refT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     CacheRegistry.releaseAll()
   }
+
+  test("knn graph ingest: suppressed forget keeps a redelivered vector out of corpus AND graph") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val k = 10
+    val base = java.nio.file.Files.createTempDirectory("graft-gsup").toString
+    val srcDir = s"$base/src"; val ckpt = s"$base/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    val full = Tables.embeddings(spark, Sf).select("vec_id", "embedding")
+    val seed = full.filter(col("vec_id") % 10 =!= 0)
+    val delta = full.filter(col("vec_id") % 10 === 0)
+    val corpusT = "graft_knn_sup_corpus_spec"
+    val graphT = "graft_knn_sup_graph_spec"
+    Seq(corpusT, graphT, s"${graphT}_sup").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.sources.Sources.clearOrphanedLocation(spark, t)
+    }
+    seed.write.format("parquet").saveAsTable(corpusT)
+    Similarity.knnDescentConverged(spark, seed, k)
+      .write.format("parquet").saveAsTable(graphT)
+    // compliance-forget one seed vector (suppress=true records it on
+    // the graph's suppression list), then delete it corpus-side too —
+    // the caller's retention policy the scaladoc names
+    val victim = seed.select("vec_id").orderBy("vec_id").limit(1)
+      .collect()(0).getLong(0)
+    Similarity.knnGraphForget(spark, graphT,
+      spark.range(victim, victim + 1).select(col("id").as("vec_id")),
+      suppress = true)
+    val keepCorpus = spark.table(corpusT).filter(col("vec_id") =!= victim)
+    graft.operators.StagedRewrite.rewrite(spark, corpusT, keepCorpus)
+    // an at-least-once upstream REDELIVERS the forgotten vector in the
+    // next batch, alongside genuinely new vectors
+    val redelivery = full.filter(col("vec_id") === victim).union(delta)
+    redelivery.coalesce(1).write.mode("append").parquet(srcDir)
+    val q = GraphIngest.knnGraphIngest(
+      spark.readStream.schema(full.schema).parquet(srcDir),
+      corpusT, graphT, ckpt, k = k)
+    q.processAllAvailable()
+    q.stop()
+    // the forgotten embedding is re-persisted NOWHERE: not in the
+    // corpus table, not as a graph vertex, not as anyone's neighbor
+    assert(spark.table(corpusT).filter(col("vec_id") === victim).isEmpty,
+      "suppressed vector re-inserted into the corpus table on redelivery")
+    assert(spark.table(graphT)
+      .filter(col("vec_id") === victim || col("nbr_id") === victim).isEmpty,
+      "suppressed vector re-entered the graph on redelivery")
+    // the genuinely new vectors DID integrate into both artifacts
+    val deltaIds = delta.select("vec_id").collect().map(_.getLong(0)).toSet
+    val corpusIds = spark.table(corpusT).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(deltaIds.subsetOf(corpusIds), "new batch vectors missing from corpus")
+    val graphVerts = spark.table(graphT).select("vec_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(deltaIds.subsetOf(graphVerts), "new batch vectors missing from graph")
+    Seq(corpusT, graphT, s"${graphT}_sup").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    CacheRegistry.releaseAll()
+  }
 }
