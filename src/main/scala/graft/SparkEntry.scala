@@ -101,6 +101,8 @@ object SparkEntry {
     "sim_knn_graph" -> ((s, d) => Similarity.simKnnGraph(s, d)),
     "sim_knn_graph_incremental" -> ((s, d) => Similarity.simKnnGraphIncremental(s, d)),
     "sim_graph_search" -> ((s, d) => Similarity.simGraphSearch(s, d)),
+    "sim_graph_search_filtered" -> ((s, d) => Similarity.simGraphSearchFiltered(s, d)),
+    "sim_hard_negatives" -> ((s, d) => Similarity.simHardNegatives(s, d)),
     "sim_knn_components" -> ((s, d) => Similarity.simKnnComponents(s, d)),
     "sim_knn_label_prop" -> ((s, d) => Similarity.simKnnLabelProp(s, d)),
     "sim_knn_diversity" -> ((s, d) => Similarity.simKnnDiversity(s, d)),
@@ -604,10 +606,12 @@ object SparkEntry {
     * multiply-referenced hop is MATERIALIZED (the knnComponents
     * inlining lesson). */
   private def graphSearchOracleSql(nQueries: Int, k: Int, beam: Int, hops: Int,
-                                   graphK: Int, graphIters: Int): String = {
+                                   graphK: Int, graphIters: Int,
+                                   allowedLang: Option[String] = None,
+                                   band: Option[(Double, Double)] = None): String = {
     val hopCtes = (1 to hops).map { t =>
       val prev = s"w${t - 1}"
-      s"""x$t AS (SELECT qid, b FROM $prev UNION
+      s"""x$t AS MATERIALIZED (SELECT qid, b FROM $prev UNION
          |        SELECT p.qid, g.b FROM $prev p JOIN g ON g.a = p.b WHERE g.b <> p.qid),
          |w$t AS MATERIALIZED (SELECT qid, b FROM (
          |  SELECT x$t.qid, x$t.b,
@@ -615,10 +619,30 @@ object SparkEntry {
          |  FROM x$t JOIN cs ON cs.ia = x$t.qid AND cs.ib = x$t.b) WHERE rn <= $beam)"""
         .stripMargin
     }.mkString(",\n")
+    // unfiltered: top-k of the final beam. Filtered/banded: top-k
+    // eligible among every scored candidate (seeds + each hop's
+    // pre-cut set)
+    lazy val seenUnion = (Seq("SELECT qid, b FROM s0") ++
+      (1 to hops).map(t => s"SELECT qid, b FROM x$t")).mkString(" UNION ")
+    val (poolCtes, poolName) = (allowedLang, band) match {
+      case (Some(l), _) =>
+        (s""",
+           |ok AS (SELECT doc_id AS b FROM documents WHERE lang = '$l'),
+           |pool AS (SELECT DISTINCT sn.qid, sn.b FROM ($seenUnion) sn
+           |         JOIN ok ON ok.b = sn.b)""".stripMargin, "pool")
+      case (None, Some(_)) =>
+        (s""",
+           |pool AS (SELECT DISTINCT qid, b FROM ($seenUnion))""".stripMargin, "pool")
+      case (None, None) => ("", s"w$hops")
+    }
+    val bandPred = band match {
+      case Some((lo, hi)) => s"\n       |  WHERE round(cs.c, 4) >= $lo AND round(cs.c, 4) < $hi"
+      case None => ""
+    }
     s"""WITH ${knnGraphOracleCtes(graphK, graphIters)},
        |g AS MATERIALIZED (SELECT a, b FROM fin),
        |qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < $nQueries),
-       |s0 AS (
+       |s0 AS MATERIALIZED (
        |  SELECT DISTINCT q.qid, (q.qid * 1664525 + t.j * 40503) % mm.m AS b
        |  FROM qs q CROSS JOIN mm CROSS JOIN range(1, ${beam + 1}) t(j)
        |  WHERE (q.qid * 1664525 + t.j * 40503) % mm.m <> q.qid
@@ -627,11 +651,11 @@ object SparkEntry {
        |  SELECT s0.qid, s0.b,
        |         row_number() OVER (PARTITION BY s0.qid ORDER BY cs.c DESC, s0.b) AS rn
        |  FROM s0 JOIN cs ON cs.ia = s0.qid AND cs.ib = s0.b) WHERE rn <= $beam),
-       |$hopCtes
+       |$hopCtes$poolCtes
        |SELECT qid, rn::BIGINT AS rank, b AS vec_id, round(c, 4) AS cosine FROM (
-       |  SELECT w$hops.qid, w$hops.b, cs.c,
-       |         row_number() OVER (PARTITION BY w$hops.qid ORDER BY cs.c DESC, w$hops.b) AS rn
-       |  FROM w$hops JOIN cs ON cs.ia = w$hops.qid AND cs.ib = w$hops.b) WHERE rn <= $k
+       |  SELECT $poolName.qid, $poolName.b, cs.c,
+       |         row_number() OVER (PARTITION BY $poolName.qid ORDER BY cs.c DESC, $poolName.b) AS rn
+       |  FROM $poolName JOIN cs ON cs.ia = $poolName.qid AND cs.ib = $poolName.b$bandPred) WHERE rn <= $k
        |ORDER BY qid, rank""".stripMargin
   }
 
@@ -1895,6 +1919,10 @@ object SparkEntry {
     "sim_knn_graph" -> knnGraphOracleSql(k = 10, iters = 3),
     "sim_graph_search" -> graphSearchOracleSql(nQueries = 5, k = 10, beam = 20,
       hops = 3, graphK = 10, graphIters = 3),
+    "sim_graph_search_filtered" -> graphSearchOracleSql(nQueries = 5, k = 10,
+      beam = 20, hops = 3, graphK = 10, graphIters = 3, allowedLang = Some("en")),
+    "sim_hard_negatives" -> graphSearchOracleSql(nQueries = 5, k = 10,
+      beam = 20, hops = 3, graphK = 10, graphIters = 3, band = Some((0.3, 0.6))),
     "sim_knn_graph_incremental" ->
       knnGraphIncrementalOracleSql(k = 10, iters = 3, appendIters = 3),
     "sim_knn_components" -> knnComponentsOracleSql(k = 10, iters = 3, tau = 0.4),

@@ -951,12 +951,22 @@ object Dedup {
     * re-joining (measured 1.4 → 0.6 s at sf0.1). */
   private[graft] def substringPairs(grams: DataFrame, maxDf: Int,
                                     cacheHits: Boolean = false): DataFrame = {
-    val rare = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    // ONE gram shuffle, three consumers: the explicit repartition on
+    // the gram hash clusters the stream once, and then the df-count
+    // aggregate, the hit probe, and the self-join's second side all
+    // consume that same exchange (ReusedExchange — 50-char gram
+    // hashes are near-all-distinct, so partial map-side combine
+    // cannot compress this stream and a second shuffle would cost
+    // the full gram volume again; measured 8.1 → ~2 s on the
+    // natural-growth sf1 twin). The aggregate and both join sides
+    // see HashPartitioning(g), so no further exchange is planned.
+    val ex = grams.repartition(col("g"))
+    val rare = ex.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df").between(2, maxDf))
       .select("g")
     // df ≤ maxDf ⟹ the join below sees the COMPLETE doc set per kept
     // gram, so pairs-from-join ≡ pairs-from-complete-list.
-    val hitsBase = grams.join(rare, "g")
+    val hitsBase = ex.join(rare, "g")
     val hits = if (cacheHits) hitsBase.cacheTracked else hitsBase
     hits.select(col("g"), col("doc_id").as("id_a"))
       .join(hits.select(col("g"), col("doc_id").as("id_b")), Seq("g"))

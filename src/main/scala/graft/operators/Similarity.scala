@@ -867,16 +867,78 @@ object Similarity {
     graphSearchCore(graph, corpus, queries, k, beam, hops)
   }
 
+  /** CONSTRAINED graph serving (`sim_graph_search_filtered`) — the
+    * filtered-ANN member of the serving family (every production
+    * vector store grows one: "nearest neighbors WHERE lang = X /
+    * license-clean / in-split"). The TRAVERSAL stays UNFILTERED —
+    * restricting the beam to allowed vertices cuts connectivity and
+    * strands the walk when disallowed vertices are the bridges (the
+    * filtered-DiskANN lesson: filter the ANSWER, not the graph) —
+    * and the answer is the top-k ALLOWED candidates among every
+    * candidate the walk scored (seeds + each hop's expansion), so a
+    * selective filter degrades recall gracefully instead of
+    * silently shrinking the result set to whatever the final beam
+    * happens to retain. The allow-list is a semi-join keyed on id —
+    * at 100 TB a map-side probe against the (bucketed) metadata
+    * table, never a scan of the vector corpus. */
+  def simGraphSearchFiltered(s: SparkSession, dir: String, lang: String = "en",
+                             nQueries: Int = 5, k: Int = 10, beam: Int = 20,
+                             hops: Int = 3, graphK: Int = 10,
+                             graphIters: Int = 3): DataFrame = {
+    val graph = s.table(knnGraphTable(s, dir, graphK, graphIters))
+      .select(col("vec_id").as("ga"), col("nbr_id").as("gb"))
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val allowed = Tables.documents(s, dir)
+      .filter(col("lang") === lang).select(col("doc_id").as("b"))
+    graphSearchCore(graph, corpus, queries, k, beam, hops, Some(allowed))
+  }
+
+  /** HARD-NEGATIVE MINING (`sim_hard_negatives`) — the contrastive-
+    * training data op: per query, the top-k corpus vectors inside a
+    * cosine BAND [lo, hi). Above `hi` sits near-duplicate territory
+    * (training on those as negatives poisons the objective — they
+    * are positives mislabeled); below `lo` negatives are too easy to
+    * carry gradient. The band is mined with the SAME beam walk as
+    * [[simGraphSearch]] (hard negatives are by definition near the
+    * query, exactly where the graph walk concentrates candidates),
+    * band-filtered at the final re-rank over every scored candidate
+    * — the [[simGraphSearchFiltered]] pool contract with a score
+    * predicate instead of a metadata allow-list. Same bounded-state
+    * serving shape; brute force remains the quality oracle, not the
+    * pipeline. */
+  def simHardNegatives(s: SparkSession, dir: String, lo: Double = 0.3,
+                       hi: Double = 0.6, nQueries: Int = 5, k: Int = 10,
+                       beam: Int = 20, hops: Int = 3, graphK: Int = 10,
+                       graphIters: Int = 3): DataFrame = {
+    val graph = s.table(knnGraphTable(s, dir, graphK, graphIters))
+      .select(col("vec_id").as("ga"), col("nbr_id").as("gb"))
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    graphSearchCore(graph, corpus, queries, k, beam, hops,
+      band = Some((lo, hi)))
+  }
+
   /** [[simGraphSearch]]'s graph/corpus/query-parameterized core —
     * `queries` is any (qid, qv) frame, NOT necessarily members of
     * `corpus`: the search touches only the query's embedding (seed
     * scoring + re-rank), never its graph row, so held-out vectors
     * serve identically — the spec proves exactly that shape
     * (graph built on 90% of the corpus, the held-out 10% searched
-    * against it). */
+    * against it). With `allowed` set, the walk is identical and the
+    * answer becomes the top-k allowed ids among EVERY candidate the
+    * walk scored ([[simGraphSearchFiltered]]'s contract); the
+    * visited pool is bounded by queries × (beam + hops·beam·(k+1))
+    * ids — fixed-width, never corpus-sized. */
   private[graft] def graphSearchCore(graph: DataFrame, corpus: DataFrame,
                                      queries: DataFrame, k: Int, beam: Int,
-                                     hops: Int): DataFrame = {
+                                     hops: Int,
+                                     allowed: Option[DataFrame] = None,
+                                     band: Option[(Double, Double)] = None): DataFrame = {
     val ids = corpus.select(col("vec_id"))
     val m = ids.agg((max(col("vec_id")) + 1).as("m")) // one-row scalar attach
     val seeds = queries.select("qid").crossJoin(m)
@@ -884,6 +946,7 @@ object Similarity {
         pmod(col("qid") * 1664525L + lit(j * 40503L), col("m"))): _*)).as("b"))
       .filter(col("qid") =!= col("b"))
       .join(ids.select(col("vec_id").as("b")), Seq("b"), "left_semi")
+      .select("qid", "b").distinct()
     val vb = corpus.select(col("vec_id").as("b"), col("v").as("vb"))
     def rerank(cand: DataFrame, limit: Int): DataFrame =
       cand.join(vb, "b").join(queries, "qid")
@@ -891,16 +954,37 @@ object Similarity {
         .withColumn("rn", row_number().over(
           Window.partitionBy("qid").orderBy(col("c").desc, col("b"))))
         .filter(col("rn") <= limit)
-    var bm = rerank(seeds.select("qid", "b").distinct(), beam).select("qid", "b")
+    var bm = rerank(seeds, beam).select("qid", "b")
+    var seen = seeds // every SCORED candidate, pre-beam-cut
     for (_ <- 1 to hops) {
       val expand = bm.join(graph, bm("b") === graph("ga"))
         .select(col("qid"), col("gb").as("b"))
         .filter(col("qid") =!= col("b"))
+      val cand = bm.union(expand).distinct()
+      seen = seen.union(cand)
       // same lineage discipline as the descent loops: hops is small,
       // but each round's plan embeds the last 2× — cut it flat
-      bm = Lineage.cut(rerank(bm.union(expand).distinct(), beam).select("qid", "b"))
+      bm = Lineage.cut(rerank(cand, beam).select("qid", "b"))
     }
-    rerank(bm, k)
+    val pool = (allowed, band) match {
+      case (Some(ok), _)   => seen.distinct().join(ok, Seq("b"), "left_semi")
+      case (None, Some(_)) => seen.distinct()
+      case (None, None)    => bm
+    }
+    val scored = pool.join(vb, "b").join(queries, "qid")
+      .withColumn("c", cosine(col("qv"), col("vb")))
+    // band filter on the ROUNDED score (both engines compare the same
+    // 4-digit value, the dedup-family rounding contract): keep
+    // lo ≤ round(c) < hi — below-duplicate, above-easy
+    val eligible = band match {
+      case Some((lo, hi)) =>
+        scored.filter(round(col("c"), 4) >= lo && round(col("c"), 4) < hi)
+      case None => scored
+    }
+    eligible
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("c").desc, col("b"))))
+      .filter(col("rn") <= k)
       .select(col("qid"), col("rn").cast("long").as("rank"),
         col("b").as("vec_id"), round(col("c"), 4).as("cosine"))
       .orderBy("qid", "rank")

@@ -961,7 +961,9 @@ class DedupSimilaritySpec extends SparkSpec {
     val graphRow = Similarity.knnGraphRecallRow(spark, Sf).collect().head
     val (graph, nGraph) =
       (graphRow.getAs[Double]("recall"), graphRow.getAs[Long]("n_ann"))
-    info(s"recall@10 — ivf=$ivf sq8=$sq8 pq=$pq lsh_multitable=$multi knn_graph=$graph")
+    val (search, nSearch) = recallOf(Similarity.simGraphSearch(spark, Sf))
+    info(s"recall@10 — ivf=$ivf sq8=$sq8 pq=$pq lsh_multitable=$multi " +
+      s"knn_graph=$graph graph_search=$search")
     // SQ8/PQ re-rank exactly from the over-fetched candidate set and
     // recover the IVF output bit-for-bit WHILE the margin holds; a
     // quantization regression that eats the margin shows up here as a
@@ -983,6 +985,14 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(nGraph == 50, s"graph tier served ${nGraph} picks, want 5 queries x k=10")
     assert(graph >= 0.5,
       s"knn-graph recall $graph fell below the measured isotropic floor")
+    // the graph-SEARCH tier (beam walk + true-cosine re-rank over the
+    // same artifact): the re-rank lifts it above the raw graph row's
+    // restriction — measured 0.74 at sf0.001 / 0.86 at sf0.01, and
+    // the dashboard must catch a regression in EITHER the artifact
+    // build or the walk, so both rows stay
+    assert(nSearch == 50, s"graph search served ${nSearch} picks, want 5 queries x k=10")
+    assert(search >= 0.7,
+      s"graph-search recall $search fell below the measured 0.74 floor")
     CacheRegistry.releaseAll()
   }
 
@@ -1294,6 +1304,79 @@ class DedupSimilaritySpec extends SparkSpec {
     val servedSet = served.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
     val heldRecall = (exactHeld & servedSet).size.toDouble / exactHeld.size
     assert(heldRecall >= 0.7, s"held-out serving recall $heldRecall below 0.7 floor")
+    CacheRegistry.releaseAll()
+  }
+
+  test("sim_graph_search_filtered: picks satisfy the filter; recall vs filtered brute force") {
+    import org.apache.spark.sql.functions._
+    val got = Similarity.simGraphSearchFiltered(spark, Sf).collect()
+    assert(got.length == 50, s"expected 5 queries x k=10 allowed picks, got ${got.length}")
+    val en = Tables.documents(spark, Sf).filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => en(r.getAs[Long]("vec_id"))),
+      "filtered search returned a pick outside the allow-list")
+    assert(got.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("vec_id")),
+      "filtered search returned a query as its own neighbor")
+    // exact truth: brute-force top-10 among allowed ids per query
+    val vecs = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val exact = vecs.filter(_._1 < 5).flatMap { case (qid, qv) =>
+      vecs.filter { case (vid, _) => vid != qid && en(vid) }
+        .map { case (vid, v) => (qid, vid, cos(qv, v)) }
+        .sortBy { case (_, vid, c) => (-c, vid) }.take(10).map(t => (t._1, t._2))
+    }.toSet
+    val pred = got.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact & pred).size.toDouble / exact.size
+    // measured 0.70 at sf0.001 / 0.74 at sf0.01 — the unfiltered walk
+    // visits enough allowed candidates that post-filtering holds
+    // near the unfiltered operating point; floor pinned underneath
+    assert(recall >= 0.65, s"filtered-search recall $recall below 0.65 floor")
+    CacheRegistry.releaseAll()
+  }
+
+  test("sim_hard_negatives: every pick in the band, ranks contiguous, band recall vs brute force") {
+    import org.apache.spark.sql.functions._
+    val (lo, hi) = (0.3, 0.6)
+    val got = Similarity.simHardNegatives(spark, Sf).collect()
+    assert(got.nonEmpty, "no hard negatives mined at spec scale")
+    assert(got.forall { r =>
+      val c = r.getAs[Double]("cosine"); c >= lo && c < hi
+    }, "a mined negative falls outside the [lo, hi) band")
+    assert(got.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("vec_id")))
+    // ranks are 1..n per query with no gaps (the band filters BEFORE
+    // ranking — gaps would mean post-rank filtering, a different op)
+    got.groupBy(_.getAs[Long]("qid")).foreach { case (q, rows) =>
+      val ranks = rows.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks == (1L to ranks.length).toSeq, s"rank gap for qid=$q: $ranks")
+    }
+    // band recall vs exact in-band truth (brute force, same rounding)
+    val vecs = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    def rnd(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exact = vecs.filter(_._1 < 5).flatMap { case (qid, qv) =>
+      vecs.filter(_._1 != qid)
+        .map { case (vid, v) => (qid, vid, cos(qv, v)) }
+        .filter { case (_, _, c) => rnd(c) >= lo && rnd(c) < hi }
+        .sortBy { case (_, vid, c) => (-c, vid) }.take(10).map(t => (t._1, t._2))
+    }.toSet
+    val pred = got.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact & pred).size.toDouble / exact.size
+    // measured 0.75 at sf0.001 / 0.94 at sf0.01: the walk concentrates
+    // on TOP cosine, so band coverage rides the visited pool — honest
+    // floor pinned under the small-scale measurement
+    assert(recall >= 0.7, s"band recall $recall below 0.7 floor")
     CacheRegistry.releaseAll()
   }
 }
