@@ -948,42 +948,49 @@ object Similarity {
       .join(ids.select(col("vec_id").as("b")), Seq("b"), "left_semi")
       .select("qid", "b").distinct()
     val vb = corpus.select(col("vec_id").as("b"), col("v").as("vb"))
-    def rerank(cand: DataFrame, limit: Int): DataFrame =
+    // score = the ONLY corpus touch per hop: candidates meet their
+    // vectors once, and the checkpointed (qid, b, c) state carries the
+    // scores forward — the final answer is a window FILTER over
+    // already-scored state, never a re-scan of the vector corpus
+    // (at 100 TB a tail re-rank join would cost one full corpus scan
+    // for a pool of a few thousand ids)
+    def score(cand: DataFrame): DataFrame =
       cand.join(vb, "b").join(queries, "qid")
         .withColumn("c", cosine(col("qv"), col("vb")))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("qid").orderBy(col("c").desc, col("b"))))
-        .filter(col("rn") <= limit)
-    var bm = rerank(seeds, beam).select("qid", "b")
-    var seen = seeds // every SCORED candidate, pre-beam-cut
+        .select("qid", "b", "c")
+    def rankOf(scored: DataFrame): Column = row_number().over(
+      Window.partitionBy("qid").orderBy(col("c").desc, col("b")))
+    // same lineage discipline as the descent loops: hops is small,
+    // but each round's plan embeds the last 2× — cut it flat (the
+    // cut also materializes each hop's scores so the seen-pool union
+    // replays checkpointed state, not the hop joins)
+    var scored = Lineage.cut(score(seeds))
+    var seenScored = scored // every scored candidate, pre-beam-cut
     for (_ <- 1 to hops) {
+      val bm = scored.withColumn("rn", rankOf(scored))
+        .filter(col("rn") <= beam).select("qid", "b")
       val expand = bm.join(graph, bm("b") === graph("ga"))
         .select(col("qid"), col("gb").as("b"))
         .filter(col("qid") =!= col("b"))
-      val cand = bm.union(expand).distinct()
-      seen = seen.union(cand)
-      // same lineage discipline as the descent loops: hops is small,
-      // but each round's plan embeds the last 2× — cut it flat
-      bm = Lineage.cut(rerank(cand, beam).select("qid", "b"))
+      scored = Lineage.cut(score(bm.union(expand).distinct()))
+      seenScored = seenScored.union(scored)
     }
-    val pool = (allowed, band) match {
-      case (Some(ok), _)   => seen.distinct().join(ok, Seq("b"), "left_semi")
-      case (None, Some(_)) => seen.distinct()
-      case (None, None)    => bm
-    }
-    val scored = pool.join(vb, "b").join(queries, "qid")
-      .withColumn("c", cosine(col("qv"), col("vb")))
-    // band filter on the ROUNDED score (both engines compare the same
-    // 4-digit value, the dedup-family rounding contract): keep
-    // lo ≤ round(c) < hi — below-duplicate, above-easy
-    val eligible = band match {
-      case Some((lo, hi)) =>
-        scored.filter(round(col("c"), 4) >= lo && round(col("c"), 4) < hi)
-      case None => scored
+    val eligible = (allowed, band) match {
+      case (Some(ok), _) =>
+        seenScored.dropDuplicates("qid", "b").join(ok, Seq("b"), "left_semi")
+      case (None, Some((lo, hi))) =>
+        // band filter on the ROUNDED score (both engines compare the
+        // same 4-digit value, the dedup-family rounding contract):
+        // keep lo ≤ round(c) < hi — below-duplicate, above-easy
+        seenScored.dropDuplicates("qid", "b")
+          .filter(round(col("c"), 4) >= lo && round(col("c"), 4) < hi)
+      case (None, None) =>
+        // unfiltered contract: top-k of the FINAL beam — the last
+        // hop's scored state already holds it
+        scored
     }
     eligible
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("qid").orderBy(col("c").desc, col("b"))))
+      .withColumn("rn", rankOf(eligible))
       .filter(col("rn") <= k)
       .select(col("qid"), col("rn").cast("long").as("rank"),
         col("b").as("vec_id"), round(col("c"), 4).as("cosine"))
