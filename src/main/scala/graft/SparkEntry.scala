@@ -609,16 +609,19 @@ object SparkEntry {
                                    graphK: Int, graphIters: Int,
                                    allowedLang: Option[String] = None,
                                    band: Option[(Double, Double)] = None): String = {
+    // leading-comma form so hops = 0 (no hop CTEs at all) still emits
+    // valid SQL — the zero-hop baseline is just the scored seed beam
     val hopCtes = (1 to hops).map { t =>
       val prev = s"w${t - 1}"
-      s"""x$t AS MATERIALIZED (SELECT qid, b FROM $prev UNION
+      s""",
+         |x$t AS MATERIALIZED (SELECT qid, b FROM $prev UNION
          |        SELECT p.qid, g.b FROM $prev p JOIN g ON g.a = p.b WHERE g.b <> p.qid),
          |w$t AS MATERIALIZED (SELECT qid, b FROM (
          |  SELECT x$t.qid, x$t.b,
          |         row_number() OVER (PARTITION BY x$t.qid ORDER BY cs.c DESC, x$t.b) AS rn
          |  FROM x$t JOIN cs ON cs.ia = x$t.qid AND cs.ib = x$t.b) WHERE rn <= $beam)"""
         .stripMargin
-    }.mkString(",\n")
+    }.mkString
     // unfiltered: top-k of the final beam. Filtered/banded: top-k
     // eligible among every scored candidate (seeds + each hop's
     // pre-cut set)
@@ -650,8 +653,7 @@ object SparkEntry {
        |w0 AS MATERIALIZED (SELECT qid, b FROM (
        |  SELECT s0.qid, s0.b,
        |         row_number() OVER (PARTITION BY s0.qid ORDER BY cs.c DESC, s0.b) AS rn
-       |  FROM s0 JOIN cs ON cs.ia = s0.qid AND cs.ib = s0.b) WHERE rn <= $beam),
-       |$hopCtes$poolCtes
+       |  FROM s0 JOIN cs ON cs.ia = s0.qid AND cs.ib = s0.b) WHERE rn <= $beam)$hopCtes$poolCtes
        |SELECT qid, rn::BIGINT AS rank, b AS vec_id, round(c, 4) AS cosine FROM (
        |  SELECT $poolName.qid, $poolName.b, cs.c,
        |         row_number() OVER (PARTITION BY $poolName.qid ORDER BY cs.c DESC, $poolName.b) AS rn

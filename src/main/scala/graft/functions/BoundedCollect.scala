@@ -14,11 +14,20 @@ import org.apache.spark.sql.expressions.Aggregator
   * size filter can run, which is memory-bounded only by data luck at
   * 100 TB).
   *
-  * Contract used by [[graft.operators.Dedup.dedupSubstring]]: when
-  * `n <= cap` the capped list holds ALL the group's ids (sorted
-  * ascending); when `n > cap` the caller discards the group anyway
-  * (document-frequency cap), so the truncated list is never read.
-  * One shuffle, partial-combining, deterministic.
+  * Contract: when `n <= cap` the capped list holds ALL the group's
+  * ids (sorted ascending); when `n > cap` a df-capped caller
+  * discards the group anyway, so the truncated list is never read.
+  * One shuffle, partial-combining, deterministic. LIBRARY STATUS:
+  * [[graft.operators.Dedup.dedupSubstring]] used this through round
+  * 12 but now takes a count→filter→self-join form (as a Scala
+  * `Aggregator` this runs on ObjectHashAggregate, whose 128-key
+  * sort-based fallback made the aggregation allocation-heavy at
+  * millions of tiny groups — fine on a quiet host, 8× under memory
+  * pressure). It remains the right tool when the BOUNDED ID LIST
+  * itself must survive aggregation in one pass over few/fat groups —
+  * the regime object aggregation was built for (HLL-style buffers),
+  * not the many-tiny-groups regime dedup grouping turned out to be.
+  * Property-spec'd against (count, sorted.take(cap)).
   *
   * The buffer is a MUTATED primitive array (the Aggregator contract
   * explicitly permits `reduce`/`merge` to modify and return their

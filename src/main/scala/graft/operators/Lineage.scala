@@ -40,14 +40,19 @@ object Lineage {
     * instead of executor-local `localCheckpoint()`. */
   val ReliableDirKey = "graft.reliableCheckpointDir"
 
-  /** The dir most recently passed to `setCheckpointDir`. Spark stores
-    * the fully-qualified `<dir>/<UUID>` path internally, so comparing
-    * `getCheckpointDir` against the CONFIGURED dir never matches —
-    * re-setting on every cut would mint a fresh UUID subdirectory per
-    * lineage cut (directory proliferation plus an FS round-trip per
-    * round on object stores). Track what we set ourselves instead and
-    * only re-set when the conf actually changes. */
-  @volatile private var lastSetDir: String = null
+  /** The (context, dir) most recently passed to `setCheckpointDir`.
+    * Spark stores the fully-qualified `<dir>/<UUID>` path internally,
+    * so comparing `getCheckpointDir` against the CONFIGURED dir never
+    * matches — re-setting on every cut would mint a fresh UUID
+    * subdirectory per lineage cut (directory proliferation plus an FS
+    * round-trip per round on object stores). Track what we set
+    * ourselves instead, KEYED ON THE CONTEXT: a restarted
+    * SparkContext comes up with no checkpoint dir, so a dir-only
+    * cache would skip the re-set and the next `checkpoint()` would
+    * throw. The `getCheckpointDir.isEmpty` guard also heals the
+    * exotic case of external code clearing/replacing the context's
+    * setting between cuts. */
+  @volatile private var lastSet: (org.apache.spark.SparkContext, String) = null
 
   /** `eager = false` keeps the checkpoint lazy (the connected-
     * components loop materializes through its own fingerprint probe
@@ -56,9 +61,12 @@ object Lineage {
     val s = df.sparkSession
     s.conf.getOption(ReliableDirKey).filter(_.nonEmpty) match {
       case Some(dir) =>
-        if (dir != lastSetDir) {
-          s.sparkContext.setCheckpointDir(dir)
-          lastSetDir = dir
+        val sc = s.sparkContext
+        val cached = lastSet
+        if (sc.getCheckpointDir.isEmpty ||
+            cached == null || !(cached._1 eq sc) || cached._2 != dir) {
+          sc.setCheckpointDir(dir)
+          lastSet = (sc, dir)
         }
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)

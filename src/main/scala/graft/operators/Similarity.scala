@@ -954,11 +954,16 @@ object Similarity {
     // already-scored state, never a re-scan of the vector corpus
     // (at 100 TB a tail re-rank join would cost one full corpus scan
     // for a pool of a few thousand ids)
+    require(k <= beam,
+      s"k ($k) must be <= beam ($beam): the final top-k is drawn from " +
+        "beam-bounded state (and the oracle's contract caps at beam)")
     def score(cand: DataFrame): DataFrame =
       cand.join(vb, "b").join(queries, "qid")
         .withColumn("c", cosine(col("qv"), col("vb")))
         .select("qid", "b", "c")
-    def rankOf(scored: DataFrame): Column = row_number().over(
+    // independent of any frame — rank within qid by (cosine DESC, id),
+    // the family's one total order
+    val rank: Column = row_number().over(
       Window.partitionBy("qid").orderBy(col("c").desc, col("b")))
     // same lineage discipline as the descent loops: hops is small,
     // but each round's plan embeds the last 2× — cut it flat (the
@@ -967,7 +972,7 @@ object Similarity {
     var scored = Lineage.cut(score(seeds))
     var seenScored = scored // every scored candidate, pre-beam-cut
     for (_ <- 1 to hops) {
-      val bm = scored.withColumn("rn", rankOf(scored))
+      val bm = scored.withColumn("rn", rank)
         .filter(col("rn") <= beam).select("qid", "b")
       val expand = bm.join(graph, bm("b") === graph("ga"))
         .select(col("qid"), col("gb").as("b"))
@@ -975,22 +980,30 @@ object Similarity {
       scored = Lineage.cut(score(bm.union(expand).distinct()))
       seenScored = seenScored.union(scored)
     }
+    // constraints COMPOSE: an allow-list and a band both cut the same
+    // seen pool (a lang-filtered hard-negative mine applies both);
+    // with neither, the contract is top-k of the FINAL beam — the
+    // last hop's scored state already holds it (k ≤ beam, above)
     val eligible = (allowed, band) match {
-      case (Some(ok), _) =>
-        seenScored.dropDuplicates("qid", "b").join(ok, Seq("b"), "left_semi")
-      case (None, Some((lo, hi))) =>
-        // band filter on the ROUNDED score (both engines compare the
-        // same 4-digit value, the dedup-family rounding contract):
-        // keep lo ≤ round(c) < hi — below-duplicate, above-easy
-        seenScored.dropDuplicates("qid", "b")
-          .filter(round(col("c"), 4) >= lo && round(col("c"), 4) < hi)
-      case (None, None) =>
-        // unfiltered contract: top-k of the FINAL beam — the last
-        // hop's scored state already holds it
-        scored
+      case (None, None) => scored
+      case _ =>
+        val pool = seenScored.dropDuplicates("qid", "b")
+        val allowedPool = allowed match {
+          case Some(ok) => pool.join(ok, Seq("b"), "left_semi")
+          case None     => pool
+        }
+        band match {
+          // band filter on the ROUNDED score (both engines compare
+          // the same 4-digit value, the dedup-family rounding
+          // contract): keep lo ≤ round(c) < hi — below-duplicate,
+          // above-easy
+          case Some((lo, hi)) =>
+            allowedPool.filter(round(col("c"), 4) >= lo && round(col("c"), 4) < hi)
+          case None => allowedPool
+        }
     }
     eligible
-      .withColumn("rn", rankOf(eligible))
+      .withColumn("rn", rank)
       .filter(col("rn") <= k)
       .select(col("qid"), col("rn").cast("long").as("rank"),
         col("b").as("vec_id"), round(col("c"), 4).as("cosine"))
@@ -1133,6 +1146,13 @@ object Similarity {
     val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
     val dirTag = (scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff).toHexString
     val table = s"graft_knn_graph_incr_${slug}_${dirTag}_k${k}_t${iters}_a${appendIters}_v1"
+    // drop the pre-appendIters-slug generation of this table (and its
+    // suppression twin) so a long-lived warehouse doesn't accrete an
+    // orphaned artifact nothing will ever read again
+    val legacy = s"graft_knn_graph_incr_${slug}_${dirTag}_k${k}_t${iters}_v1"
+    Seq(legacy, s"${legacy}_sup").foreach { t =>
+      if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE $t")
+    }
     if (!s.catalog.tableExists(table)) {
       graft.sources.Sources.clearOrphanedLocation(s, table)
       knnDescentFixed(s,

@@ -49,7 +49,8 @@ object ProfileGraphServe {
     }
     serve() // warm: JIT + codegen + parquet footers
     val n = serve()
-    require(n == nQ * k || n > 0, s"served $n rows for $nQ queries")
+    require(n == nQ * k,
+      s"served $n rows for $nQ queries — want exactly $nQ x $k (a query dropped picks)")
     spark.stop()
   }
 }

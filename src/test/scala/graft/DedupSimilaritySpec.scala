@@ -1377,6 +1377,27 @@ class DedupSimilaritySpec extends SparkSpec {
     // on TOP cosine, so band coverage rides the visited pool — honest
     // floor pinned under the small-scale measurement
     assert(recall >= 0.7, s"band recall $recall below 0.7 floor")
+
+    // constraints COMPOSE: allow-list + band together (a lang-scoped
+    // hard-negative mine) — every pick must satisfy BOTH, and the
+    // composed set is exactly the band set restricted to allowed ids
+    // re-ranked (subset of the band picks' candidate space)
+    val graph = spark.table(Similarity.knnGraphTable(spark, Sf))
+      .select(col("vec_id").as("ga"), col("nbr_id").as("gb"))
+    val corpus = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val en = Tables.documents(spark, Sf).filter(col("lang") === "en")
+      .select(col("doc_id").as("b"))
+    val composed = Similarity.graphSearchCore(graph, corpus, queries,
+      k = 10, beam = 20, hops = 3,
+      allowed = Some(en), band = Some((lo, hi))).collect()
+    val enIds = en.collect().map(_.getLong(0)).toSet
+    assert(composed.forall { r =>
+      val c = r.getAs[Double]("cosine")
+      enIds(r.getAs[Long]("vec_id")) && c >= lo && c < hi
+    }, "composed allow+band pick violates one of its constraints")
     CacheRegistry.releaseAll()
   }
 }
