@@ -1400,4 +1400,42 @@ class DedupSimilaritySpec extends SparkSpec {
     }, "composed allow+band pick violates one of its constraints")
     CacheRegistry.releaseAll()
   }
+
+  test("graph serving freshness: a just-appended delta is reachable through the accreted graph") {
+    import org.apache.spark.sql.functions._
+    val k = 10
+    val full = Tables.embeddings(spark, Sf).select("vec_id", "embedding")
+    val base = full.filter(col("vec_id") % 10 =!= 0)
+    val table = "graft_serve_fresh_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    graft.sources.Sources.clearOrphanedLocation(spark, table)
+    Similarity.knnDescentConverged(spark, base, k)
+      .write.format("parquet").saveAsTable(table)
+    // grow the corpus; the graph follows through the append path
+    Similarity.knnGraphAppend(spark, table, full, k)
+    val graph = spark.table(table)
+      .select(col("vec_id").as("ga"), col("nbr_id").as("gb"))
+    val corpus = full
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val served = Similarity.graphSearchCore(graph, corpus, queries,
+      k = k, beam = 20, hops = 3).collect()
+    assert(served.length == 50)
+    // the appended 10% must be SERVABLE: the walk's answers include
+    // delta vectors wherever they belong (no stale-index blind spot —
+    // the failure mode an IVF index without append would have)
+    val deltaPicks = served.count(_.getAs[Long]("vec_id") % 10 == 0)
+    assert(deltaPicks > 0,
+      "no appended vector ever served — the accreted graph is invisible to the walk")
+    // and quality holds against brute force over the FULL grown corpus
+    val exact = Similarity.simBruteforceTopK(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val pred = served.map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    val recall = (exact & pred).size.toDouble / exact.size
+    assert(recall >= 0.6,
+      s"post-append serving recall $recall below 0.6 floor (converged-graph quality)")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    CacheRegistry.releaseAll()
+  }
 }

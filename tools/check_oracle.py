@@ -17,6 +17,12 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 con = duckdb.connect()
+# in-memory connections have NO default spill path — without a
+# temp_directory the heavy sf0.1 oracles (dedup_eval's PPJoin truth,
+# the unrolled knn descents) abort with OOM instead of spilling;
+# the cap keeps a concurrent Spark JVM from starving the host
+con.execute("SET temp_directory='.tmp'")
+con.execute("SET memory_limit='80GB'")
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
