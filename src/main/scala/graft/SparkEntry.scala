@@ -103,6 +103,7 @@ object SparkEntry {
     "sim_graph_search" -> ((s, d) => Similarity.simGraphSearch(s, d)),
     "sim_graph_search_filtered" -> ((s, d) => Similarity.simGraphSearchFiltered(s, d)),
     "sim_hard_negatives" -> ((s, d) => Similarity.simHardNegatives(s, d)),
+    "sim_graph_search_heldout" -> ((s, d) => Similarity.simGraphSearchHeldOut(s, d)),
     "sim_knn_components" -> ((s, d) => Similarity.simKnnComponents(s, d)),
     "sim_knn_label_prop" -> ((s, d) => Similarity.simKnnLabelProp(s, d)),
     "sim_knn_diversity" -> ((s, d) => Similarity.simKnnDiversity(s, d)),
@@ -658,6 +659,83 @@ object SparkEntry {
        |  SELECT $poolName.qid, $poolName.b, cs.c,
        |         row_number() OVER (PARTITION BY $poolName.qid ORDER BY cs.c DESC, $poolName.b) AS rn
        |  FROM $poolName JOIN cs ON cs.ia = $poolName.qid AND cs.ib = $poolName.b$bandPred) WHERE rn <= $k
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  /** DuckDB replica of [[operators.Similarity.simGraphSearchHeldOut]]
+    * — the base-only fixed-T descent (the incremental oracle's `be`
+    * chain: its OWN id space vec_id % 10 != 0) unrolled into the
+    * base graph, then the beam walk replayed for HELD-OUT query ids
+    * (vec_id % 10 == 0): LCG seeds over the base id space, hop
+    * expansion through base edges, re-rank by the shared all-pairs
+    * cosine matrix, top-k of the final beam. The production shape —
+    * queries the graph never saw — under the same hash gate as the
+    * member-query walk. */
+  private def graphSearchHeldOutOracleSql(nQueries: Int, k: Int, beam: Int,
+                                          hops: Int, graphK: Int,
+                                          graphIters: Int): String = {
+    val baseRounds = (1 to graphIters).map { t =>
+      val prev = s"be${t - 1}"
+      s"""bu$t AS MATERIALIZED (SELECT a, b FROM $prev UNION
+         |        SELECT a, b FROM (
+         |          SELECT p.b AS a, p.a AS b,
+         |                 row_number() OVER (PARTITION BY p.b ORDER BY p.a) AS rr
+         |          FROM $prev p) WHERE rr <= $graphK),
+         |bc$t AS (SELECT a, b FROM bu$t UNION
+         |        SELECT x.a, y.b FROM bu$t x JOIN bu$t y ON x.b = y.a WHERE x.a <> y.b),
+         |be$t AS MATERIALIZED (SELECT a, b FROM (
+         |  SELECT bc$t.a, bc$t.b,
+         |         row_number() OVER (PARTITION BY bc$t.a ORDER BY cs.c DESC, bc$t.b) AS rn
+         |  FROM bc$t JOIN cs ON cs.ia = bc$t.a AND cs.ib = bc$t.b) WHERE rn <= $graphK)"""
+        .stripMargin
+    }.mkString(",\n")
+    val hopCtes = (1 to hops).map { t =>
+      val prev = s"w${t - 1}"
+      s""",
+         |x$t AS MATERIALIZED (SELECT qid, b FROM $prev UNION
+         |        SELECT p.qid, g.b FROM $prev p JOIN g ON g.a = p.b WHERE g.b <> p.qid),
+         |w$t AS MATERIALIZED (SELECT qid, b FROM (
+         |  SELECT x$t.qid, x$t.b,
+         |         row_number() OVER (PARTITION BY x$t.qid ORDER BY cs.c DESC, x$t.b) AS rn
+         |  FROM x$t JOIN cs ON cs.ia = x$t.qid AND cs.ib = x$t.b) WHERE rn <= $beam)"""
+        .stripMargin
+    }.mkString
+    s"""WITH ex AS (
+       |  SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY vec_id),
+       |dots AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.x * b.x) AS dot
+       |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |cs AS MATERIALIZED (
+       |  SELECT ia, ib, d.dot / (na.nrm * nb.nrm) AS c
+       |  FROM dots d JOIN norms na ON na.vec_id = d.ia JOIN norms nb ON nb.vec_id = d.ib),
+       |bids AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 0),
+       |bm AS (SELECT max(vec_id) + 1 AS m FROM bids),
+       |be0 AS (
+       |  SELECT DISTINCT i.vec_id AS a,
+       |         (i.vec_id * 1664525 + t.j * 40503) % bm.m AS b
+       |  FROM bids i CROSS JOIN bm CROSS JOIN range(1, ${graphK + 1}) t(j)
+       |  WHERE (i.vec_id * 1664525 + t.j * 40503) % bm.m <> i.vec_id
+       |    AND (i.vec_id * 1664525 + t.j * 40503) % bm.m IN (SELECT vec_id FROM bids)),
+       |$baseRounds,
+       |g AS MATERIALIZED (SELECT a, b FROM be$graphIters),
+       |qs AS (SELECT vec_id AS qid FROM embeddings
+       |       WHERE vec_id % 10 = 0 AND vec_id < ${nQueries * 10L}),
+       |s0 AS MATERIALIZED (
+       |  SELECT DISTINCT q.qid, (q.qid * 1664525 + t.j * 40503) % bm.m AS b
+       |  FROM qs q CROSS JOIN bm CROSS JOIN range(1, ${beam + 1}) t(j)
+       |  WHERE (q.qid * 1664525 + t.j * 40503) % bm.m <> q.qid
+       |    AND (q.qid * 1664525 + t.j * 40503) % bm.m IN (SELECT vec_id FROM bids)),
+       |w0 AS MATERIALIZED (SELECT qid, b FROM (
+       |  SELECT s0.qid, s0.b,
+       |         row_number() OVER (PARTITION BY s0.qid ORDER BY cs.c DESC, s0.b) AS rn
+       |  FROM s0 JOIN cs ON cs.ia = s0.qid AND cs.ib = s0.b) WHERE rn <= $beam)$hopCtes
+       |SELECT qid, rn::BIGINT AS rank, b AS vec_id, round(c, 4) AS cosine FROM (
+       |  SELECT w$hops.qid, w$hops.b, cs.c,
+       |         row_number() OVER (PARTITION BY w$hops.qid ORDER BY cs.c DESC, w$hops.b) AS rn
+       |  FROM w$hops JOIN cs ON cs.ia = w$hops.qid AND cs.ib = w$hops.b) WHERE rn <= $k
        |ORDER BY qid, rank""".stripMargin
   }
 
@@ -1925,6 +2003,8 @@ object SparkEntry {
       beam = 20, hops = 3, graphK = 10, graphIters = 3, allowedLang = Some("en")),
     "sim_hard_negatives" -> graphSearchOracleSql(nQueries = 5, k = 10,
       beam = 20, hops = 3, graphK = 10, graphIters = 3, band = Some((0.3, 0.6))),
+    "sim_graph_search_heldout" -> graphSearchHeldOutOracleSql(nQueries = 5,
+      k = 10, beam = 20, hops = 3, graphK = 10, graphIters = 3),
     "sim_knn_graph_incremental" ->
       knnGraphIncrementalOracleSql(k = 10, iters = 3, appendIters = 3),
     "sim_knn_components" -> knnComponentsOracleSql(k = 10, iters = 3, tau = 0.4),

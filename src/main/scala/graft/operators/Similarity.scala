@@ -867,6 +867,51 @@ object Similarity {
     graphSearchCore(graph, corpus, queries, k, beam, hops)
   }
 
+  /** The fixed-T descent graph over the BASE corpus
+    * (vec_id % 10 != 0) as a READ-ONLY persisted table — the serving
+    * twin of [[knnGraphTableIncremental]]'s base build, but never
+    * mutated (no append/forget touches it), so registry queries that
+    * read it are order-independent. Built once per dir × (k, iters)
+    * on first touch. */
+  private[graft] def knnGraphTableBase(s: SparkSession, dir: String,
+                                       k: Int = 10, iters: Int = 3): String = {
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    val dirTag = (scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff).toHexString
+    val table = s"graft_knn_graph_base_${slug}_${dirTag}_k${k}_t${iters}_v1"
+    if (!s.catalog.tableExists(table)) {
+      graft.sources.Sources.clearOrphanedLocation(s, table)
+      knnDescentFixed(s,
+        Tables.embeddings(s, dir).filter(col("vec_id") % 10 =!= 0), k, iters)
+        .write.format("parquet").saveAsTable(table)
+    }
+    table
+  }
+
+  /** HELD-OUT serving (`sim_graph_search_heldout`) — the REAL
+    * production shape hash-verified: the graph is built over the
+    * base corpus only (vec_id % 10 != 0), and the queries are
+    * held-out vectors the graph has NEVER seen (vec_id % 10 == 0) —
+    * the walk reads only their embeddings (seed scoring + re-rank),
+    * never a graph row, so this is exactly "a new query vector
+    * arrives at the serving tier". Answers are drawn from the BASE
+    * corpus by construction (the walk can only reach graph
+    * vertices + seed members). Same fixed-T/fixed-hops replayable
+    * contract as [[simGraphSearch]]; the oracle unrolls the
+    * base-only descent and walks the held-out seeds over it. */
+  def simGraphSearchHeldOut(s: SparkSession, dir: String, nQueries: Int = 5,
+                            k: Int = 10, beam: Int = 20, hops: Int = 3,
+                            graphK: Int = 10, graphIters: Int = 3): DataFrame = {
+    val graph = s.table(knnGraphTableBase(s, dir, graphK, graphIters))
+      .select(col("vec_id").as("ga"), col("nbr_id").as("gb"))
+    val all = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val corpus = all.filter(col("vec_id") % 10 =!= 0)
+    val queries = all
+      .filter(col("vec_id") % 10 === 0 && col("vec_id") < nQueries * 10L)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    graphSearchCore(graph, corpus, queries, k, beam, hops)
+  }
+
   /** CONSTRAINED graph serving (`sim_graph_search_filtered`) — the
     * filtered-ANN member of the serving family (every production
     * vector store grows one: "nearest neighbors WHERE lang = X /
