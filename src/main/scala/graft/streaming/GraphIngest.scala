@@ -92,6 +92,11 @@ object GraphIngest {
         // deletion would be re-INSERTED into the corpus table —
         // re-persisting the embedding even though knnGraphAppend
         // keeps it out of the graph. O(tombstones) broadcast.
+        // knnGraphAppend recovers this table again later in the batch;
+        // the duplicate is deliberate — THIS read happens first, and a
+        // crash mid-reinstate must never present a half-swapped
+        // suppression list to the corpus admit decision. One metadata
+        // probe per micro-batch is noise next to the descent.
         val supT = s"${graphTable}_sup"
         val admitted =
           if (s.catalog.tableExists(supT)) {
