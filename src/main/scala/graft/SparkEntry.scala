@@ -610,6 +610,11 @@ object SparkEntry {
                                    graphK: Int, graphIters: Int,
                                    allowedLang: Option[String] = None,
                                    band: Option[(Double, Double)] = None): String = {
+    // the lang value is interpolated into a SQL string literal below —
+    // restrict it to the two-letter code shape the documents table
+    // uses so a future parameterization can't smuggle a quote in
+    allowedLang.foreach(l => require(l.matches("[a-z]{2}"),
+      s"allowedLang must be a two-letter code, got '$l'"))
     // leading-comma form so hops = 0 (no hop CTEs at all) still emits
     // valid SQL — the zero-hop baseline is just the scored seed beam
     val hopCtes = (1 to hops).map { t =>

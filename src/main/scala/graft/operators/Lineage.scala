@@ -51,8 +51,12 @@ object Lineage {
     * cache would skip the re-set and the next `checkpoint()` would
     * throw. The `getCheckpointDir.isEmpty` guard also heals the
     * exotic case of external code clearing/replacing the context's
-    * setting between cuts. */
-  @volatile private var lastSet: (org.apache.spark.SparkContext, String) = null
+    * setting between cuts. Held via WeakReference so the cache never
+    * pins a STOPPED context (and its driver-side state) against GC in
+    * a long-lived JVM that restarts contexts — a cleared reference
+    * just means the next cut re-sets the dir, which is the safe
+    * branch anyway. */
+  @volatile private var lastSet: (java.lang.ref.WeakReference[org.apache.spark.SparkContext], String) = null
 
   /** `eager = false` keeps the checkpoint lazy (the connected-
     * components loop materializes through its own fingerprint probe
@@ -63,10 +67,11 @@ object Lineage {
       case Some(dir) =>
         val sc = s.sparkContext
         val cached = lastSet
+        val cachedSc = if (cached == null) null else cached._1.get()
         if (sc.getCheckpointDir.isEmpty ||
-            cached == null || !(cached._1 eq sc) || cached._2 != dir) {
+            cachedSc == null || !(cachedSc eq sc) || cached._2 != dir) {
           sc.setCheckpointDir(dir)
-          lastSet = (sc, dir)
+          lastSet = (new java.lang.ref.WeakReference(sc), dir)
         }
         df.checkpoint(eager)
       case None => df.localCheckpoint(eager)

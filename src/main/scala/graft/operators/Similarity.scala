@@ -1193,15 +1193,34 @@ object Similarity {
     val table = s"graft_knn_graph_incr_${slug}_${dirTag}_k${k}_t${iters}_a${appendIters}_v1"
     // drop the pre-appendIters-slug generation of this table (and its
     // suppression twin) so a long-lived warehouse doesn't accrete an
-    // orphaned artifact nothing will ever read again
+    // orphaned artifact nothing will ever read again — but MIGRATE the
+    // legacy suppression list first: those rows are compliance
+    // tombstones (a user's deletion replayed against at-least-once
+    // redelivery), and dropping them with the slug would silently
+    // re-admit the suppressed ids when the new artifact rebuilds
     val legacy = s"graft_knn_graph_incr_${slug}_${dirTag}_k${k}_t${iters}_v1"
-    Seq(legacy, s"${legacy}_sup").foreach { t =>
+    val legacySup = s"${legacy}_sup"
+    if (s.catalog.tableExists(legacySup)) {
+      StagedRewrite.recover(s, legacySup)
+      val rows = s.table(legacySup).distinct()
+      if (!rows.isEmpty) {
+        val supT = suppressionTable(s, table)
+        rows.join(s.table(supT), Seq("vec_id"), "left_anti")
+          .write.mode("append").insertInto(supT)
+      }
+    }
+    Seq(legacy, legacySup).foreach { t =>
       if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE $t")
     }
     if (!s.catalog.tableExists(table)) {
       graft.sources.Sources.clearOrphanedLocation(s, table)
-      knnDescentFixed(s,
-        Tables.embeddings(s, dir).filter(col("vec_id") % 10 =!= 0), k, iters)
+      // ONE base descent artifact: the initial content is a copy of
+      // the read-only [[knnGraphTableBase]] (same ids, same fixed-T
+      // descent — byte-identical by determinism), so the held-out
+      // serving table and the incremental harness's base build share
+      // one descent run instead of silently maintaining two that a
+      // future parameter drift could split
+      s.table(knnGraphTableBase(s, dir, k, iters))
         .write.format("parquet").saveAsTable(table)
     } else {
       StagedRewrite.recover(s, table)

@@ -49,8 +49,21 @@ object ProfileGraphServe {
     }
     serve() // warm: JIT + codegen + parquet footers
     val n = serve()
-    require(n == nQ * k,
-      s"served $n rows for $nQ queries — want exactly $nQ x $k (a query dropped picks)")
+    if (n != nQ * k) {
+      // diagnose WHICH queries came up short before failing — on a
+      // sparse/non-contiguous id space (post-forget corpora) LCG
+      // seeds mod (max+1) can miss the membership filter and a query
+      // can accumulate < k candidates; a bare total-row inequality
+      // hides that
+      val short = Similarity.graphSearchCore(graph, corpus, queries, k,
+          beam = 20, hops = 3)
+        .groupBy("qid").count().filter(col("count") < k)
+        .orderBy("qid").limit(20).collect()
+      val detail = short.map(r => s"qid=${r.getLong(0)}:${r.getLong(1)}").mkString(", ")
+      require(n == nQ * k,
+        s"served $n rows for $nQ queries — want exactly $nQ x $k; " +
+          s"short queries (first 20): $detail")
+    }
     spark.stop()
   }
 }

@@ -1231,6 +1231,47 @@ class DedupSimilaritySpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("incremental graph slug migration preserves compliance tombstones; base build shared") {
+    import org.apache.spark.sql.functions._
+    // replicate the accessor's naming so the spec can plant a LEGACY
+    // (pre-appendIters-slug) artifact with a suppression twin and
+    // verify the migration copies the tombstones before dropping it —
+    // dropped tombstones would re-admit a compliance-deleted id
+    val k = 10; val iters = 3
+    val slug = Sf.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    val dirTag = (scala.util.hashing.MurmurHash3.stringHash(Sf) & 0x7fffffff).toHexString
+    val legacy = s"graft_knn_graph_incr_${slug}_${dirTag}_k${k}_t${iters}_v1"
+    val current = s"graft_knn_graph_incr_${slug}_${dirTag}_k${k}_t${iters}_a3_v1"
+    Seq(legacy, s"${legacy}_sup", current, s"${current}_sup").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.sources.Sources.clearOrphanedLocation(spark, t)
+    }
+    spark.range(1).select(col("id").as("vec_id"), lit(1L).as("rank"),
+        lit(2L).as("nbr_id"), lit(0.5).as("cosine"))
+      .write.format("parquet").saveAsTable(legacy)
+    spark.range(42, 44).select(col("id").as("vec_id"))
+      .write.format("parquet").saveAsTable(s"${legacy}_sup")
+    val table = Similarity.knnGraphTableIncremental(spark, Sf, k, iters)
+    assert(table == current, s"unexpected table name $table")
+    assert(!spark.catalog.tableExists(legacy) &&
+      !spark.catalog.tableExists(s"${legacy}_sup"),
+      "legacy artifact not dropped after migration")
+    val migrated = spark.table(s"${table}_sup")
+      .collect().map(_.getLong(0)).toSet
+    assert(migrated == Set(42L, 43L),
+      s"legacy suppression rows not migrated: got $migrated")
+    // the initial incremental content is a COPY of the read-only base
+    // artifact — one descent build shared between the two tables
+    val baseName = s"graft_knn_graph_base_${slug}_${dirTag}_k${k}_t${iters}_v1"
+    assert(spark.catalog.tableExists(baseName),
+      "base graph table missing after incremental build")
+    assert(spark.table(table).collect().toSet ==
+      spark.table(baseName).collect().toSet,
+      "incremental initial content differs from the shared base artifact")
+    Seq(current, s"${current}_sup").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    CacheRegistry.releaseAll()
+  }
+
   test("reliable-checkpoint knob: identical output on the durable lineage-cut path") {
     // the iterative family's cluster-grade durability form: with
     // graft.reliableCheckpointDir set, every Lineage.cut becomes a

@@ -20,9 +20,18 @@ con = duckdb.connect()
 # in-memory connections have NO default spill path — without a
 # temp_directory the heavy sf0.1 oracles (dedup_eval's PPJoin truth,
 # the unrolled knn descents) abort with OOM instead of spilling;
-# the cap keeps a concurrent Spark JVM from starving the host
-con.execute("SET temp_directory='.tmp'")
-con.execute("SET memory_limit='80GB'")
+# the cap keeps a concurrent Spark JVM from starving the host.
+# Default the cap to half of host RAM (capped at 80 GB) so a smaller
+# box doesn't over-commit alongside the Spark JVM; override with
+# GRAFT_DUCKDB_MEM. Spill is anchored under the verify-out dir, not
+# whatever cwd the script happens to be invoked from.
+import os
+mem = os.environ.get("GRAFT_DUCKDB_MEM")
+if not mem:
+    page_bytes = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+    mem = f"{min(80, max(4, page_bytes // (2 * 1024**3)))}GB"
+con.execute(f"SET temp_directory='{os.path.join(OUT, '.duckdb_tmp')}'")
+con.execute(f"SET memory_limit='{mem}'")
 for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
