@@ -1479,4 +1479,130 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     CacheRegistry.releaseAll()
   }
+
+  test("informed entry points: LSH bucket-mate seeding beats random seeds on clustered data") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // The at-scale seeding argument, reproduced at spec scale: 100
+    // isolated cliques of 6 near-identical vectors (random 64-dim
+    // clique centers are near-orthogonal, members at cos≈0.998). Hold
+    // out member j=0 of each clique; its true top-5 in the base are
+    // exactly its 5 clique-mates. A random-LCG-seeded fixed-hop walk
+    // must stumble into the right 1-of-100 clique through near-flat
+    // stranger edges — at 10⁹ vertices it reaches a vanishing
+    // fraction; bucket-mate seeds start INSIDE the clique (sign-LSH
+    // puts cos≈0.998 pairs in one bucket w.h.p.), which is the whole
+    // design.
+    val nCliques = 100; val size = 6; val dim = 64
+    def gauss(seed: Int): Array[Double] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextGaussian())
+    }
+    val rows = (0 until nCliques).flatMap { c =>
+      val center = gauss(c)
+      (0 until size).map { j =>
+        val noise = gauss(100000 + c * size + j)
+        val v = center.zip(noise).map { case (x, e) => x + 0.02 * e }
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        ((c * size + j).toLong, v.map(x => (x / nrm).toFloat))
+      }
+    }
+    val all = rows.toDF("vec_id", "embedding")
+    val base = all.filter(col("vec_id") % size =!= 0)
+    val corpus = base.select(col("vec_id"),
+      transform(col("embedding"), _.cast("double")).as("v")).cache()
+    val queries = all.filter(col("vec_id") % size === 0)
+      .select(col("vec_id").as("qid"),
+        transform(col("embedding"), _.cast("double")).as("qv")).cache()
+    val graph = Similarity.knnDescentConverged(spark, base, k = 10)
+      .select(col("vec_id").as("ga"), col("nbr_id").as("gb")).cache()
+    val k = 5 // truth = exactly the 5 clique-mates, far above the stranger band
+    def recallOf(informed: Boolean): Double = {
+      val served = Similarity.graphSearchCore(graph, corpus, queries, k,
+        beam = 20, hops = 3, informedSeeds = informed).collect()
+      val hits = served.count { r =>
+        r.getAs[Long]("qid") / size == r.getAs[Long]("vec_id") / size
+      }
+      hits.toDouble / (nCliques * k)
+    }
+    val rRandom = recallOf(informed = false)
+    val rInformed = recallOf(informed = true)
+    info(f"clique recall@$k: random-seed $rRandom%.3f vs informed $rInformed%.3f")
+    assert(rInformed >= 0.9,
+      f"informed seeding should find the clique ($rInformed%.3f < 0.9)")
+    assert(rInformed >= rRandom + 0.2,
+      f"informed ($rInformed%.3f) must clearly beat random seeds ($rRandom%.3f) on clustered data")
+    CacheRegistry.releaseAll()
+  }
+
+  test("graphServeRecallRow: held-out serve quality over the converged base graph holds a floor") {
+    // the production serving graph's walk-quality dashboard row —
+    // held-out queries, converged base graph, exact truth over the
+    // base corpus (the number a rollout watches; the fixed-T graph's
+    // edge recall collapses with n, so this row is measured over the
+    // artifact that would actually serve)
+    val lcgRow = Similarity.graphServeRecallRow(spark, Sf).collect()(0)
+    val lcg = lcgRow.getAs[Double]("recall")
+    assert(lcgRow.getAs[Long]("n_exact") == 50L, "expected 5 held-out queries x k=10 truth")
+    val informed = Similarity.graphServeRecallRow(spark, Sf, informed = true)
+      .collect()(0).getAs[Double]("recall")
+    info(f"held-out converged-graph serve recall@10: lcg $lcg%.3f, informed $informed%.3f")
+    // measured 0.80/0.86 (lcg/informed) over the 450-vector base
+    assert(lcg >= 0.6, f"lcg held-out serve recall $lcg%.3f below 0.6 floor")
+    assert(informed >= lcg - 0.05,
+      f"informed seeding ($informed%.3f) fell measurably below lcg ($lcg%.3f)")
+    CacheRegistry.releaseAll()
+  }
+
+  test("filtered search under selective allow-lists: shortfall measured, monotone in beam/hops") {
+    import org.apache.spark.sql.functions._
+    // the documented degradation contract: a rare allow-list can
+    // leave fewer than k allowed ids inside the bounded visited pool
+    // (~seeds + hops·beam·(graphK+1)); the operator degrades by
+    // SHRINKING the result set, never by stranding the walk. Measure
+    // the shortfall at 1% / 5% / 20% selectivity and verify widening
+    // beam/hops monotonically recovers it — the guidance the scaladoc
+    // gives a caller with a selective filter.
+    val table = Similarity.knnGraphTable(spark, Sf, 10, 3)
+    val graph = spark.table(table)
+      .select(col("vec_id").as("ga"), col("nbr_id").as("gb"))
+    val corpus = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")).cache()
+    val queries = corpus.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv")).cache()
+    val nQ = queries.count()
+    val k = 5
+    val selectivities = Seq(("1%", 100L), ("5%", 20L), ("20%", 5L))
+    val widths = Seq((20, 3), (40, 5))
+    val shortfall = selectivities.map { case (label, mod) =>
+      val allowed = corpus.filter(col("vec_id") % mod === 1)
+        .select(col("vec_id").as("b")).cache()
+      val nAllowed = allowed.count()
+      val fill = math.min(k.toLong, nAllowed)
+      label -> widths.map { case (beam, hops) =>
+        val served = Similarity.graphSearchCore(graph, corpus, queries, k,
+          beam, hops, allowed = Some(allowed))
+        // every pick honors the filter — degradation never leaks
+        assert(served.join(allowed,
+          served("vec_id") === allowed("b"), "left_anti").isEmpty,
+          s"pick outside the allow-list at $label selectivity")
+        val short = queries.select("qid")
+          .join(served.groupBy("qid").count(), Seq("qid"), "left")
+          .select(coalesce(col("count"), lit(0L)).as("cnt"))
+          .filter(col("cnt") < fill).count()
+        short
+      }
+    }
+    shortfall.foreach { case (label, Seq(narrow, wide)) =>
+      info(s"selectivity $label: $narrow/$nQ queries short at beam=20/hops=3, " +
+        s"$wide/$nQ at beam=40/hops=5")
+      assert(wide <= narrow,
+        s"widening beam/hops increased shortfall at $label ($narrow -> $wide)")
+    }
+    // rarer filters are strictly harder — the 20% list must not be
+    // worse off than the 1% list at the same width
+    assert(shortfall.last._2.head <= shortfall.head._2.head,
+      "20% allow-list shorter-filled than the 1% list at the same width")
+    CacheRegistry.releaseAll()
+  }
 }
