@@ -1215,6 +1215,58 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** AUTO-WIDENING filtered graph search — the self-healing form of
+    * the [[simGraphSearchFiltered]] degradation contract: under a
+    * rare allow-list the bounded visited pool can hold fewer than k
+    * allowed ids and the result set shrinks (measured: 1%
+    * selectivity leaves 47/50 queries short at beam=20/hops=3).
+    * This wrapper RETRIES ONLY THE SHORT QUERIES with doubled beam
+    * and +2 hops, up to `maxDoublings` rounds — the retry query set
+    * shrinks monotonically (filled queries keep their first
+    * full-width answer; re-walking them would change nothing but
+    * cost), so total work is bounded by
+    * Σ |still-short queries| · widened-pool, and a query that cannot
+    * fill within the budget returns its short set rather than
+    * looping (the caller's signal to pre-filter the corpus and build
+    * a per-segment graph instead — the standard filtered-ANN trade).
+    * Deterministic: each round is the deterministic core walk over a
+    * deterministic query subset. */
+  def graphSearchFilteredAdaptive(graph: DataFrame, corpus: DataFrame,
+                                  queries: DataFrame, allowed: DataFrame,
+                                  k: Int, beam: Int = 20, hops: Int = 3,
+                                  maxDoublings: Int = 2,
+                                  informedSeeds: Boolean = false): DataFrame = {
+    var result = Lineage.cut(graphSearchCore(graph, corpus, queries, k,
+      beam, hops, allowed = Some(allowed), informedSeeds = informedSeeds))
+    var remaining = queries
+    var b = beam; var h = hops
+    var attempt = 0
+    var done = false
+    while (attempt < maxDoublings && !done) {
+      attempt += 1
+      // short = queries whose result set has fewer than k picks —
+      // counted from the QUERY frame so fully-empty sets are seen
+      val shortQ = Lineage.cut(remaining.join(
+          result.groupBy("qid").agg(count(lit(1)).as("cnt")), Seq("qid"), "left")
+        .filter(coalesce(col("cnt"), lit(0L)) < k)
+        .drop("cnt"))
+      if (shortQ.isEmpty) done = true
+      else {
+        b *= 2; h += 2
+        val retry = graphSearchCore(graph, corpus, shortQ, k, b, h,
+          allowed = Some(allowed), informedSeeds = informedSeeds)
+        // filled queries keep their answers; short ones are REPLACED
+        // by the wider walk's (a superset pool re-ranked under the
+        // same total order — never a mix of two walks' ranks)
+        result = Lineage.cut(
+          result.join(shortQ.select("qid"), Seq("qid"), "left_anti")
+            .unionByName(retry))
+        remaining = shortQ
+      }
+    }
+    result.orderBy("qid", "rank")
+  }
+
   /** PRODUCTION form of [[simKnnGraph]] — NN-Descent run TO
     * CONVERGENCE instead of a fixed round count. The registry's
     * `sim_knn_graph` (fixed T) is the REPLAYABLE CONTRACT HARNESS

@@ -43,4 +43,45 @@ object VectorServe {
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .start()
+
+  /** [[serveStream]]'s GRAPH-tier twin — the same stream-static
+    * micro-batch discipline over the persisted k-NN graph instead of
+    * the IVF index, completing streaming serving parity across both
+    * index families: each batch of (vec_id, v) query vectors runs the
+    * IDENTICAL bounded beam walk the batch operator runs
+    * ([[Similarity.graphSearchCore]] — per hop one join against the
+    * O(n·k) edge table, per-query state `beam` ids), so a stream
+    * query and a batch query over the same graph content return the
+    * same rows. Exactly-once by the same argument as the IVF side:
+    * serving mutates nothing and the walk is a deterministic function
+    * of (graph content, batch), so each batch overwrites its own
+    * `batch_id=N` partition idempotently. `informed` selects LSH
+    * bucket-mate entry points (the production seeding); the default
+    * keeps the LCG contract the batch registry queries replay.
+    *
+    * At 100 TB: per batch this costs hops·(batch-keyed joins against
+    * the graph and corpus tables) — cost tracks the query rate and
+    * the O(n·k) artifact, never a corpus scan. */
+  def graphServeStream(dir: String, queryBatches: DataFrame,
+                       outDir: String, checkpoint: String,
+                       k: Int = 10, beam: Int = 20, hops: Int = 3,
+                       graphK: Int = 10, graphIters: Int = 3,
+                       informed: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    queryBatches.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val table = Similarity.knnGraphTable(spark, dir, graphK, graphIters)
+        val graph = spark.table(table)
+          .select(col("vec_id").as("ga"), col("nbr_id").as("gb"))
+        val corpus = graft.Tables.embeddings(spark, dir)
+          .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x as double))").as("v"))
+        Similarity.graphSearchCore(graph, corpus,
+            batch.select(col("vec_id").as("qid"), col("v").as("qv")),
+            k, beam, hops, informedSeeds = informed)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+      }
+      .start()
 }

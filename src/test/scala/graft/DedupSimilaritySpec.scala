@@ -1603,6 +1603,39 @@ class DedupSimilaritySpec extends SparkSpec {
     // worse off than the 1% list at the same width
     assert(shortfall.last._2.head <= shortfall.head._2.head,
       "20% allow-list shorter-filled than the 1% list at the same width")
+
+    // the AUTO-WIDENING form: retries only the short queries with
+    // doubled beam / +2 hops — shortfall must improve on the plain
+    // walk, non-short queries must keep their first answers verbatim,
+    // and no pick may leak past the filter
+    val allowed1 = corpus.filter(col("vec_id") % 100 === 1)
+      .select(col("vec_id").as("b")).cache()
+    val fill1 = math.min(k.toLong, allowed1.count())
+    def shortCount(df: org.apache.spark.sql.DataFrame): Long =
+      queries.select("qid")
+        .join(df.groupBy("qid").count(), Seq("qid"), "left")
+        .select(coalesce(col("count"), lit(0L)).as("cnt"))
+        .filter(col("cnt") < fill1).count()
+    val plain = Similarity.graphSearchCore(graph, corpus, queries, k,
+      20, 3, allowed = Some(allowed1))
+    val adaptive = Similarity.graphSearchFilteredAdaptive(graph, corpus,
+      queries, allowed1, k, beam = 20, hops = 3, maxDoublings = 2)
+    val (sPlain, sAdaptive) = (shortCount(plain), shortCount(adaptive))
+    info(s"adaptive widening at 1%: shortfall $sPlain/$nQ plain -> $sAdaptive/$nQ adaptive")
+    assert(sAdaptive < sPlain,
+      s"auto-widening did not reduce 1%-selectivity shortfall ($sPlain -> $sAdaptive)")
+    assert(adaptive.join(allowed1,
+      adaptive("vec_id") === allowed1("b"), "left_anti").isEmpty,
+      "adaptive pick outside the allow-list")
+    // queries already full at the first width are untouched
+    val fullQids = plain.groupBy("qid").count().filter(col("count") >= fill1)
+      .select("qid")
+    val keptPlain = plain.join(fullQids, Seq("qid"), "left_semi").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("rank"), r.getAs[Long]("vec_id"))).toSet
+    val keptAdaptive = adaptive.join(fullQids, Seq("qid"), "left_semi").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("rank"), r.getAs[Long]("vec_id"))).toSet
+    assert(keptPlain == keptAdaptive,
+      "auto-widening disturbed queries that were already full at the first width")
     CacheRegistry.releaseAll()
   }
 }

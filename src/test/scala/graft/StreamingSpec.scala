@@ -227,6 +227,39 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-static graph serving equals the batch walk over the same queries") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft-gserve").toString
+    val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    // query vectors ARE the first five corpus vectors — the exact set
+    // the batch registry query serves, split across two micro-batches
+    val qvecs = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .filter(col("vec_id") < 5)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val queries = input.toDF().toDF("vec_id", "v")
+    val query = graft.streaming.VectorServe.graphServeStream(Sf, queries, outDir, ckpt)
+    input.addData(qvecs.take(3).toSeq)
+    query.processAllAvailable()
+    input.addData(qvecs.drop(3).toSeq)
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.read.parquet(s"$outDir/batch_id=*").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSet
+    val batch = Similarity.simGraphSearch(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSet
+    assert(streamed == batch,
+      s"streamed graph serve diverges from the batch walk: " +
+        s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
+    assert(streamed.nonEmpty)
+  }
+
   test("stream-static incremental dedup flags arrivals against the corpus table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
