@@ -1089,7 +1089,8 @@ object Similarity {
                                      hops: Int,
                                      allowed: Option[DataFrame] = None,
                                      band: Option[(Double, Double)] = None,
-                                     informedSeeds: Boolean = false): DataFrame = {
+                                     informedSeeds: Boolean = false,
+                                     seedMates: Option[DataFrame] = None): DataFrame = {
     val ids = corpus.select(col("vec_id"))
     val m = ids.agg((max(col("vec_id")) + 1).as("m")) // one-row scalar attach
     val lcgSeeds = queries.select("qid").crossJoin(m)
@@ -1132,13 +1133,21 @@ object Similarity {
       // ceil(log2((n+64)/2)) = 14 planes buckets hold ~1.2 and the
       // cap never binds. The one count() is a bounded aggregate paid
       // once per serve BATCH, amortized over every query in it.
-      val nPlanes = math.min(16, math.max(7,
-        math.ceil(math.log((corpus.count() + 64) / 2.0) / math.log(2.0)).toInt))
-      val mates = lshTablePlanes(nTables = 4, numPlanes = nPlanes).map { p =>
-        val cb = corpus.select(col("vec_id").as("b"), lshBucket(col("v"), p).as("bk"))
-        val qb = queries.select(col("qid"), lshBucket(col("qv"), p).as("bk"))
-        cb.join(qb, "bk").filter(col("qid") =!= col("b")).select("qid", "b")
-      }.reduce(_ union _).distinct()
+      // `seedMates` short-circuits the corpus-side hashing with
+      // pre-derived (qid, b) mate pairs from the PERSISTED
+      // [[lshSeedTable]] artifact — at 100 TB the per-batch corpus
+      // hash scan becomes a build-time cost (the same cap + fallback
+      // apply, so table-fed and inline seeding are row-identical,
+      // spec-asserted).
+      val rawMates = seedMates.getOrElse {
+        val nPlanes = lshSeedPlaneCount(corpus.count())
+        lshTablePlanes(nTables = 4, numPlanes = nPlanes).map { p =>
+          val cb = corpus.select(col("vec_id").as("b"), lshBucket(col("v"), p).as("bk"))
+          val qb = queries.select(col("qid"), lshBucket(col("qv"), p).as("bk"))
+          cb.join(qb, "bk").filter(col("qid") =!= col("b")).select("qid", "b")
+        }.reduce(_ union _)
+      }
+      val mates = rawMates.distinct()
         .withColumn("rr", row_number().over(
           Window.partitionBy("qid").orderBy(xxhash64(col("qid"), col("b")))))
         .filter(col("rr") <= beam).select("qid", "b")
@@ -1213,6 +1222,74 @@ object Similarity {
       .select(col("qid"), col("rn").cast("long").as("rank"),
         col("b").as("vec_id"), round(col("c"), 4).as("cosine"))
       .orderBy("qid", "rank")
+  }
+
+  /** Adaptive LSH plane count for seed buckets —
+    * ceil(log2((n+64)/2)) clamped to [7, 16] (dedupEmbeddingAnn's
+    * corpus-adaptive formula): buckets stay basin-sized as n grows,
+    * which the informed-seed mate cap depends on (measured at the
+    * 20k replica: 7 fixed planes → ~156/bucket → 0.289 member
+    * recall; 14 adaptive planes → ~1.2/bucket → 0.952). */
+  private[graft] def lshSeedPlaneCount(n: Long): Int =
+    math.min(16, math.max(7,
+      math.ceil(math.log((n + 64) / 2.0) / math.log(2.0)).toInt))
+
+  /** The PERSISTED seed-bucket artifact for informed graph serving —
+    * the [[ivfIndexTable]] lifecycle applied to the entry-point
+    * machinery: one build-time pass hashes every corpus vector into
+    * its 4 sign-LSH tables (adaptive plane count, one row per
+    * (table, bucket, vec_id)) so a serve batch derives its
+    * bucket-mates by hashing ONLY the query vectors (tiny) and
+    * joining the artifact on (t, bk) — at 100 TB the per-batch
+    * corpus-wide hash scan the inline informed path pays becomes a
+    * one-time build cost, and the per-batch cost tracks the query
+    * rate. Keyed on dir + plane count; corpus growth flows through
+    * rebuild (the artifact is derived state — drop and re-touch),
+    * matching the codebook/band-table discipline. Defined over the
+    * FULL corpus — the member/bulk re-query serving shape; a
+    * base-subset walk (held-out harness) seeds inline, because its
+    * mates must be drawn from the subset only. */
+  def lshSeedTable(s: SparkSession, dir: String): String = {
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val nPlanes = lshSeedPlaneCount(Tables.rowCount(s, dir, "embeddings"))
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    val dirTag = (scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff).toHexString
+    val table = s"graft_lsh_seed_${slug}_${dirTag}_p${nPlanes}_v1"
+    if (!s.catalog.tableExists(table)) {
+      graft.sources.Sources.clearOrphanedLocation(s, table)
+      val planeSets = lshTablePlanes(nTables = 4, numPlanes = nPlanes)
+      corpus
+        .withColumn("buckets",
+          array(planeSets.map(p => lshBucket(col("v"), p)): _*))
+        .select(col("vec_id").as("b"),
+          posexplode(col("buckets")).as(Seq("t", "bk")))
+        .select(col("t"), col("bk"), col("b"))
+        .repartition(col("t"), col("bk"))
+        .write.format("parquet").saveAsTable(table)
+    }
+    table
+  }
+
+  /** Informed-seed mate pairs from the PERSISTED [[lshSeedTable]] —
+    * hash the query vectors (4 kernel calls over the batch), join the
+    * artifact on (t, bk). Row-identical to the inline informed path
+    * by construction (same planes, same cap, same fallback —
+    * spec-asserted), with the corpus-side hashing paid at build time
+    * instead of per batch. */
+  def informedSeedMates(s: SparkSession, dir: String,
+                        queries: DataFrame): DataFrame = {
+    val table = lshSeedTable(s, dir)
+    // same deterministic formula over the same (memoized) count the
+    // build used — never parsed back out of the table name
+    val nPlanes = lshSeedPlaneCount(Tables.rowCount(s, dir, "embeddings"))
+    val planeSets = lshTablePlanes(nTables = 4, numPlanes = nPlanes)
+    val qb = queries
+      .withColumn("buckets",
+        array(planeSets.map(p => lshBucket(col("qv"), p)): _*))
+      .select(col("qid"), posexplode(col("buckets")).as(Seq("t", "bk")))
+    s.table(table).join(qb, Seq("t", "bk"))
+      .filter(col("qid") =!= col("b")).select("qid", "b")
   }
 
   /** AUTO-WIDENING filtered graph search — the self-healing form of

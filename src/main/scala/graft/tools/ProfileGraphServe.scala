@@ -46,8 +46,15 @@ object ProfileGraphServe {
     val sfDir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val mode = if (args.length > 1) args(1) else "fixed"
-    val informed = args.length > 2 && args(2) == "informed"
+    val seedArg = if (args.length > 2) args(2) else "lcg"
+    val informed = seedArg.startsWith("informed")
+    // informed-table: member-mode twin fed from the PERSISTED
+    // lshSeedTable artifact (build-time corpus hashing) instead of
+    // hashing the corpus per batch — the 100 TB informed form
+    val fromTable = seedArg == "informed-table"
     require(Set("fixed", "converged", "member")(mode), s"unknown mode $mode")
+    require(!fromTable || mode == "member",
+      "informed-table seeds apply to member mode (the artifact is full-corpus)")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -81,12 +88,17 @@ object ProfileGraphServe {
     }
     val edges = graph.select(col("vec_id").as("ga"), col("nbr_id").as("gb"))
     val nQ = queries.count()
+    // artifact build is offline cost, same as the graph tables above
+    def mates(qs: org.apache.spark.sql.DataFrame) =
+      if (fromTable) Some(Similarity.informedSeedMates(spark, sfDir, qs)) else None
+    if (fromTable) Similarity.lshSeedTable(spark, sfDir)
     def serve(): Long = {
       val t0 = System.nanoTime()
       val n = Similarity.graphSearchCore(edges, corpus, queries, k,
-        beam = 20, hops = 3, informedSeeds = informed).count()
+        beam = 20, hops = 3, informedSeeds = informed,
+        seedMates = mates(queries)).count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[graphserve] mode=$mode%s seeds=${if (informed) "informed" else "lcg"}%s: " +
+      println(f"[graphserve] mode=$mode%s seeds=$seedArg%s: " +
         f"$nQ%d queries -> $n%d picks in $dt%.2f s = ${nQ / dt}%.0f q/s")
       n
     }
@@ -102,7 +114,8 @@ object ProfileGraphServe {
         if (mode == "member") queries.filter(col("qid") % 10 === 0)
         else queries
       val served = Similarity.graphSearchCore(edges, corpus, recallQs, k,
-        beam = 20, hops = 3, informedSeeds = informed)
+        beam = 20, hops = 3, informedSeeds = informed,
+        seedMates = mates(recallQs))
       val exact = recallQs.join(corpus, col("qid") =!= col("vec_id"))
         .withColumn("c", graft.functions.VectorFunctions
           .cosine_similarity(col("qv"), col("v")))
@@ -113,7 +126,7 @@ object ProfileGraphServe {
       val nExact = exact.count()
       val nHit = served.select("qid", "vec_id")
         .join(exact, Seq("qid", "vec_id"), "left_semi").count()
-      println(f"[graphserve] recall@$k%d mode=$mode%s seeds=${if (informed) "informed" else "lcg"}%s: " +
+      println(f"[graphserve] recall@$k%d mode=$mode%s seeds=$seedArg%s: " +
         f"${nHit.toDouble / nExact}%.3f ($nHit%d/$nExact%d, n_corpus=${corpus.count()}%d)")
     }
     if (n != nQ * k) {
@@ -124,7 +137,8 @@ object ProfileGraphServe {
       // total-row inequality hides both. Left-join from the query
       // frame so fully-empty result sets are counted, not invisible.
       val served = Similarity.graphSearchCore(edges, corpus, queries, k,
-        beam = 20, hops = 3, informedSeeds = informed)
+        beam = 20, hops = 3, informedSeeds = informed,
+        seedMates = mates(queries))
       val perQ = queries.select("qid").join(
           served.groupBy("qid").count(), Seq("qid"), "left")
         .select(col("qid"), coalesce(col("count"), lit(0L)).as("cnt"))

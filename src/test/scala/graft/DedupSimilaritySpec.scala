@@ -1554,6 +1554,36 @@ class DedupSimilaritySpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("persisted LSH seed artifact: table-fed informed serving equals the inline path") {
+    import org.apache.spark.sql.functions._
+    // the 100 TB form of informed seeding: corpus-side bucket hashing
+    // is a build-time artifact (lshSeedTable), the serve batch hashes
+    // only its queries and joins on (t, bk) — results must be
+    // ROW-IDENTICAL to the inline path (same planes, cap, fallback)
+    val seedT = Similarity.lshSeedTable(spark, Sf)
+    assert(spark.catalog.tableExists(seedT))
+    val graph = spark.table(Similarity.knnGraphTable(spark, Sf, 10, 3))
+      .select(col("vec_id").as("ga"), col("nbr_id").as("gb"))
+    val corpus = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val queries = corpus.filter(col("vec_id") < 25)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSet
+    val inline = rows(Similarity.graphSearchCore(graph, corpus, queries,
+      k = 10, beam = 20, hops = 3, informedSeeds = true))
+    val tableFed = rows(Similarity.graphSearchCore(graph, corpus, queries,
+      k = 10, beam = 20, hops = 3, informedSeeds = true,
+      seedMates = Some(Similarity.informedSeedMates(spark, Sf, queries))))
+    assert(inline == tableFed,
+      s"table-fed informed serving diverges from inline: " +
+        s"extra=${(tableFed -- inline).take(3)} missing=${(inline -- tableFed).take(3)}")
+    assert(inline.nonEmpty)
+    spark.sql(s"DROP TABLE IF EXISTS $seedT")
+    CacheRegistry.releaseAll()
+  }
+
   test("filtered search under selective allow-lists: shortfall measured, monotone in beam/hops") {
     import org.apache.spark.sql.functions._
     // the documented degradation contract: a rare allow-list can
