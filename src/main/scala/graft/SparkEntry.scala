@@ -103,6 +103,7 @@ object SparkEntry {
     "sim_graph_search" -> ((s, d) => Similarity.simGraphSearch(s, d)),
     "sim_graph_search_filtered" -> ((s, d) => Similarity.simGraphSearchFiltered(s, d)),
     "sim_hard_negatives" -> ((s, d) => Similarity.simHardNegatives(s, d)),
+    "sim_hard_negatives_filtered" -> ((s, d) => Similarity.simHardNegativesFiltered(s, d)),
     "sim_graph_search_heldout" -> ((s, d) => Similarity.simGraphSearchHeldOut(s, d)),
     "sim_knn_components" -> ((s, d) => Similarity.simKnnComponents(s, d)),
     "sim_knn_label_prop" -> ((s, d) => Similarity.simKnnLabelProp(s, d)),
@@ -2008,6 +2009,9 @@ object SparkEntry {
       beam = 20, hops = 3, graphK = 10, graphIters = 3, allowedLang = Some("en")),
     "sim_hard_negatives" -> graphSearchOracleSql(nQueries = 5, k = 10,
       beam = 20, hops = 3, graphK = 10, graphIters = 3, band = Some((0.3, 0.6))),
+    "sim_hard_negatives_filtered" -> graphSearchOracleSql(nQueries = 5, k = 10,
+      beam = 20, hops = 3, graphK = 10, graphIters = 3,
+      allowedLang = Some("en"), band = Some((0.3, 0.6))),
     "sim_graph_search_heldout" -> graphSearchHeldOutOracleSql(nQueries = 5,
       k = 10, beam = 20, hops = 3, graphK = 10, graphIters = 3),
     "sim_knn_graph_incremental" ->

@@ -1073,6 +1073,33 @@ object Similarity {
       band = Some((lo, hi)))
   }
 
+  /** LANG-FILTERED HARD-NEGATIVE MINING (`sim_hard_negatives_filtered`)
+    * — the constraint COMPOSITION the serving family's pool contract
+    * exists for: per query, the top-k corpus vectors that are BOTH
+    * metadata-allowed (lang = X — negatives for a monolingual
+    * contrastive objective must come from the model's own language)
+    * AND inside the cosine band [lo, hi) (below near-duplicate
+    * territory, above gradient-free easiness). One beam walk, both
+    * predicates cutting the same scored seen-pool —
+    * [[simGraphSearchFiltered]]'s allow-list ∧ [[simHardNegatives]]'s
+    * band, exactly the composed form the core's spec asserts. */
+  def simHardNegativesFiltered(s: SparkSession, dir: String, lang: String = "en",
+                               lo: Double = 0.3, hi: Double = 0.6,
+                               nQueries: Int = 5, k: Int = 10, beam: Int = 20,
+                               hops: Int = 3, graphK: Int = 10,
+                               graphIters: Int = 3): DataFrame = {
+    val graph = s.table(knnGraphTable(s, dir, graphK, graphIters))
+      .select(col("vec_id").as("ga"), col("nbr_id").as("gb"))
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val queries = corpus.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val allowed = Tables.documents(s, dir)
+      .filter(col("lang") === lang).select(col("doc_id").as("b"))
+    graphSearchCore(graph, corpus, queries, k, beam, hops,
+      allowed = Some(allowed), band = Some((lo, hi)))
+  }
+
   /** [[simGraphSearch]]'s graph/corpus/query-parameterized core —
     * `queries` is any (qid, qv) frame, NOT necessarily members of
     * `corpus`: the search touches only the query's embedding (seed

@@ -1439,6 +1439,11 @@ class DedupSimilaritySpec extends SparkSpec {
       val c = r.getAs[Double]("cosine")
       enIds(r.getAs[Long]("vec_id")) && c >= lo && c < hi
     }, "composed allow+band pick violates one of its constraints")
+    // the registry query IS this composition (lang-scoped negative
+    // mine, hash-verified at all three decades) — row-identical
+    val registry = Similarity.simHardNegativesFiltered(spark, Sf).collect()
+    assert(registry.map(_.toSeq).toSeq == composed.map(_.toSeq).toSeq,
+      "sim_hard_negatives_filtered diverges from the composed core walk")
     CacheRegistry.releaseAll()
   }
 
