@@ -167,6 +167,31 @@ class PlanSpec extends SparkSpec {
         offenders.map { case (n, p) => s"  $n: $p" }.mkString("\n"))
   }
 
+  test("informed-seed mate join: hash join on (t, bk), query filter pushed to the scan") {
+    import org.apache.spark.sql.functions._
+    // the persisted lshSeedTable path's plan contract: the (t, bk)
+    // equi-join is a HASH join (at spec scale a broadcast; at 100 TB
+    // AQE sizes the artifact side), never a nested loop, and the
+    // serve batch's predicate reaches the parquet scan — the seed
+    // derivation must stay query-rate-bounded, not artifact-bounded
+    val seedT = graft.operators.Similarity.lshSeedTable(spark, Sf)
+    val corpus = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val queries = corpus.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val mates = graft.operators.Similarity.informedSeedMates(spark, Sf, queries)
+    mates.collect()
+    val plan = mates.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      s"mate join is not an equi-hash/merge join:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"mate join degenerated to a nested loop:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,5)]"),
+      s"query predicate not pushed to the embeddings scan:\n$plan")
+    spark.sql(s"DROP TABLE IF EXISTS $seedT")
+    CacheRegistry.releaseAll()
+  }
+
   test("dedup_substring stays in fixed-width codegen aggregation — no object-agg, no unbounded buffer") {
     val df = graft.operators.Dedup.dedupSubstring(spark, Sf)
     df.collect()
