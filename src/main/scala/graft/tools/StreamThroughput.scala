@@ -36,6 +36,10 @@ import org.apache.spark.sql.functions._
   *                    query-side runtime: the corpus's vectors
   *                    replayed as a query stream against the
   *                    persisted IVF index; reports queries/sec.
+  *   - `graphserve` — the [[graft.streaming.VectorServe
+  *                    .graphServeStream]] twin: the same query stream
+  *                    beam-walked per micro-batch over the persisted
+  *                    k-NN graph; reports queries/sec.
   *
   * The events table is staged as a multi-file parquet directory;
   * `maxFilesPerTrigger` paces micro-batches the way a production
@@ -63,6 +67,7 @@ object StreamThroughput {
 
     if (mode == "ingest") { runIngest(spark, sfDir); return }
     if (mode == "serve") { runServe(spark, sfDir); return }
+    if (mode == "graphserve") { runGraphServe(spark, sfDir); return }
 
     val events = Tables.events(spark, sfDir)
     val nRows = events.count()
@@ -146,6 +151,47 @@ object StreamThroughput {
     spark.stop()
     require(servedQ == nQ, s"served $servedQ of $nQ query vectors")
     println(f"""{"metric":"stream_serve_queries_per_sec","value":${nQ / dt}%.0f,"queries":$nQ,"result_rows":$nRes,"batches":$nBatches,"index_build_sec":$buildSec%.2f,"index_table":"$table%s","sec":$dt%.2f,"sf":"$sfDir"}""")
+  }
+
+  /** `graphserve` mode: [[graft.streaming.VectorServe
+    * .graphServeStream]] driven through the same rate-limited file
+    * source — the corpus's vectors replayed AS QUERIES, each
+    * micro-batch running the batched beam walk over the persisted
+    * k-NN graph into its own idempotent batch_id partition. Reports
+    * queries/sec; the one-time graph build is offline cost. */
+  private def runGraphServe(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val k = 10
+    val t0b = System.nanoTime()
+    val table = graft.operators.Similarity.knnGraphTable(spark, sfDir, k, 3)
+    val buildSec = (System.nanoTime() - t0b) / 1e9
+    val queries = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val nQ = queries.count()
+    val src = java.nio.file.Files.createTempDirectory("graft-gserve-src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-gserve-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-gserve-ckpt").toString
+    queries.repartition(16).write.mode("overwrite").parquet(src)
+    val staged = spark.read.parquet(src)
+    val stream = spark.readStream
+      .schema(staged.schema)
+      .option("maxFilesPerTrigger", sys.env.getOrElse("SPARK_GRAFT_FILES_PER_TRIGGER", "2"))
+      .parquet(src)
+    val t0 = System.nanoTime()
+    val query = graft.streaming.VectorServe.graphServeStream(sfDir, stream, out, ckpt, k = k)
+    query.processAllAvailable()
+    val dt = (System.nanoTime() - t0) / 1e9
+    val nBatches = query.recentProgress.count(_.numInputRows > 0)
+    query.stop()
+    // every query vector served exactly once with a full top-k —
+    // the throughput number only counts if the work happened
+    val results = spark.read.parquet(out)
+    val servedQ = results.select("qid").distinct().count()
+    val nRes = results.count()
+    spark.stop()
+    require(servedQ == nQ, s"served $servedQ of $nQ query vectors")
+    require(nRes == nQ * k, s"expected ${nQ * k} result rows, got $nRes")
+    println(f"""{"metric":"stream_graphserve_queries_per_sec","value":${nQ / dt}%.0f,"queries":$nQ,"result_rows":$nRes,"batches":$nBatches,"graph_build_sec":$buildSec%.2f,"graph_table":"$table%s","sec":$dt%.2f,"sf":"$sfDir"}""")
   }
 
   private def runIngest(spark: SparkSession, sfDir: String): Unit = {
