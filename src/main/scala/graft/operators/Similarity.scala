@@ -1275,7 +1275,11 @@ object Similarity {
     * matching the codebook/band-table discipline. Defined over the
     * FULL corpus — the member/bulk re-query serving shape; a
     * base-subset walk (held-out harness) seeds inline, because its
-    * mates must be drawn from the subset only. */
+    * mates must be drawn from the subset only. COMPLIANCE: a
+    * forgotten vector needs no artifact rewrite — seed ids absent
+    * from the serving corpus drop at the walk's first scoring join
+    * (vectors attach by id), so a stale seed row can never surface a
+    * deleted vector; rebuild reclaims the storage. */
   def lshSeedTable(s: SparkSession, dir: String): String = {
     val corpus = Tables.embeddings(s, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
