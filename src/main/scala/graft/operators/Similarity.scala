@@ -1302,6 +1302,38 @@ object Similarity {
     table
   }
 
+  /** Corpus GROWTH for the seed-bucket artifact — the
+    * [[ivfIndexAppend]] discipline: hash ONLY the new vectors into
+    * the table's own plane family and append. Because a bucket id is
+    * a PURE FUNCTION of the vector (no training state, no
+    * neighbors), append is REBUILD-IDENTICAL by construction at the
+    * same plane count — the strongest freshness contract in the
+    * artifact family, spec-asserted row-for-row. The plane count is
+    * pinned at build time (parsed from the `_p<n>_v1` suffix, which
+    * the accessor controls): growing n eventually wants more planes
+    * — that is a REBUILD (drop and re-touch re-derives the adaptive
+    * count), exactly like the IVF codebook refit; append keeps
+    * serving fresh between rebuilds. Idempotent: already-present ids
+    * anti-join away. */
+  def lshSeedAppend(s: SparkSession, table: String, vecs: DataFrame): Unit = {
+    val nPlanes = "_p(\\d+)_v1$".r.findFirstMatchIn(table) match {
+      case Some(m) => m.group(1).toInt
+      case None => throw new IllegalArgumentException(
+        s"$table is not an lshSeedTable name (missing _p<n>_v1 suffix)")
+    }
+    val planeSets = lshTablePlanes(nTables = 4, numPlanes = nPlanes)
+    val existing = s.table(table).select(col("b")).distinct()
+    vecs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .join(existing.select(col("b").as("vec_id")), Seq("vec_id"), "left_anti")
+      .withColumn("buckets",
+        array(planeSets.map(p => lshBucket(col("v"), p)): _*))
+      .select(col("vec_id").as("b"),
+        posexplode(col("buckets")).as(Seq("t", "bk")))
+      .select(col("t"), col("bk"), col("b"))
+      .repartition(col("t"), col("bk"))
+      .write.mode("append").insertInto(table)
+  }
+
   /** Informed-seed mate pairs from the PERSISTED [[lshSeedTable]] —
     * hash the query vectors (4 kernel calls over the batch), join the
     * artifact on (t, bk). Row-identical to the inline informed path

@@ -1589,6 +1589,46 @@ class DedupSimilaritySpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("lshSeedAppend: growth is rebuild-identical (stateless buckets); idempotent") {
+    import org.apache.spark.sql.functions._
+    // bucket ids are a pure function of the vector, so appending the
+    // base then the delta must reproduce the one-shot full build
+    // row-for-row — the strongest freshness contract in the artifact
+    // family (IVF append is rebuild-identical only in SERVING results;
+    // graph append only within a recall tolerance)
+    val fullT = Similarity.lshSeedTable(spark, Sf)
+    val specT = fullT.replace("graft_lsh_seed_", "graft_lsh_seed_spec_")
+    spark.sql(s"DROP TABLE IF EXISTS $specT")
+    graft.sources.Sources.clearOrphanedLocation(spark, specT)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("t",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("bk",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("b",
+            org.apache.spark.sql.types.LongType))))
+      .write.format("parquet").saveAsTable(specT)
+    val full = Tables.embeddings(spark, Sf).select("vec_id", "embedding")
+    // append-from-empty IS the build: base batch, then the delta
+    Similarity.lshSeedAppend(spark, specT, full.filter(col("vec_id") % 10 =!= 0))
+    Similarity.lshSeedAppend(spark, specT, full)
+    def rows(t: String) = spark.table(t).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val grown = rows(specT)
+    assert(grown == rows(fullT),
+      "append-grown seed table differs from the one-shot full build")
+    // idempotent: every id already present, re-append is a no-op
+    Similarity.lshSeedAppend(spark, specT, full)
+    assert(rows(specT) == grown, "re-appending integrated vectors changed the table")
+    // malformed table names are rejected, not silently mis-haloed
+    intercept[IllegalArgumentException] {
+      Similarity.lshSeedAppend(spark, "not_a_seed_table", full)
+    }
+    Seq(specT, fullT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    CacheRegistry.releaseAll()
+  }
+
   test("filtered search under selective allow-lists: shortfall measured, monotone in beam/hops") {
     import org.apache.spark.sql.functions._
     // the documented degradation contract: a rare allow-list can
