@@ -63,12 +63,19 @@ object GraphIngest {
     *   maintains an existing artifact, it does not cold-start one).
     * @param graphTable the persisted k-NN graph over `corpusTable`'s
     *   current rows ([[Similarity.knnGraphAppend]]'s contract).
+    * @param seedTable optional [[Similarity.lshSeedTable]]-named
+    *   seed-bucket artifact to keep fresh alongside corpus + graph —
+    *   [[Similarity.lshSeedAppend]] per batch, which is
+    *   rebuild-identical by construction (stateless buckets) and
+    *   idempotent by key, so it adds no new crash window: a replay
+    *   re-derives the same rows and the anti-join drops them.
     * @param afterBatch test seam fired after BOTH effects but before
     *   the commit log records the batch — throwing here simulates the
     *   worst crash window (all effects applied, nothing committed). */
   def knnGraphIngest(vecBatches: DataFrame, corpusTable: String,
                      graphTable: String, checkpoint: String,
                      k: Int = 10, maxIters: Int = 30, delta: Double = 0.001,
+                     seedTable: Option[String] = None,
                      afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
     vecBatches.writeStream
       .option("checkpointLocation", checkpoint)
@@ -108,6 +115,15 @@ object GraphIngest {
         // identity when a replayed batch is already integrated
         Similarity.knnGraphAppend(s, graphTable, s.table(corpusTable),
           k = k, maxIters = maxIters, delta = delta)
+        // keep the informed-serving entry points fresh too: stateless
+        // buckets make this exactly the rebuild, batch-bounded.
+        // Suppressed ids MAY land here (seed rows are inert pointers —
+        // a deleted vector is absent from the corpus, so a stale seed
+        // drops at the walk's scoring join; see lshSeedTable's
+        // compliance note), but since `admitted` is already
+        // suppression-filtered, they don't.
+        seedTable.foreach(t =>
+          Similarity.lshSeedAppend(s, t, s.table(corpusTable)))
         afterBatch(batchId)
       }
       .start()

@@ -542,10 +542,21 @@ class StreamingSpec extends SparkSpec {
     val corpusT = "graft_knn_stream_corpus_spec"
     val graphT = "graft_knn_stream_graph_spec"
     val refT = "graft_knn_stream_graph_ref"
-    Seq(corpusT, graphT, refT).foreach { t =>
+    val seedT = "graft_knn_stream_seed_spec_p9_v1" // lshSeedAppend-shaped name
+    Seq(corpusT, graphT, refT, seedT).foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       graft.sources.Sources.clearOrphanedLocation(spark, t)
     }
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("t",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("bk",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("b",
+            org.apache.spark.sql.types.LongType))))
+      .write.format("parquet").saveAsTable(seedT)
+    Similarity.lshSeedAppend(spark, seedT, seed) // base entry points
     seed.write.format("parquet").saveAsTable(corpusT)
     val baseGraph = Similarity.knnDescentConverged(spark, seed, k)
       .localCheckpoint() // one descent, two identical table writes
@@ -570,6 +581,7 @@ class StreamingSpec extends SparkSpec {
     val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
     writeSrc(b0)
     val q1 = GraphIngest.knnGraphIngest(src, corpusT, graphT, ckpt, k = k,
+      seedTable = Some(seedT),
       afterBatch = { id =>
         if (id >= 0 && crashed.compareAndSet(false, true))
           throw new RuntimeException("injected crash after all effects, before commit")
@@ -581,7 +593,8 @@ class StreamingSpec extends SparkSpec {
     // two REDELIVERED batch-0 vectors (at-least-once upstream) — the
     // corpus anti-join drops them, the graph frontier is empty for them
     val redelivered = b0.orderBy("vec_id").limit(2)
-    val q2 = GraphIngest.knnGraphIngest(src, corpusT, graphT, ckpt, k = k)
+    val q2 = GraphIngest.knnGraphIngest(src, corpusT, graphT, ckpt, k = k,
+      seedTable = Some(seedT))
     q2.processAllAvailable()
     writeSrc(b1.union(redelivered))
     q2.processAllAvailable()
@@ -601,7 +614,20 @@ class StreamingSpec extends SparkSpec {
     assert(got == expected,
       s"streamed graph diverges from direct-append reference: " +
         s"missing ${(expected -- got).take(5)}, extra ${(got -- expected).take(5)}")
-    Seq(corpusT, graphT, refT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // seed artifact: the loop kept it fresh through the crash replay
+    // and the redelivery — rebuild-identical means it must EQUAL a
+    // one-shot append of the final corpus (exact, not a tolerance)
+    val refSeedT = "graft_knn_stream_seed_ref_p9_v1"
+    spark.sql(s"DROP TABLE IF EXISTS $refSeedT")
+    graft.sources.Sources.clearOrphanedLocation(spark, refSeedT)
+    spark.table(seedT).limit(0).write.format("parquet").saveAsTable(refSeedT)
+    Similarity.lshSeedAppend(spark, refSeedT, full)
+    def seedRows(t: String) = spark.table(t).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(seedRows(seedT) == seedRows(refSeedT),
+      "streamed seed artifact diverges from the one-shot rebuild")
+    Seq(corpusT, graphT, refT, seedT, refSeedT)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     CacheRegistry.releaseAll()
   }
 
