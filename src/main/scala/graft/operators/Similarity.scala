@@ -1322,9 +1322,14 @@ object Similarity {
         s"$table is not an lshSeedTable name (missing _p<n>_v1 suffix)")
     }
     val planeSets = lshTablePlanes(nTables = 4, numPlanes = nPlanes)
-    val existing = s.table(table).select(col("b")).distinct()
+    // membership via table t=0 only: every vector lands in all 4 LSH
+    // tables in one committed insert, so t=0 membership ≡ membership —
+    // a pushed-filter scan of 1/4 the artifact rows with no distinct
+    // aggregate (within one table, b is unique by construction)
+    val existing = s.table(table).filter(col("t") === 0)
+      .select(col("b").as("vec_id"))
     vecs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .join(existing.select(col("b").as("vec_id")), Seq("vec_id"), "left_anti")
+      .join(existing, Seq("vec_id"), "left_anti")
       .withColumn("buckets",
         array(planeSets.map(p => lshBucket(col("v"), p)): _*))
       .select(col("vec_id").as("b"),
