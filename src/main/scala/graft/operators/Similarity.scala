@@ -1117,7 +1117,8 @@ object Similarity {
                                      allowed: Option[DataFrame] = None,
                                      band: Option[(Double, Double)] = None,
                                      informedSeeds: Boolean = false,
-                                     seedMates: Option[DataFrame] = None): DataFrame = {
+                                     seedMates: Option[DataFrame] = None,
+                                     seedSample: Option[DataFrame] = None): DataFrame = {
     val ids = corpus.select(col("vec_id"))
     val m = ids.agg((max(col("vec_id")) + 1).as("m")) // one-row scalar attach
     val lcgSeeds = queries.select("qid").crossJoin(m)
@@ -1134,9 +1135,11 @@ object Similarity {
     // cannot enter an isolated high-similarity basin that no seed
     // chain touches; at 10⁹ vertices 20 random seeds × 3 hops reach a
     // vanishing neighborhood fraction). Bucket-mates start the beam
-    // INSIDE the query's basin w.h.p. The fallback for queries whose
-    // buckets come up empty is a deterministic HASH-SAMPLE of
-    // EXISTING ids — NOT the LCG seeds: LCG draws ids mod (max+1),
+    // INSIDE the query's basin w.h.p. Every informed query ALSO gets
+    // fallback seeds (unconditional — see the sample block below), so
+    // a query whose buckets come up empty still walks from a
+    // deterministic HASH-SAMPLE of EXISTING ids — NOT the LCG seeds:
+    // LCG draws ids mod (max+1),
     // which on a sparse/non-contiguous id space (key-shifted shards,
     // post-forget corpora — the 10×-replica twin's 9·10⁸ id span over
     // 2·10⁴ rows) misses the membership semi-join almost surely and a
@@ -1176,11 +1179,28 @@ object Similarity {
       }
       val mates = rawMates.distinct()
         .withColumn("rr", row_number().over(
-          Window.partitionBy("qid").orderBy(xxhash64(col("qid"), col("b")))))
+          // col("b") breaks xxhash64 ties — without it a within-qid
+          // hash collision makes the retained mate set depend on
+          // partition order, breaking inline-vs-table-fed row identity
+          Window.partitionBy("qid").orderBy(xxhash64(col("qid"), col("b")), col("b"))))
         .filter(col("rr") <= beam).select("qid", "b")
-      val sample = ids
-        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(4 * beam)
-        .select(col("vec_id").as("b"))
+      // The hash-sample fallback is UNCONDITIONAL: every informed
+      // query gets its ≤beam fallback seeds alongside its bucket-mates
+      // (≤2·beam seeds total), not only the queries whose buckets came
+      // up empty. That is deliberate and cheap — the extra seeds are
+      // scored once at hop 0 and the first beam cut drops the losers
+      // before any expansion, so the overhead is one bounded scoring
+      // join, while a conditional form would need an extra per-batch
+      // anti-join just to save it. All published recall/q/s numbers
+      // measure this unconditional form. `seedSample` feeds the
+      // 4·beam-row sample from the PERSISTED artifact ([[
+      // informedSeedSample]], stored with [[lshSeedTable]]) — with
+      // both seedMates and seedSample set, seed derivation touches no
+      // corpus-sized input at serve time.
+      val sample = seedSample.getOrElse {
+        ids.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(4 * beam)
+          .select(col("vec_id").as("b"))
+      }
       val fallback = queries.select("qid").crossJoin(sample)
         .filter(col("qid") =!= col("b"))
         .withColumn("rr", row_number().over(
@@ -1261,6 +1281,18 @@ object Similarity {
     math.min(16, math.max(7,
       math.ceil(math.log((n + 64) / 2.0) / math.log(2.0)).toInt))
 
+  /** Plane count pinned in an [[lshSeedTable]] name's `_p<n>_v1`
+    * suffix — the single source of truth every consumer (append,
+    * query-side hashing, occupancy audit) parses instead of
+    * re-deriving from a corpus count that may have moved since the
+    * build. */
+  private[graft] def lshSeedTablePlanes(table: String): Int =
+    "_p(\\d+)_v\\d+$".r.findFirstMatchIn(table) match {
+      case Some(m) => m.group(1).toInt
+      case None => throw new IllegalArgumentException(
+        s"$table is not an lshSeedTable name (missing _p<n>_v<k> suffix)")
+    }
+
   /** The PERSISTED seed-bucket artifact for informed graph serving —
     * the [[ivfIndexTable]] lifecycle applied to the entry-point
     * machinery: one build-time pass hashes every corpus vector into
@@ -1286,20 +1318,131 @@ object Similarity {
     val nPlanes = lshSeedPlaneCount(Tables.rowCount(s, dir, "embeddings"))
     val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
     val dirTag = (scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff).toHexString
-    val table = s"graft_lsh_seed_${slug}_${dirTag}_p${nPlanes}_v1"
+    // _v2: the artifact also carries the FALLBACK SAMPLE under the
+    // sentinel table id t = -1 (bk = xxhash64(vec_id), the sort key;
+    // bottom-[[SeedSampleCap]] ids) — see [[informedSeedSample]]
+    val table = s"graft_lsh_seed_${slug}_${dirTag}_p${nPlanes}_v2"
+    // drop STALE generations of this dir's artifact (the
+    // slug-migration discipline): after corpus growth crosses a plane
+    // boundary the adaptive count changes and a new session builds the
+    // new generation — without the drop the old one sits orphaned, and
+    // an ingest loop still holding its name would keep maintaining an
+    // artifact nothing serves from. The drop makes that divergence
+    // LOUD (the loop's next append fails → operator re-resolves) and
+    // reclaims the storage; seed buckets are derived state, so there
+    // is nothing to migrate — rebuild re-derives everything. The same
+    // sweep retires pre-sample `_p<n>_v1` schema generations.
+    val genPrefix = s"graft_lsh_seed_${slug}_${dirTag}_p"
+    s.catalog.listTables().collect().map(_.name)
+      .filter(n => n.startsWith(genPrefix) && n.matches(".*_p\\d+_v\\d+$")
+        && n != table)
+      .foreach(n => s.sql(s"DROP TABLE $n"))
     if (!s.catalog.tableExists(table)) {
       graft.sources.Sources.clearOrphanedLocation(s, table)
       val planeSets = lshTablePlanes(nTables = 4, numPlanes = nPlanes)
-      corpus
+      val bucketRows = corpus
         .withColumn("buckets",
           array(planeSets.map(p => lshBucket(col("v"), p)): _*))
         .select(col("vec_id").as("b"),
           posexplode(col("buckets")).as(Seq("t", "bk")))
         .select(col("t"), col("bk"), col("b"))
+      // fallback-sample rows: the bottom-SeedSampleCap corpus ids by
+      // (xxhash64(id), id) — the same deterministic order the inline
+      // fallback uses, so a 4·beam read-time prefix of these rows is
+      // row-identical to the inline sample for any beam ≤ cap/4
+      val sampleRows = corpus
+        .select(col("vec_id").as("b"), xxhash64(col("vec_id")).as("bk"))
+        .orderBy(col("bk"), col("b")).limit(SeedSampleCap)
+        .select(lit(-1).as("t"), col("bk"), col("b"))
+      bucketRows.union(sampleRows)
         .repartition(col("t"), col("bk"))
         .write.format("parquet").saveAsTable(table)
     }
     table
+  }
+
+  /** Fallback-sample capacity persisted with [[lshSeedTable]] (t = -1
+    * rows): serves any beam ≤ cap/4 table-fed. 512 covers the default
+    * beam (20 → 80 rows) through two adaptive doublings (80 → 320). */
+  private[graft] val SeedSampleCap = 512
+
+  /** The informed-seed FALLBACK SAMPLE from the persisted
+    * [[lshSeedTable]] — the t = -1 rows pruned to the 4·beam smallest
+    * (hash, id) pairs, row-identical to the inline
+    * `ids.orderBy(xxhash64, id).limit(4·beam)` sample by construction:
+    * the build stores the bottom-[[SeedSampleCap]] ids under the same
+    * order, and [[lshSeedAppend]] admits a new id whenever its hash
+    * could enter that bottom set (a superset is kept; the read-time
+    * prune restores exactness). With this and [[informedSeedMates]]
+    * both fed to [[graphSearchCore]], serve-time seed derivation reads
+    * ONLY the artifact — the last per-batch O(corpus) touch on the
+    * table-fed path (a TakeOrdered over the full id column) becomes a
+    * ≤ ~cap-row artifact read. */
+  def informedSeedSample(s: SparkSession, dir: String, beam: Int): DataFrame =
+    seedSampleRead(s.table(lshSeedTable(s, dir)), beam)
+
+  /** The read-time prune behind [[informedSeedSample]], on an
+    * already-resolved artifact frame. */
+  private[graft] def seedSampleRead(artifact: DataFrame, beam: Int): DataFrame = {
+    require(4 * beam <= SeedSampleCap,
+      s"beam $beam exceeds the persisted sample capacity " +
+        s"($SeedSampleCap/4 = ${SeedSampleCap / 4}) — use the inline sample")
+    artifact.filter(col("t") === -1)
+      .orderBy(col("bk"), col("b")).limit(4 * beam)
+      .select(col("b"))
+  }
+
+  /** STALENESS ALARM for the seed-bucket artifact — the dashboard row
+    * that makes the measured 0.289-recall cliff visible BEFORE recall
+    * is measured. The failure mode: [[lshSeedAppend]] pins the build's
+    * plane count, so corpus growth silently fattens buckets until the
+    * beam-capped mate set is mostly strangers (measured at the 20k
+    * replica: 7 pinned planes → ~156 vectors/bucket → member recall
+    * 0.289, vs 0.952 after the adaptive rebuild). One row per call,
+    * the [[graphServeRecallRow]] family shape:
+    *
+    *   - `pinned_planes` (the table's `_p<n>` suffix) vs
+    *     `adaptive_planes` (the formula at the CURRENT corpus size);
+    *     `stale` fires when they disagree by MORE THAN ONE plane —
+    *     one plane ≈ 2× occupancy, inside the mate cap's slack; two
+    *     means buckets run ≥4× basin size and a rebuild is due.
+    *   - occupancy ground truth (`mean_bucket`, `p95_bucket` over the
+    *     t ≥ 0 rows vs the ~2/bucket basin target) — the direct
+    *     measurement the plane comparison predicts, and the one that
+    *     also catches a SKEWED corpus (hot buckets at the right plane
+    *     count).
+    *   - `sample_rows` vs [[SeedSampleCap]] (`sample_over_cap` at 4×):
+    *     the t = -1 superset grows between rebuilds; read cost stays
+    *     pruned, but a wildly oversize set marks an artifact built
+    *     under-capacity and grown far past it — rebuild reclaims it.
+    *
+    * Takes the TABLE NAME (not the dir accessor, which auto-rebuilds
+    * at the current adaptive count and can therefore never observe
+    * drift) — the ingest-loop shape, where the loop holds a pinned
+    * name across corpus growth. Cost: one bounded corpus count + one
+    * artifact aggregate. */
+  def seedArtifactHealthRow(s: SparkSession, table: String,
+                            corpus: DataFrame): DataFrame = {
+    val pinned = lshSeedTablePlanes(table)
+    val n = corpus.count()
+    val adaptive = lshSeedPlaneCount(n)
+    val art = s.table(table)
+    val occ = art.filter(col("t") >= 0)
+      .groupBy("t", "bk").agg(count(lit(1)).as("sz"))
+      .agg(round(avg(col("sz")), 2).as("mean_bucket"),
+        percentile_approx(col("sz"), lit(0.95), lit(10000)).as("p95_bucket"))
+    val samp = art.filter(col("t") === -1)
+      .agg(count(lit(1)).as("sample_rows"))
+    occ.crossJoin(samp) // two one-row scalar attaches
+      .select(lit(table).as("table"),
+        lit(n).as("n_corpus"),
+        lit(pinned).as("pinned_planes"),
+        lit(adaptive).as("adaptive_planes"),
+        lit(adaptive - pinned).as("plane_drift"),
+        lit(math.abs(adaptive - pinned) > 1).as("stale"),
+        col("mean_bucket"), col("p95_bucket"),
+        col("sample_rows"),
+        (col("sample_rows") > lit(4L * SeedSampleCap)).as("sample_over_cap"))
   }
 
   /** Corpus GROWTH for the seed-bucket artifact — the
@@ -1308,19 +1451,20 @@ object Similarity {
     * a PURE FUNCTION of the vector (no training state, no
     * neighbors), append is REBUILD-IDENTICAL by construction at the
     * same plane count — the strongest freshness contract in the
-    * artifact family, spec-asserted row-for-row. The plane count is
-    * pinned at build time (parsed from the `_p<n>_v1` suffix, which
+    * artifact family, spec-asserted row-for-row on the bucket rows
+    * (t ≥ 0). The t = -1 fallback-sample rows are rebuild-identical
+    * AT READ LEVEL instead: append keeps a bounded SUPERSET of the
+    * true bottom-hash set and [[informedSeedSample]]'s prune restores
+    * exactness (spec-asserted against a from-scratch rebuild). The
+    * plane count is
+    * pinned at build time (parsed from the `_p<n>_v2` suffix, which
     * the accessor controls): growing n eventually wants more planes
     * — that is a REBUILD (drop and re-touch re-derives the adaptive
     * count), exactly like the IVF codebook refit; append keeps
     * serving fresh between rebuilds. Idempotent: already-present ids
     * anti-join away. */
   def lshSeedAppend(s: SparkSession, table: String, vecs: DataFrame): Unit = {
-    val nPlanes = "_p(\\d+)_v1$".r.findFirstMatchIn(table) match {
-      case Some(m) => m.group(1).toInt
-      case None => throw new IllegalArgumentException(
-        s"$table is not an lshSeedTable name (missing _p<n>_v1 suffix)")
-    }
+    val nPlanes = lshSeedTablePlanes(table)
     val planeSets = lshTablePlanes(nTables = 4, numPlanes = nPlanes)
     // membership via table t=0 only: every vector lands in all 4 LSH
     // tables in one committed insert, so t=0 membership ≡ membership —
@@ -1328,13 +1472,31 @@ object Similarity {
     // aggregate (within one table, b is unique by construction)
     val existing = s.table(table).filter(col("t") === 0)
       .select(col("b").as("vec_id"))
-    vecs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val fresh = vecs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .join(existing, Seq("vec_id"), "left_anti")
+    val bucketRows = fresh
       .withColumn("buckets",
         array(planeSets.map(p => lshBucket(col("v"), p)): _*))
       .select(col("vec_id").as("b"),
         posexplode(col("buckets")).as(Seq("t", "bk")))
       .select(col("t"), col("bk"), col("b"))
+    // fallback-sample maintenance (t = -1): admit a new id whenever
+    // its hash COULD belong to the bottom-SeedSampleCap of the grown
+    // corpus — any h ≤ the kept set's max (which never grows: admitted
+    // rows satisfy the same bound), or everything while the set is
+    // under capacity. The kept rows are a SUPERSET of the true bottom
+    // set; [[informedSeedSample]]'s read-time prune restores the exact
+    // inline sample. One bounded aggregate over ≤ ~cap kept rows per
+    // append; expected admissions decay as cap/n.
+    val samp = s.table(table).filter(col("t") === -1)
+      .agg(count(lit(1)).as("n"), max(col("bk")).as("mx")).head()
+    val underCap = samp.getLong(0) < SeedSampleCap
+    val maxKept = if (samp.isNullAt(1)) Long.MaxValue else samp.getLong(1)
+    val sampleRows = fresh
+      .select(col("vec_id").as("b"), xxhash64(col("vec_id")).as("bk"))
+      .filter(lit(underCap) || col("bk") <= maxKept)
+      .select(lit(-1).as("t"), col("bk"), col("b"))
+    bucketRows.union(sampleRows)
       .repartition(col("t"), col("bk"))
       .write.mode("append").insertInto(table)
   }
@@ -1348,9 +1510,16 @@ object Similarity {
   def informedSeedMates(s: SparkSession, dir: String,
                         queries: DataFrame): DataFrame = {
     val table = lshSeedTable(s, dir)
-    // same deterministic formula over the same (memoized) count the
-    // build used — never parsed back out of the table name
-    val nPlanes = lshSeedPlaneCount(Tables.rowCount(s, dir, "embeddings"))
+    // plane count parsed from the RESOLVED table's _p<n>_v1 suffix —
+    // the single source of truth. Re-deriving from the current corpus
+    // count would, after growth across a plane-count boundary (a
+    // GraphIngest loop appending to a pinned-plane table), silently
+    // hash queries with MORE planes than the artifact rows carry and
+    // every (t, bk) join would miss; worse, lshSeedTable above keys on
+    // the adaptive count and would build a SECOND generation, orphaning
+    // the one the ingest loop still maintains — so stale generations
+    // are dropped there, and the query side always matches the table.
+    val nPlanes = lshSeedTablePlanes(table)
     val planeSets = lshTablePlanes(nTables = 4, numPlanes = nPlanes)
     val qb = queries
       .withColumn("buckets",
@@ -1576,8 +1745,21 @@ object Similarity {
       // descent — byte-identical by determinism), so the held-out
       // serving table and the incremental harness's base build share
       // one descent run instead of silently maintaining two that a
-      // future parameter drift could split
-      s.table(knnGraphTableBase(s, dir, k, iters))
+      // future parameter drift could split. The copy is anti-joined
+      // against the suppression list on BOTH endpoints: tombstones
+      // block future appends, but a rebuild's initial content is
+      // base-graph rows — without the filter a suppressed
+      // (compliance-forgotten) base-corpus id's vertex and neighbor
+      // rows would silently re-enter the rebuilt artifact. Empty
+      // suppression list (the registry path) ⟹ the anti-joins are
+      // no-ops and the content stays byte-identical to the base.
+      val base = s.table(knnGraphTableBase(s, dir, k, iters))
+      val sup = s.table(suppressionTable(s, table))
+      base
+        .join(broadcast(sup), Seq("vec_id"), "left_anti")
+        .join(broadcast(sup.select(col("vec_id").as("nbr_id"))),
+          Seq("nbr_id"), "left_anti")
+        .select(base.columns.map(col): _*)
         .write.format("parquet").saveAsTable(table)
     } else {
       StagedRewrite.recover(s, table)

@@ -91,12 +91,17 @@ object ProfileGraphServe {
     // artifact build is offline cost, same as the graph tables above
     def mates(qs: org.apache.spark.sql.DataFrame) =
       if (fromTable) Some(Similarity.informedSeedMates(spark, sfDir, qs)) else None
+    // the fallback sample too: with both fed, seed derivation reads
+    // only the artifact (no per-batch corpus touch)
+    def sample() =
+      if (fromTable) Some(Similarity.informedSeedSample(spark, sfDir, beam = 20))
+      else None
     if (fromTable) Similarity.lshSeedTable(spark, sfDir)
     def serve(): Long = {
       val t0 = System.nanoTime()
       val n = Similarity.graphSearchCore(edges, corpus, queries, k,
         beam = 20, hops = 3, informedSeeds = informed,
-        seedMates = mates(queries)).count()
+        seedMates = mates(queries), seedSample = sample()).count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[graphserve] mode=$mode%s seeds=$seedArg%s: " +
         f"$nQ%d queries -> $n%d picks in $dt%.2f s = ${nQ / dt}%.0f q/s")
@@ -115,7 +120,7 @@ object ProfileGraphServe {
         else queries
       val served = Similarity.graphSearchCore(edges, corpus, recallQs, k,
         beam = 20, hops = 3, informedSeeds = informed,
-        seedMates = mates(recallQs))
+        seedMates = mates(recallQs), seedSample = sample())
       val exact = recallQs.join(corpus, col("qid") =!= col("vec_id"))
         .withColumn("c", graft.functions.VectorFunctions
           .cosine_similarity(col("qv"), col("v")))
@@ -138,7 +143,7 @@ object ProfileGraphServe {
       // frame so fully-empty result sets are counted, not invisible.
       val served = Similarity.graphSearchCore(edges, corpus, queries, k,
         beam = 20, hops = 3, informedSeeds = informed,
-        seedMates = mates(queries))
+        seedMates = mates(queries), seedSample = sample())
       val perQ = queries.select("qid").join(
           served.groupBy("qid").count(), Seq("qid"), "left")
         .select(col("qid"), coalesce(col("count"), lit(0L)).as("cnt"))

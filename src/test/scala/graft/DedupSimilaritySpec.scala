@@ -1261,13 +1261,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(migrated == Set(42L, 43L),
       s"legacy suppression rows not migrated: got $migrated")
     // the initial incremental content is a COPY of the read-only base
-    // artifact — one descent build shared between the two tables
+    // artifact MINUS rows touching suppressed ids on either endpoint —
+    // one descent build shared between the two tables, and a rebuild
+    // must not re-admit a compliance-forgotten id's content (the
+    // tombstones block appends; this asserts they also gate the copy)
     val baseName = s"graft_knn_graph_base_${slug}_${dirTag}_k${k}_t${iters}_v1"
     assert(spark.catalog.tableExists(baseName),
       "base graph table missing after incremental build")
-    assert(spark.table(table).collect().toSet ==
-      spark.table(baseName).collect().toSet,
-      "incremental initial content differs from the shared base artifact")
+    val expected = spark.table(baseName)
+      .filter(!col("vec_id").isin(42L, 43L) && !col("nbr_id").isin(42L, 43L))
+    assert(spark.table(table).collect().toSet == expected.collect().toSet,
+      "incremental initial content != base artifact minus suppressed rows")
+    val leaked = spark.table(table)
+      .filter(col("vec_id").isin(42L, 43L) || col("nbr_id").isin(42L, 43L))
+      .count()
+    assert(leaked == 0L,
+      s"suppressed ids re-entered the rebuilt incremental graph ($leaked rows)")
     Seq(current, s"${current}_sup").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     CacheRegistry.releaseAll()
   }
@@ -1584,7 +1593,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(inline == tableFed,
       s"table-fed informed serving diverges from inline: " +
         s"extra=${(tableFed -- inline).take(3)} missing=${(inline -- tableFed).take(3)}")
+    // FULLY table-fed: the fallback sample too comes from the persisted
+    // artifact (t = -1 rows) — seed derivation then reads only the
+    // artifact, and the results must still be row-identical
+    val tableFedFull = rows(Similarity.graphSearchCore(graph, corpus, queries,
+      k = 10, beam = 20, hops = 3, informedSeeds = true,
+      seedMates = Some(Similarity.informedSeedMates(spark, Sf, queries)),
+      seedSample = Some(Similarity.informedSeedSample(spark, Sf, beam = 20))))
+    assert(inline == tableFedFull,
+      s"fully-table-fed informed serving diverges from inline: " +
+        s"extra=${(tableFedFull -- inline).take(3)} missing=${(inline -- tableFedFull).take(3)}")
     assert(inline.nonEmpty)
+    // a beam the persisted sample cannot cover is rejected loudly
+    intercept[IllegalArgumentException] {
+      Similarity.informedSeedSample(spark, Sf, beam = Similarity.SeedSampleCap)
+    }
     spark.sql(s"DROP TABLE IF EXISTS $seedT")
     CacheRegistry.releaseAll()
   }
@@ -1626,6 +1649,96 @@ class DedupSimilaritySpec extends SparkSpec {
       Similarity.lshSeedAppend(spark, "not_a_seed_table", full)
     }
     Seq(specT, fullT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    CacheRegistry.releaseAll()
+  }
+
+  test("persisted fallback sample: superset maintenance prunes to the exact inline sample past capacity") {
+    import org.apache.spark.sql.functions._
+    // a synthetic 1000-id corpus (> SeedSampleCap = 512) grown in two
+    // appends from empty: the kept t = -1 rows are only a SUPERSET of
+    // the true bottom-hash set (append admits any id whose hash could
+    // enter it), and the read-time prune must restore EXACTLY the
+    // inline sample — bottom-(4·beam) of ALL corpus ids by
+    // (xxhash64(id), id) — at every beam the cap covers
+    val base = Tables.embeddings(spark, Sf).select("vec_id", "embedding")
+    val synth = base.union(
+      base.select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))).cache()
+    val specT = "graft_lsh_seed_spec_super_p9_v2"
+    spark.sql(s"DROP TABLE IF EXISTS $specT")
+    graft.sources.Sources.clearOrphanedLocation(spark, specT)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("t",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("bk",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("b",
+            org.apache.spark.sql.types.LongType))))
+      .write.format("parquet").saveAsTable(specT)
+    Similarity.lshSeedAppend(spark, specT, synth.filter(col("vec_id") % 3 =!= 0))
+    Similarity.lshSeedAppend(spark, specT, synth)
+    val kept = spark.table(specT).filter(col("t") === -1)
+    // superset of the true bottom set, never a miss
+    for (beam <- Seq(5, 20, Similarity.SeedSampleCap / 4)) {
+      val inline = synth.select(col("vec_id"))
+        .orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(4 * beam)
+        .collect().map(_.getLong(0)).toSeq
+      val pruned = Similarity.seedSampleRead(spark.table(specT), beam)
+        .collect().map(_.getLong(0)).toSeq
+      assert(pruned == inline,
+        s"beam=$beam: pruned sample diverges from the inline bottom set " +
+          s"(pruned=${pruned.take(5)}... inline=${inline.take(5)}...)")
+    }
+    // the stored bk really is the sort hash — recomputing it matches
+    val mismatch = kept.filter(col("bk") =!= xxhash64(col("b"))).count()
+    assert(mismatch == 0L, s"$mismatch sample rows carry a stale hash key")
+    spark.sql(s"DROP TABLE IF EXISTS $specT")
+    synth.unpersist()
+    CacheRegistry.releaseAll()
+  }
+
+  test("seed-artifact staleness alarm: plane drift past one boundary fires before recall collapses") {
+    import org.apache.spark.sql.functions._
+    // the 0.289-recall cliff made visible as a dashboard flag: a table
+    // pinned at the build's plane count, grown 8x past it, must report
+    // stale (plane_drift > 1) and show the fattened buckets directly
+    val base = Tables.embeddings(spark, Sf).select("vec_id", "embedding")
+    val specT = "graft_lsh_seed_spec_health_p9_v2" // 9 = adaptive count at n=500
+    spark.sql(s"DROP TABLE IF EXISTS $specT")
+    graft.sources.Sources.clearOrphanedLocation(spark, specT)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("t",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("bk",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("b",
+            org.apache.spark.sql.types.LongType))))
+      .write.format("parquet").saveAsTable(specT)
+    Similarity.lshSeedAppend(spark, specT, base)
+    val healthy = Similarity.seedArtifactHealthRow(spark, specT, base).collect()(0)
+    assert(healthy.getAs[Int]("plane_drift") == 0 && !healthy.getAs[Boolean]("stale"),
+      s"fresh artifact reported stale: $healthy")
+    // grow the corpus 8x (two plane boundaries: adaptive 9 -> 11) while
+    // the artifact stays pinned at 9 — the silent-degradation scenario
+    val grown = (1 to 7).foldLeft(base) { (acc, i) =>
+      acc.union(base.select((col("vec_id") + i * 10000L).as("vec_id"),
+        col("embedding")))
+    }.cache()
+    Similarity.lshSeedAppend(spark, specT, grown)
+    val row = Similarity.seedArtifactHealthRow(spark, specT, grown).collect()(0)
+    assert(row.getAs[Int]("adaptive_planes") == 11,
+      s"adaptive plane count at n=4000 should be 11: $row")
+    assert(row.getAs[Int]("plane_drift") == 2 && row.getAs[Boolean]("stale"),
+      s"two-boundary drift did not fire the staleness flag: $row")
+    assert(row.getAs[Double]("mean_bucket") > 2.0,
+      s"occupancy should show fattened buckets past the ~2 basin target: $row")
+    // built under capacity then grown far past it: the t = -1 superset
+    // balloons (every append admits everything) — flagged for rebuild
+    assert(row.getAs[Boolean]("sample_over_cap"),
+      s"ballooned under-capacity sample not flagged: $row")
+    spark.sql(s"DROP TABLE IF EXISTS $specT")
+    grown.unpersist()
     CacheRegistry.releaseAll()
   }
 

@@ -188,6 +188,23 @@ class PlanSpec extends SparkSpec {
       s"mate join degenerated to a nested loop:\n$plan")
     assert(plan.contains("PushedFilters: [IsNotNull(vec_id), LessThan(vec_id,5)]"),
       s"query predicate not pushed to the embeddings scan:\n$plan")
+    // the persisted FALLBACK SAMPLE (t = -1 rows): its read must touch
+    // ONLY the artifact — no corpus parquet anywhere in the plan. With
+    // informedSeedMates and informedSeedSample both fed to the core,
+    // serve-time seed derivation is corpus-scan-free: the mate join
+    // scans the artifact + the query batch (above), and the sample is
+    // a bounded TakeOrdered over ≤ ~SeedSampleCap artifact rows (the
+    // former inline form was a TakeOrdered over the FULL corpus id
+    // column per serve batch — an O(corpus) input at 100 TB).
+    val sample = graft.operators.Similarity.informedSeedSample(spark, Sf, beam = 20)
+    assert(sample.collect().length == 80, "sample read must yield 4*beam rows")
+    val sPlan = sample.queryExecution.executedPlan.toString
+    assert(!sPlan.contains(Sf) && !sPlan.contains("embeddings"),
+      s"persisted fallback sample still scans the corpus parquet:\n$sPlan")
+    assert(sPlan.contains("graft_lsh_seed"),
+      s"persisted fallback sample does not read the seed artifact:\n$sPlan")
+    assert(sPlan.contains("TakeOrderedAndProject"),
+      s"sample prune is not a bounded TakeOrdered:\n$sPlan")
     spark.sql(s"DROP TABLE IF EXISTS $seedT")
     CacheRegistry.releaseAll()
   }

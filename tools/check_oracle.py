@@ -28,8 +28,12 @@ con = duckdb.connect()
 import os
 mem = os.environ.get("GRAFT_DUCKDB_MEM")
 if not mem:
-    page_bytes = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
-    mem = f"{min(80, max(4, page_bytes // (2 * 1024**3)))}GB"
+    try:
+        # SC_PHYS_PAGES is Linux-only; macOS raises ValueError here
+        page_bytes = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        mem = f"{min(80, max(4, page_bytes // (2 * 1024**3)))}GB"
+    except (ValueError, OSError, AttributeError):
+        mem = "80GB"  # the pre-probe fixed default
 con.execute(f"SET temp_directory='{os.path.join(OUT, '.duckdb_tmp')}'")
 con.execute(f"SET memory_limit='{mem}'")
 for t in TABLES:
