@@ -93,6 +93,7 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.dedupClusters(s, d)),
     "dedup_keep_best" -> ((s, d) => Dedup.dedupKeepBest(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.dedupSubstring(s, d)),
+    "pipe_span_dedup" -> ((s, d) => Dedup.pipeSpanDedup(s, d)),
     // §2.4 similarity
     "sim_bruteforce_topk" -> ((s, d) => Similarity.simBruteforceTopK(s, d)),
     "sim_lsh_ann" -> ((s, d) => Similarity.simLshAnn(s, d)),
@@ -2625,6 +2626,63 @@ object SparkEntry {
         |  WHERE a.doc_id < b.doc_id)
         |SELECT id_a, id_b, count(*) AS n_shared FROM p
         |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
+    // span-level removal (Lee et al. 2021 ExactSubstr intervention):
+    // replay with RAW substrings (the dedup_substring convention),
+    // rebuild the cleaned text character-by-character (brute force is
+    // fine oracle-side), certify by md5
+    "pipe_span_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |         length(text) = strlen(text) AS is_ascii
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, unnest(range(0, len - 49)) AS p
+        |  FROM d WHERE is_ascii AND len >= 50),
+        |pg AS (
+        |  SELECT pos.doc_id, pos.p,
+        |         substr(lower(d.text), CAST(pos.p + 1 AS INT), 50) AS g
+        |  FROM pos JOIN d USING (doc_id)),
+        |rep AS (SELECT g FROM pg GROUP BY g HAVING count(*) >= 2),
+        |hits AS (SELECT doc_id, p FROM pg WHERE g IN (SELECT g FROM rep)),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |    CASE WHEN p > coalesce(max(p + 50) OVER (
+        |        PARTITION BY doc_id ORDER BY p
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+        |      THEN 1 ELSE 0 END AS ni
+        |  FROM hits),
+        |isl2 AS (
+        |  SELECT doc_id, p,
+        |    sum(ni) OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM isl),
+        |spans AS (
+        |  SELECT doc_id, island, min(p) AS s, max(p) + 50 AS e
+        |  FROM isl2 GROUP BY doc_id, island),
+        |spanagg AS (
+        |  SELECT doc_id, count(*) AS n_spans_cut,
+        |         CAST(sum(e - s) AS BIGINT) AS n_chars_cut
+        |  FROM spans GROUP BY doc_id),
+        |chars AS (SELECT doc_id, unnest(range(0, len)) AS c FROM d),
+        |keptc AS (
+        |  SELECT ch.doc_id, ch.c FROM chars ch
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM spans sp
+        |    WHERE sp.doc_id = ch.doc_id AND ch.c >= sp.s AND ch.c < sp.e)),
+        |clean AS (
+        |  SELECT k.doc_id,
+        |    string_agg(substr(d.text, CAST(k.c + 1 AS INT), 1), ''
+        |      ORDER BY k.c) AS ct
+        |  FROM keptc k JOIN d USING (doc_id)
+        |  GROUP BY k.doc_id)
+        |SELECT d.doc_id, d.is_ascii,
+        |  coalesce(sa.n_spans_cut, 0) AS n_spans_cut,
+        |  coalesce(sa.n_chars_cut, 0) AS n_chars_cut,
+        |  CAST(length(coalesce(c.ct, '')) AS BIGINT) AS clean_len,
+        |  md5(coalesce(c.ct, '')) AS clean_md5
+        |FROM d
+        |LEFT JOIN spanagg sa USING (doc_id)
+        |LEFT JOIN clean c USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // dedup_clusters' labeling CTE with the survivor re-ranked by
     // quality (word count desc, then doc_id): DuckDB's
     // regexp_extract_all('\S+') length equals Spark's regexp_count

@@ -976,6 +976,116 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** SPAN-LEVEL removal of repeated exact substrings
+    * (`pipe_span_dedup`) — the actual INTERVENTION of Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better",
+    * ExactSubstr): where [[dedupSubstring]] DETECTS cross-document
+    * repeated 50-char spans and reports pairs, this CUTS them — every
+    * maximal run of positions covered by a repeated n-gram is deleted
+    * from the document and the surviving text is re-joined, so the
+    * corpus keeps the unique remainder of a boilerplate-wrapped page
+    * instead of dropping or keeping it whole. Matches the released
+    * tool's semantics (google-research/deduplicate-text-datasets):
+    * ALL occurrences of a repeated span are removed, including the
+    * first — "repeated" = the n-gram occurs at ≥ 2 positions in the
+    * corpus, within-document repeats included (a page-local
+    * boilerplate run is exactly as useless to train on twice).
+    *
+    * Never silent: every document emits its cut evidence
+    * (`n_spans_cut`, `n_chars_cut` — the gopher-gate convention of
+    * flags-next-to-drops), and the cleaned text rides out as
+    * `clean_len` + `clean_md5` (the pipe_chunk md5-certification
+    * convention — the oracle replays the cuts character-by-character
+    * and must land on the same digest). A fully-duplicated document
+    * survives as an empty string with n_chars_cut = length — the
+    * caller's signal to drop it, auditable.
+    *
+    * Offsets are BYTE offsets from the rolling-hash gram kernel;
+    * cutting is done in CHARACTER space, so only pure-ASCII documents
+    * (length == octet_length, where the two coincide) are eligible —
+    * others pass through UNCUT with `is_ascii` = false (flagged, not
+    * silent; a multi-byte-safe variant would cut in byte space and
+    * re-validate UTF-8). Documents shorter than `n` cannot contain a
+    * repeated span and pass through with zero cuts.
+    *
+    * Scale shape (the [[substringPairs]] discipline): one map-only
+    * codegen scan emits fixed-width (doc_id, p, g) rows; ONE
+    * repartition-by-gram exchange feeds both the occurrence count and
+    * the hit probe (ReusedExchange); hit positions are ∝ DUPLICATED
+    * text, so the interval merge (one doc_id-keyed window) and the
+    * rebuild join are small. The rebuild is a per-doc `aggregate`
+    * over its sorted cut list — per-document state, no corpus-sized
+    * buffer. One-pass semantics like the paper's: cutting can in
+    * principle create new cross-boundary repeats (two docs whose
+    * sub-50-char fragments concatenate identically); the spec pins
+    * that a second pass finds nothing on real data. */
+  def pipeSpanDedup(s: SparkSession, dir: String, n: Int = 50): DataFrame =
+    spanDedupCore(Tables.documents(s, dir).select(col("doc_id"), col("text")), n)
+      .select(col("doc_id"), col("is_ascii"), col("n_spans_cut"),
+        col("n_chars_cut"),
+        length(col("clean_text")).cast("long").as("clean_len"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  /** [[pipeSpanDedup]]'s frame-parameterized core, keeping the
+    * cleaned text as a column — factored so the idempotence spec can
+    * feed the cleaned corpus back through and assert zero further
+    * cuts. */
+  private[graft] def spanDedupCore(docs: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .withColumn("is_ascii", length(col("text")) === octet_length(col("text")))
+    val pos = base
+      .filter(col("is_ascii") && length(col("text")) >= n)
+      .select(col("doc_id"), posexplode(
+        graft.functions.VectorFunctions.ngram_hashes(lower(col("text")), n))
+        .as(Seq("p", "g")))
+    // ONE gram exchange, two consumers (the substringPairs shape):
+    // the occurrence count and the hit probe both read it
+    val ex = pos.repartition(col("g"))
+    val rep = ex.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("g")
+    val hits = ex.join(rep, "g").select(col("doc_id"), col("p"))
+    // maximal covered runs: each hit covers [p, p+n); gaps-and-islands
+    // over the per-doc position order (running max of span ends)
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val prevEnd = max(col("p") + n)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val spans = hits
+      // a hit starting AT the previous run's end is adjacent — same
+      // maximal run (strict > starts a new island)
+      .withColumn("ni", coalesce(col("p") > prevEnd, lit(true)).cast("int"))
+      .withColumn("island",
+        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("p")).cast("long").as("s"),
+        (max(col("p")) + n).cast("long").as("e"))
+    val cuts = spans.groupBy("doc_id").agg(
+      sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"),
+      count(lit(1)).as("n_spans_cut"),
+      sum(col("e") - col("s")).as("n_chars_cut"))
+    // rebuild: fold the sorted cut list, appending each kept segment
+    // (previous cut end .. next cut start), then the tail
+    base.join(cuts, Seq("doc_id"), "left")
+      .withColumn("clean_text",
+        when(col("cuts").isNull, col("text")).otherwise(
+          aggregate(
+            col("cuts"),
+            struct(lit("").as("t"), lit(0L).as("q")),
+            (acc, c) => struct(
+              concat(acc.getField("t"),
+                col("text").substr(acc.getField("q").cast("int") + 1,
+                  (c.getField("s") - acc.getField("q")).cast("int"))).as("t"),
+              c.getField("e").as("q")),
+            acc => concat(acc.getField("t"),
+              col("text").substr(acc.getField("q").cast("int") + 1,
+                length(col("text")))))))
+      .select(col("doc_id"), col("is_ascii"),
+        coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"),
+        coalesce(col("n_chars_cut"), lit(0L)).as("n_chars_cut"),
+        col("clean_text"))
+  }
+
   /** Approximate-dedup quality evaluation (`dedup_eval`) — the
     * measurement a production rollout of MinHash-LSH needs before
     * trusting it at 100 TB: run the estimator ([[dedupMinhashLsh]])

@@ -1697,6 +1697,69 @@ class DedupSimilaritySpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("pipe_span_dedup: repeated-span cuts match an independent string replay; idempotent; never silent") {
+    import org.apache.spark.sql.functions._
+    val n = 50
+    val out = Dedup.pipeSpanDedup(spark, Sf, n).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("is_ascii"), r.getAs[Long]("n_spans_cut"),
+          r.getAs[Long]("n_chars_cut"), r.getAs[Long]("clean_len"),
+          r.getAs[String]("clean_md5")))).toMap
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size == docs.size, "every document must emit a row")
+    // independent replay with RAW lowercased substrings (no rolling
+    // hashes): occurrence count >= 2 marks every covered position
+    def asciiOf(t: String) = t.forall(_ < 128)
+    val occ = scala.collection.mutable.HashMap.empty[String, Int]
+    for ((_, t) <- docs if asciiOf(t) && t.length >= n) {
+      val lt = t.toLowerCase
+      var p = 0
+      while (p + n <= lt.length) {
+        val g = lt.substring(p, p + n)
+        occ.update(g, occ.getOrElse(g, 0) + 1); p += 1
+      }
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var anyCut = false
+    for ((id, t) <- docs) {
+      val ascii = asciiOf(t)
+      val (spans, chars, clean) =
+        if (!ascii || t.length < n) (0L, 0L, t)
+        else {
+          val lt = t.toLowerCase
+          val cut = new Array[Boolean](t.length)
+          var p = 0
+          while (p + n <= lt.length) {
+            if (occ(lt.substring(p, p + n)) >= 2)
+              (p until p + n).foreach(cut(_) = true)
+            p += 1
+          }
+          val kept = t.zipWithIndex.collect { case (c, i) if !cut(i) => c }.mkString
+          val runs = (0 until t.length).count(i => cut(i) && (i == 0 || !cut(i - 1)))
+          (runs.toLong, cut.count(identity).toLong, kept)
+        }
+      if (spans > 0) anyCut = true
+      val got = out(id)
+      assert(got == ((ascii, spans, chars, clean.length.toLong, md5hex(clean))),
+        s"doc $id: got $got, replay says ($ascii, $spans, $chars, ${clean.length}, ${md5hex(clean)})")
+      // never silent: the kept length plus the cut length is the doc
+      assert(got._4 + got._3 == t.length.toLong, s"doc $id: cut accounting leaks")
+    }
+    assert(anyCut, "testdata has repeated spans (dedup_substring finds pairs) — none were cut")
+    // idempotence on real data: the cleaned corpus has no df>=2 span
+    // left, so a second pass cuts nothing
+    val docsDf = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    val cleaned = Dedup.spanDedupCore(docsDf, n)
+      .select(col("doc_id"), col("clean_text").as("text"))
+    val second = Dedup.spanDedupCore(cleaned, n)
+      .agg(sum(col("n_spans_cut")).as("cuts")).collect()(0).getLong(0)
+    assert(second == 0L, s"second pass still cut $second spans — not idempotent on this corpus")
+    CacheRegistry.releaseAll()
+  }
+
   test("seed-artifact staleness alarm: plane drift past one boundary fires before recall collapses") {
     import org.apache.spark.sql.functions._
     // the 0.289-recall cliff made visible as a dashboard flag: a table
