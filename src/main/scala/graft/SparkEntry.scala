@@ -103,6 +103,7 @@ object SparkEntry {
     "sim_knn_graph_incremental" -> ((s, d) => Similarity.simKnnGraphIncremental(s, d)),
     "sim_graph_search" -> ((s, d) => Similarity.simGraphSearch(s, d)),
     "sim_graph_search_filtered" -> ((s, d) => Similarity.simGraphSearchFiltered(s, d)),
+    "sim_graph_search_segment" -> ((s, d) => Similarity.simGraphSearchSegment(s, d)),
     "sim_hard_negatives" -> ((s, d) => Similarity.simHardNegatives(s, d)),
     "sim_hard_negatives_filtered" -> ((s, d) => Similarity.simHardNegativesFiltered(s, d)),
     "sim_graph_search_heldout" -> ((s, d) => Similarity.simGraphSearchHeldOut(s, d)),
@@ -666,6 +667,84 @@ object SparkEntry {
        |  SELECT $poolName.qid, $poolName.b, cs.c,
        |         row_number() OVER (PARTITION BY $poolName.qid ORDER BY cs.c DESC, $poolName.b) AS rn
        |  FROM $poolName JOIN cs ON cs.ia = $poolName.qid AND cs.ib = $poolName.b$bandPred) WHERE rn <= $k
+       |ORDER BY qid, rank""".stripMargin
+  }
+
+  /** DuckDB replica of [[operators.Similarity.simGraphSearchSegment]]
+    * — rank the segment ids densely (the same row_number window the
+    * Spark side uses), unroll the dense-seeded fixed-T descent over
+    * the SEGMENT subset, then walk full-corpus queries over the
+    * segment graph with dense-rank LCG entry points. No post-filter:
+    * every candidate is a segment member by construction, so the tail
+    * is the plain top-k of the final beam. */
+  private def graphSearchSegmentOracleSql(lang: String, nQueries: Int, k: Int,
+                                          beam: Int, hops: Int, graphK: Int,
+                                          graphIters: Int): String = {
+    require(lang.matches("[a-z]{2}"),
+      s"lang must be a two-letter code, got '$lang'")
+    val segRounds = (1 to graphIters).map { t =>
+      val prev = s"se${t - 1}"
+      s"""su$t AS MATERIALIZED (SELECT a, b FROM $prev UNION
+         |        SELECT a, b FROM (
+         |          SELECT p.b AS a, p.a AS b,
+         |                 row_number() OVER (PARTITION BY p.b ORDER BY p.a) AS rr
+         |          FROM $prev p) WHERE rr <= $graphK),
+         |sc$t AS (SELECT a, b FROM su$t UNION
+         |        SELECT x.a, y.b FROM su$t x JOIN su$t y ON x.b = y.a WHERE x.a <> y.b),
+         |se$t AS MATERIALIZED (SELECT a, b FROM (
+         |  SELECT sc$t.a, sc$t.b,
+         |         row_number() OVER (PARTITION BY sc$t.a ORDER BY cs.c DESC, sc$t.b) AS rn
+         |  FROM sc$t JOIN cs ON cs.ia = sc$t.a AND cs.ib = sc$t.b) WHERE rn <= $graphK)"""
+        .stripMargin
+    }.mkString(",\n")
+    val hopCtes = (1 to hops).map { t =>
+      val prev = s"w${t - 1}"
+      s""",
+         |x$t AS MATERIALIZED (SELECT qid, b FROM $prev UNION
+         |        SELECT p.qid, g.b FROM $prev p JOIN g ON g.a = p.b WHERE g.b <> p.qid),
+         |w$t AS MATERIALIZED (SELECT qid, b FROM (
+         |  SELECT x$t.qid, x$t.b,
+         |         row_number() OVER (PARTITION BY x$t.qid ORDER BY cs.c DESC, x$t.b) AS rn
+         |  FROM x$t JOIN cs ON cs.ia = x$t.qid AND cs.ib = x$t.b) WHERE rn <= $beam)"""
+        .stripMargin
+    }.mkString
+    s"""WITH ex AS (
+       |  SELECT vec_id, unnest(embedding)::DOUBLE AS x, generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings),
+       |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY vec_id),
+       |dots AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib, sum(a.x * b.x) AS dot
+       |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id <> b.vec_id
+       |  GROUP BY 1, 2),
+       |cs AS MATERIALIZED (
+       |  SELECT ia, ib, d.dot / (na.nrm * nb.nrm) AS c
+       |  FROM dots d JOIN norms na ON na.vec_id = d.ia JOIN norms nb ON nb.vec_id = d.ib),
+       |sids AS (
+       |  SELECT e.vec_id FROM embeddings e
+       |  JOIN documents dd ON dd.doc_id = e.vec_id WHERE dd.lang = '$lang'),
+       |sdense AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS r FROM sids),
+       |sm AS (SELECT count(*) AS m FROM sids),
+       |se0 AS (
+       |  SELECT DISTINCT i.vec_id AS a, dn.vec_id AS b
+       |  FROM sids i CROSS JOIN sm CROSS JOIN range(1, ${graphK + 1}) t(j)
+       |  JOIN sdense dn ON dn.r = (i.vec_id * 1664525 + t.j * 40503) % sm.m
+       |  WHERE dn.vec_id <> i.vec_id),
+       |$segRounds,
+       |g AS MATERIALIZED (SELECT a, b FROM se$graphIters),
+       |qs AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < $nQueries),
+       |s0 AS MATERIALIZED (
+       |  SELECT DISTINCT q.qid, dn.vec_id AS b
+       |  FROM qs q CROSS JOIN sm CROSS JOIN range(1, ${beam + 1}) t(j)
+       |  JOIN sdense dn ON dn.r = (q.qid * 1664525 + t.j * 40503) % sm.m
+       |  WHERE dn.vec_id <> q.qid),
+       |w0 AS MATERIALIZED (SELECT qid, b FROM (
+       |  SELECT s0.qid, s0.b,
+       |         row_number() OVER (PARTITION BY s0.qid ORDER BY cs.c DESC, s0.b) AS rn
+       |  FROM s0 JOIN cs ON cs.ia = s0.qid AND cs.ib = s0.b) WHERE rn <= $beam)$hopCtes
+       |SELECT qid, rn::BIGINT AS rank, b AS vec_id, round(c, 4) AS cosine FROM (
+       |  SELECT w$hops.qid, w$hops.b, cs.c,
+       |         row_number() OVER (PARTITION BY w$hops.qid ORDER BY cs.c DESC, w$hops.b) AS rn
+       |  FROM w$hops JOIN cs ON cs.ia = w$hops.qid AND cs.ib = w$hops.b) WHERE rn <= $k
        |ORDER BY qid, rank""".stripMargin
   }
 
@@ -2015,6 +2094,8 @@ object SparkEntry {
       allowedLang = Some("en"), band = Some((0.3, 0.6))),
     "sim_graph_search_heldout" -> graphSearchHeldOutOracleSql(nQueries = 5,
       k = 10, beam = 20, hops = 3, graphK = 10, graphIters = 3),
+    "sim_graph_search_segment" -> graphSearchSegmentOracleSql(lang = "en",
+      nQueries = 5, k = 10, beam = 20, hops = 3, graphK = 10, graphIters = 3),
     "sim_knn_graph_incremental" ->
       knnGraphIncrementalOracleSql(k = 10, iters = 3, appendIters = 3),
     "sim_knn_components" -> knnComponentsOracleSql(k = 10, iters = 3, tau = 0.4),

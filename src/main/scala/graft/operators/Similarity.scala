@@ -737,16 +737,21 @@ object Similarity {
     * with the incremental harness's base build
     * ([[simKnnGraphIncremental]]). */
   private[graft] def knnDescentFixed(s: SparkSession, corpus: DataFrame,
-                                     k: Int = 10, iters: Int = 3): DataFrame = {
+                                     k: Int = 10, iters: Int = 3,
+                                     seedsOverride: Option[DataFrame] = None): DataFrame = {
     val e = corpus
       .select(col("vec_id"), asDouble(col("embedding")).as("v")).cacheTracked
     val ids = e.select(col("vec_id"))
     val m = ids.agg((max(col("vec_id")) + 1).as("m")) // one-row scalar attach
-    val seeds = ids.crossJoin(m)
+    // `seedsOverride`: pre-derived (a, b) seed pairs — the SEGMENT
+    // build's dense-rank LCG ([[denseLcgSeeds]]), where the default
+    // mod-(max+1) draw over a sparse id subset would miss membership
+    // almost surely and the descent would start near-edgeless
+    val seeds = seedsOverride.getOrElse(ids.crossJoin(m)
       .select(col("vec_id").as("a"), explode(array((1 to k).map(j =>
         pmod(col("vec_id") * 1664525L + lit(j * 40503L), col("m"))): _*)).as("b"))
       .filter(col("a") =!= col("b"))
-      .join(ids.select(col("vec_id").as("b")), Seq("b"), "left_semi")
+      .join(ids.select(col("vec_id").as("b")), Seq("b"), "left_semi"))
     val va = e.select(col("vec_id").as("a"), col("v").as("va"))
     val vb = e.select(col("vec_id").as("b"), col("v").as("vb"))
     def topk(cand: DataFrame): DataFrame =
@@ -1118,7 +1123,8 @@ object Similarity {
                                      band: Option[(Double, Double)] = None,
                                      informedSeeds: Boolean = false,
                                      seedMates: Option[DataFrame] = None,
-                                     seedSample: Option[DataFrame] = None): DataFrame = {
+                                     seedSample: Option[DataFrame] = None,
+                                     seedsOverride: Option[DataFrame] = None): DataFrame = {
     val ids = corpus.select(col("vec_id"))
     val m = ids.agg((max(col("vec_id")) + 1).as("m")) // one-row scalar attach
     val lcgSeeds = queries.select("qid").crossJoin(m)
@@ -1153,7 +1159,11 @@ object Similarity {
     // under a deterministic xxhash64 order. Registry queries keep the
     // default (false): the DuckDB oracle replays the LCG contract,
     // which is exact on the dense registry id spaces.
-    val seeds = if (!informedSeeds) lcgSeeds else {
+    // `seedsOverride` supplies pre-derived (qid, b) entry points
+    // verbatim — the SEGMENT walk's dense-rank LCG contract
+    // ([[simGraphSearchSegment]]), where drawing mod (max+1) over a
+    // sparse segment id space would miss membership almost surely
+    val seeds = seedsOverride.getOrElse(if (!informedSeeds) lcgSeeds else {
       // ADAPTIVE plane count (dedupEmbeddingAnn's formula): buckets
       // must stay basin-sized as n grows, or the beam-sized
       // hash-ordered cap below keeps mostly strangers — measured at
@@ -1207,7 +1217,7 @@ object Similarity {
           Window.partitionBy("qid").orderBy(xxhash64(col("qid"), col("b")), col("b"))))
         .filter(col("rr") <= beam).select("qid", "b")
       mates.union(fallback).distinct()
-    }
+    })
     val vb = corpus.select(col("vec_id").as("b"), col("v").as("vb"))
     // score = the ONLY corpus touch per hop: candidates meet their
     // vectors once, and the checkpointed (qid, b, c) state carries the
@@ -1580,6 +1590,143 @@ object Similarity {
     }
     result.orderBy("qid", "rank")
   }
+
+  /** Deterministic LCG draws in the DENSE-RANK space of `ids` — the
+    * replayable seeding contract made id-space-shape-independent for
+    * SEGMENT corpora: a segment's ids are sparse in [0, max), so the
+    * registry's mod-(max+1) draw would miss the membership filter
+    * almost surely (the measured LCG-on-sparse-ids failure: 19,994 of
+    * 20,000 queries with ZERO entry points). Ranking the segment ids
+    * 0..n-1 (row_number by vec_id) and drawing mod n makes every draw
+    * HIT by construction — and stays exactly replayable in SQL (the
+    * oracle ranks with the same window). The global window is bounded
+    * by SEGMENT size — this helper exists precisely because segments
+    * are small relative to the corpus; a corpus-sized caller should
+    * keep the plain mod-(max+1) contract. Returns (srcCol, b),
+    * distinct, self-pairs removed. */
+  private[graft] def denseLcgSeeds(ids: DataFrame, src: DataFrame,
+                                   srcCol: String, perSrc: Int): DataFrame = {
+    val dense = ids.select(col("vec_id"))
+      .withColumn("r", row_number().over(Window.orderBy("vec_id")) - 1)
+    val n = dense.agg(count(lit(1)).as("m")) // one-row scalar attach
+    src.select(col(srcCol)).crossJoin(n)
+      .select(col(srcCol), explode(array((1 to perSrc).map(j =>
+        pmod(col(srcCol) * 1664525L + lit(j * 40503L), col("m"))): _*)).as("r"))
+      .join(dense, "r")
+      .select(col(srcCol), col("vec_id").as("b"))
+      .filter(col(srcCol) =!= col("b"))
+      .distinct()
+  }
+
+  /** The (vec_id, embedding) rows of one LANG segment — embeddings
+    * whose document carries the language tag (vec_id ≡ doc_id, the
+    * registry join contract). */
+  private[graft] def segmentMembers(s: SparkSession, dir: String,
+                                    lang: String): DataFrame =
+    Tables.embeddings(s, dir).join(
+      Tables.documents(s, dir).filter(col("lang") === lang)
+        .select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+
+  /** PER-SEGMENT k-NN graph over an arbitrary member set — the
+    * structural fix for ultra-selective filtered serving (the
+    * filtered-ANN production trade the adaptive widener's scaladoc
+    * points at): under a ~1% allow-list the FULL-graph walk's bounded
+    * visited pool holds too few allowed ids (measured 47/50 queries
+    * short at beam 20 / hops 3; 12/50 after two adaptive doublings),
+    * because the walk spends its budget scoring disallowed bridges.
+    * Building the graph ON the segment makes every scored candidate
+    * allowed — the walk's whole budget works for the filter, cost is
+    * bounded by SEGMENT size, and the result fills to min(k, n_seg)
+    * whenever the segment graph is connected (spec: 0/50 short at the
+    * same 1% allow-list). Fixed-T descent with [[denseLcgSeeds]] (the
+    * replayable harness contract; sparse segment ids break the plain
+    * LCG draw), persisted per (dir, segment key) with the
+    * [[knnGraphTable]] lifecycle — [[knnGraphAppend]] /
+    * [[knnGraphForget]] work on it unchanged (they are
+    * table-parameterized), so segment growth and compliance deletion
+    * carry over verbatim. */
+  def knnGraphSegmentTableFor(s: SparkSession, dir: String, segKey: String,
+                              members: DataFrame, k: Int = 10,
+                              iters: Int = 3): String = {
+    require(segKey.matches("[a-z0-9_]{1,32}"),
+      s"segment key must be a short lowercase slug, got '$segKey'")
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    val dirTag = (scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff).toHexString
+    val table = s"graft_knn_graph_seg_${slug}_${dirTag}_${segKey}_k${k}_t${iters}_v1"
+    if (!s.catalog.tableExists(table)) {
+      graft.sources.Sources.clearOrphanedLocation(s, table)
+      val seeds = denseLcgSeeds(members.select("vec_id"),
+        members.select(col("vec_id").as("a")), "a", k)
+      knnDescentFixed(s, members, k, iters, seedsOverride = Some(seeds))
+        .write.format("parquet").saveAsTable(table)
+    } else {
+      StagedRewrite.recover(s, table)
+    }
+    table
+  }
+
+  /** SEGMENT-GRAPH serving (`sim_graph_search_segment`) — the
+    * declared-hot-filter serving path: "nearest lang = X documents"
+    * answered by walking the PER-SEGMENT graph
+    * ([[knnGraphSegmentTableFor]]) with entry points drawn by
+    * [[denseLcgSeeds]] over the segment id space. Queries come from
+    * the FULL corpus (a query does not need to be a segment member —
+    * the walk reads only its embedding); every candidate the walk
+    * scores is allowed by construction, so there is no post-filter
+    * and no shortfall: the answer is the plain top-k of the final
+    * beam, exactly [[simGraphSearch]]'s contract restricted to the
+    * segment. Replayable end to end — the oracle ranks the segment,
+    * unrolls the dense-seeded descent, and walks the same hops. */
+  def simGraphSearchSegment(s: SparkSession, dir: String, lang: String = "en",
+                            nQueries: Int = 5, k: Int = 10, beam: Int = 20,
+                            hops: Int = 3, graphK: Int = 10,
+                            graphIters: Int = 3): DataFrame = {
+    require(lang.matches("[a-z]{2}"),
+      s"lang must be a two-letter code, got '$lang'")
+    val table = knnGraphSegmentTableFor(s, dir, lang,
+      segmentMembers(s, dir, lang), graphK, graphIters)
+    val graph = s.table(table)
+      .select(col("vec_id").as("ga"), col("nbr_id").as("gb"))
+    val members = segmentMembers(s, dir, lang)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val queries = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+    val seeds = denseLcgSeeds(members.select("vec_id"),
+      queries.select("qid"), "qid", beam)
+    graphSearchCore(graph, members, queries, k, beam, hops,
+      seedsOverride = Some(seeds))
+  }
+
+  /** Filtered serving with SEGMENT ROUTING — the production
+    * dispatcher: a filter on a DECLARED hot segment (a value with a
+    * built per-segment graph) routes to the segment walk (no
+    * shortfall, cost ∝ segment); anything else falls back to the
+    * full-graph filtered walk with the bounded adaptive widener. The
+    * declared set is the operator's knob — exactly the "per-language
+    * corpora hit this on day one" deployment, where the handful of
+    * hot languages get segment graphs and the long tail stays on the
+    * shared graph. */
+  def graphSearchFilteredRouted(s: SparkSession, dir: String, lang: String,
+                                declared: Set[String], nQueries: Int = 5,
+                                k: Int = 10, beam: Int = 20, hops: Int = 3,
+                                graphK: Int = 10, graphIters: Int = 3): DataFrame =
+    if (declared.contains(lang))
+      simGraphSearchSegment(s, dir, lang, nQueries, k, beam, hops,
+        graphK, graphIters)
+    else {
+      val graph = s.table(knnGraphTable(s, dir, graphK, graphIters))
+        .select(col("vec_id").as("ga"), col("nbr_id").as("gb"))
+      val corpus = Tables.embeddings(s, dir)
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      val queries = corpus.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val allowed = Tables.documents(s, dir)
+        .filter(col("lang") === lang).select(col("doc_id").as("b"))
+      graphSearchFilteredAdaptive(graph, corpus, queries, allowed, k,
+        beam, hops)
+    }
 
   /** PRODUCTION form of [[simKnnGraph]] — NN-Descent run TO
     * CONVERGENCE instead of a fixed round count. The registry's

@@ -1889,4 +1889,64 @@ class DedupSimilaritySpec extends SparkSpec {
       "auto-widening disturbed queries that were already full at the first width")
     CacheRegistry.releaseAll()
   }
+
+  test("per-segment graph closes the 1% selectivity shortfall structurally: 0 short, exact in-segment") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // the same scenario the widener specs measure (1% allow-list =
+    // vec_id % 100 == 1, 5 of 500; 50 queries) — the full-graph walk
+    // leaves 47/50 short at beam 20/hops 3 and 12/50 after two
+    // adaptive doublings; the per-segment graph must leave ZERO (every
+    // scored candidate is allowed by construction)
+    val corpus = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v")).cache()
+    val queries = corpus.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("v").as("qv")).cache()
+    val members = Tables.embeddings(spark, Sf).filter(col("vec_id") % 100 === 1)
+    val segT = Similarity.knnGraphSegmentTableFor(spark, Sf, "spec_pct1",
+      members, k = 10, iters = 3)
+    val graph = spark.table(segT)
+      .select(col("vec_id").as("ga"), col("nbr_id").as("gb"))
+    val segV = corpus.join(members.select("vec_id"), Seq("vec_id"), "left_semi").cache()
+    val nSeg = segV.count()
+    val k = 5
+    val fill = math.min(k.toLong, nSeg)
+    val seeds = Similarity.denseLcgSeeds(segV.select("vec_id"),
+      queries.select("qid"), "qid", 20)
+    val served = Similarity.graphSearchCore(graph, segV, queries, k,
+      beam = 20, hops = 3, seedsOverride = Some(seeds))
+    val nQ = queries.count()
+    // a query that IS a segment member can reach only nSeg - 1
+    // neighbors (serving excludes self by contract) — its full
+    // result is one shorter
+    val short = queries.select("qid")
+      .join(segV.select(col("vec_id").as("qid")).withColumn("self", lit(1L)),
+        Seq("qid"), "left")
+      .join(served.groupBy("qid").count(), Seq("qid"), "left")
+      .select(coalesce(col("count"), lit(0L)).as("cnt"),
+        least(lit(fill), lit(nSeg) - coalesce(col("self"), lit(0L))).as("want"))
+      .filter(col("cnt") < col("want")).count()
+    info(s"segment path at 1%: shortfall $short/$nQ " +
+      s"(plain walk 47/$nQ, adaptive 12/$nQ in the widener specs)")
+    assert(short == 0L,
+      s"per-segment graph left $short/$nQ queries short at the 1% allow-list")
+    // beam (20) >= |segment| (5): the dense-seed set IS the whole
+    // segment, so the answer must equal exact brute force over it
+    val exact = queries.join(segV, col("qid") =!= col("vec_id"))
+      .withColumn("c", graft.functions.VectorFunctions
+        .cosine_similarity(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("c").desc, col("vec_id"))))
+      .filter(col("rn") <= k).select("qid", "vec_id")
+    val servedIds = served.select("qid", "vec_id")
+    assert(servedIds.exceptAll(exact).isEmpty && exact.exceptAll(servedIds).isEmpty,
+      "segment answers diverge from exact brute force over the allow-list")
+    // routing: a declared segment goes to the segment walk verbatim
+    val routed = Similarity.graphSearchFilteredRouted(spark, Sf, "en",
+      declared = Set("en")).collect().toSeq
+    val direct = Similarity.simGraphSearchSegment(spark, Sf, "en").collect().toSeq
+    assert(routed == direct, "declared-segment routing diverges from the segment walk")
+    spark.sql(s"DROP TABLE IF EXISTS $segT")
+    CacheRegistry.releaseAll()
+  }
 }
