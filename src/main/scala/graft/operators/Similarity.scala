@@ -1332,22 +1332,26 @@ object Similarity {
     // sentinel table id t = -1 (bk = xxhash64(vec_id), the sort key;
     // bottom-[[SeedSampleCap]] ids) — see [[informedSeedSample]]
     val table = s"graft_lsh_seed_${slug}_${dirTag}_p${nPlanes}_v2"
-    // drop STALE generations of this dir's artifact (the
-    // slug-migration discipline): after corpus growth crosses a plane
-    // boundary the adaptive count changes and a new session builds the
-    // new generation — without the drop the old one sits orphaned, and
-    // an ingest loop still holding its name would keep maintaining an
-    // artifact nothing serves from. The drop makes that divergence
-    // LOUD (the loop's next append fails → operator re-resolves) and
-    // reclaims the storage; seed buckets are derived state, so there
-    // is nothing to migrate — rebuild re-derives everything. The same
-    // sweep retires pre-sample `_p<n>_v1` schema generations.
-    val genPrefix = s"graft_lsh_seed_${slug}_${dirTag}_p"
-    s.catalog.listTables().collect().map(_.name)
-      .filter(n => n.startsWith(genPrefix) && n.matches(".*_p\\d+_v\\d+$")
-        && n != table)
-      .foreach(n => s.sql(s"DROP TABLE $n"))
     if (!s.catalog.tableExists(table)) {
+      // drop STALE generations of this dir's artifact (the
+      // slug-migration discipline): after corpus growth crosses a
+      // plane boundary the adaptive count changes and a new session
+      // builds the new generation — without the drop the old one sits
+      // orphaned, and an ingest loop still holding its name would
+      // keep maintaining an artifact nothing serves from. The drop
+      // makes that divergence LOUD (the loop's next append fails →
+      // operator re-resolves) and reclaims the storage; seed buckets
+      // are derived state, so there is nothing to migrate — rebuild
+      // re-derives everything. The same sweep retires pre-sample
+      // `_p<n>_v1` schema generations. Inside the build branch only:
+      // the accessor sits on the per-batch serve path, and a catalog
+      // enumeration per batch would be pure overhead once the current
+      // generation exists (at which point prior builds already swept).
+      val genPrefix = s"graft_lsh_seed_${slug}_${dirTag}_p"
+      s.catalog.listTables().collect().map(_.name)
+        .filter(n => n.startsWith(genPrefix) && n.matches(".*_p\\d+_v\\d+$")
+          && n != table)
+        .foreach(n => s.sql(s"DROP TABLE $n"))
       graft.sources.Sources.clearOrphanedLocation(s, table)
       val planeSets = lshTablePlanes(nTables = 4, numPlanes = nPlanes)
       val bucketRows = corpus

