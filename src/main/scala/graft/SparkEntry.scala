@@ -128,6 +128,7 @@ object SparkEntry {
     "pipe_quality_filter" -> ((s, d) => TextAnalysis.pipeQualityFilter(s, d)),
     "pipe_pii_scrub" -> (TextAnalysis.pipePiiScrub(_, _)),
     "pipe_gopher_gate" -> ((s, d) => TextAnalysis.pipeGopherGate(s, d)),
+    "pipe_span_ingest" -> ((s, d) => TextAnalysis.pipeSpanIngest(s, d)),
     "pipe_split_train_val" -> ((s, d) => TextAnalysis.pipeSplitTrainVal(s, d)),
     "pipe_dataset_card" -> ((s, d) => TextAnalysis.pipeDatasetCard(s, d)),
     "pipe_contamination_frac" -> ((s, d) => TextAnalysis.pipeContaminationFrac(s, d)),
@@ -500,6 +501,67 @@ object SparkEntry {
     * probe masks inlined as literals so both engines hash vectors into
     * the same sign-LSH buckets; candidate generation, cosine scoring
     * and ranking then mirror the Spark plan step for step. */
+  /** Shared CTE body for the span-cut oracles — raw-substring replay
+    * of [[operators.Dedup.spanDedupCore]], ending in
+    * `cleandocs(doc_id, is_ascii, n_spans_cut, n_chars_cut, text,
+    * clean_md5)` where `text` is the char-by-char-rebuilt cleaned
+    * text. Composed by `pipe_span_dedup` (certification tail) and
+    * `pipe_span_ingest` (the Gopher chain re-run over the cleaned
+    * text). */
+  private val spanCutCtesSql: String =
+    """d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |         length(text) = strlen(text) AS is_ascii
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, unnest(range(0, len - 49)) AS p
+      |  FROM d WHERE is_ascii AND len >= 50),
+      |pg AS (
+      |  SELECT pos.doc_id, pos.p,
+      |         substr(lower(d.text), CAST(pos.p + 1 AS INT), 50) AS g
+      |  FROM pos JOIN d USING (doc_id)),
+      |rep AS (SELECT g FROM pg GROUP BY g HAVING count(*) >= 2),
+      |hits AS (SELECT doc_id, p FROM pg WHERE g IN (SELECT g FROM rep)),
+      |isl AS (
+      |  SELECT doc_id, p,
+      |    CASE WHEN p > coalesce(max(p + 50) OVER (
+      |        PARTITION BY doc_id ORDER BY p
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |      THEN 1 ELSE 0 END AS ni
+      |  FROM hits),
+      |isl2 AS (
+      |  SELECT doc_id, p,
+      |    sum(ni) OVER (PARTITION BY doc_id ORDER BY p) AS island
+      |  FROM isl),
+      |spans AS (
+      |  SELECT doc_id, island, min(p) AS s, max(p) + 50 AS e
+      |  FROM isl2 GROUP BY doc_id, island),
+      |spanagg AS (
+      |  SELECT doc_id, count(*) AS n_spans_cut,
+      |         CAST(sum(e - s) AS BIGINT) AS n_chars_cut
+      |  FROM spans GROUP BY doc_id),
+      |chars AS (SELECT doc_id, unnest(range(0, len)) AS c FROM d),
+      |keptc AS (
+      |  SELECT ch.doc_id, ch.c FROM chars ch
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM spans sp
+      |    WHERE sp.doc_id = ch.doc_id AND ch.c >= sp.s AND ch.c < sp.e)),
+      |clean AS (
+      |  SELECT k.doc_id,
+      |    string_agg(substr(d.text, CAST(k.c + 1 AS INT), 1), ''
+      |      ORDER BY k.c) AS ct
+      |  FROM keptc k JOIN d USING (doc_id)
+      |  GROUP BY k.doc_id),
+      |cleandocs AS (
+      |  SELECT d.doc_id, d.is_ascii,
+      |    coalesce(sa.n_spans_cut, 0) AS n_spans_cut,
+      |    coalesce(sa.n_chars_cut, 0) AS n_chars_cut,
+      |    coalesce(c.ct, '') AS text,
+      |    md5(coalesce(c.ct, '')) AS clean_md5
+      |  FROM d
+      |  LEFT JOIN spanagg sa USING (doc_id)
+      |  LEFT JOIN clean c USING (doc_id))""".stripMargin
+
   private def lshOracleSql(nQueries: Int, k: Int, numPlanes: Int, dim: Int): String = {
     val planes = Similarity.lshPlanes(numPlanes, dim)
     val planeValues = (for (p <- 0 until numPlanes; i <- 0 until dim)
@@ -2712,58 +2774,54 @@ object SparkEntry {
     // rebuild the cleaned text character-by-character (brute force is
     // fine oracle-side), certify by md5
     "pipe_span_dedup" ->
-      """WITH d AS (
-        |  SELECT doc_id, text, length(text) AS len,
-        |         length(text) = strlen(text) AS is_ascii
-        |  FROM documents),
-        |pos AS (
-        |  SELECT doc_id, unnest(range(0, len - 49)) AS p
-        |  FROM d WHERE is_ascii AND len >= 50),
-        |pg AS (
-        |  SELECT pos.doc_id, pos.p,
-        |         substr(lower(d.text), CAST(pos.p + 1 AS INT), 50) AS g
-        |  FROM pos JOIN d USING (doc_id)),
-        |rep AS (SELECT g FROM pg GROUP BY g HAVING count(*) >= 2),
-        |hits AS (SELECT doc_id, p FROM pg WHERE g IN (SELECT g FROM rep)),
-        |isl AS (
-        |  SELECT doc_id, p,
-        |    CASE WHEN p > coalesce(max(p + 50) OVER (
-        |        PARTITION BY doc_id ORDER BY p
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
-        |      THEN 1 ELSE 0 END AS ni
-        |  FROM hits),
-        |isl2 AS (
-        |  SELECT doc_id, p,
-        |    sum(ni) OVER (PARTITION BY doc_id ORDER BY p) AS island
-        |  FROM isl),
-        |spans AS (
-        |  SELECT doc_id, island, min(p) AS s, max(p) + 50 AS e
-        |  FROM isl2 GROUP BY doc_id, island),
-        |spanagg AS (
-        |  SELECT doc_id, count(*) AS n_spans_cut,
-        |         CAST(sum(e - s) AS BIGINT) AS n_chars_cut
-        |  FROM spans GROUP BY doc_id),
-        |chars AS (SELECT doc_id, unnest(range(0, len)) AS c FROM d),
-        |keptc AS (
-        |  SELECT ch.doc_id, ch.c FROM chars ch
-        |  WHERE NOT EXISTS (
-        |    SELECT 1 FROM spans sp
-        |    WHERE sp.doc_id = ch.doc_id AND ch.c >= sp.s AND ch.c < sp.e)),
-        |clean AS (
-        |  SELECT k.doc_id,
-        |    string_agg(substr(d.text, CAST(k.c + 1 AS INT), 1), ''
-        |      ORDER BY k.c) AS ct
-        |  FROM keptc k JOIN d USING (doc_id)
-        |  GROUP BY k.doc_id)
-        |SELECT d.doc_id, d.is_ascii,
-        |  coalesce(sa.n_spans_cut, 0) AS n_spans_cut,
-        |  coalesce(sa.n_chars_cut, 0) AS n_chars_cut,
-        |  CAST(length(coalesce(c.ct, '')) AS BIGINT) AS clean_len,
-        |  md5(coalesce(c.ct, '')) AS clean_md5
-        |FROM d
-        |LEFT JOIN spanagg sa USING (doc_id)
-        |LEFT JOIN clean c USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin,
+      s"""WITH $spanCutCtesSql
+        |SELECT doc_id, is_ascii, n_spans_cut, n_chars_cut,
+        |  CAST(length(text) AS BIGINT) AS clean_len, clean_md5
+        |FROM cleandocs
+        |ORDER BY doc_id""".stripMargin,
+    // the intervention composed with the quality gate (gate AFTER
+    // cut): the Gopher chain replayed over the span-cut text
+    "pipe_span_ingest" ->
+      s"""WITH $spanCutCtesSql,
+        |toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+        |  FROM cleandocs),
+        |ws AS (
+        |  SELECT doc_id, len(w)::BIGINT AS n_words, len(list_distinct(w))::BIGINT AS n_distinct
+        |  FROM toks),
+        |meta AS (
+        |  SELECT d.doc_id,
+        |    (length(d.text) - len(regexp_extract_all(d.text, '\\s')))::DOUBLE
+        |      / greatest(ws.n_words, 1) AS mwl,
+        |    len(regexp_extract_all(d.text, '[A-Za-z]'))::DOUBLE
+        |      / greatest(length(d.text), 1) AS alpha_ratio,
+        |    len(regexp_extract_all(lower(d.text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))::DOUBLE
+        |      / greatest(ws.n_words, 1) AS stop_ratio
+        |  FROM cleandocs d JOIN ws USING (doc_id)),
+        |bg AS (
+        |  SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS bigram
+        |  FROM toks, unnest(range(1, greatest(len(w), 1))) t(i)),
+        |bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c) AS max_c FROM bc GROUP BY 1),
+        |sig AS (
+        |  SELECT ws.doc_id, ws.n_words,
+        |    CASE WHEN ws.n_words = 0 THEN 0.0
+        |         ELSE 1.0 - ws.n_distinct / ws.n_words END AS dup_word_frac,
+        |    coalesce(bs.max_c::DOUBLE / bs.n_bigrams, 0.0) AS top_bigram_frac,
+        |    m.mwl, m.alpha_ratio, m.stop_ratio
+        |  FROM ws JOIN meta m USING (doc_id) LEFT JOIN bs USING (doc_id))
+        |SELECT cd.doc_id, cd.is_ascii, cd.n_spans_cut, cd.n_chars_cut,
+        |  cd.clean_md5, g.n_words, g.reasons, g.reasons = 0 AS keep
+        |FROM cleandocs cd JOIN (
+        |  SELECT doc_id, n_words,
+        |    (CASE WHEN n_words < 30 OR n_words > 100000 THEN 1 ELSE 0 END
+        |     + CASE WHEN mwl < 3.0 OR mwl > 10.0 THEN 2 ELSE 0 END
+        |     + CASE WHEN alpha_ratio < 0.8 THEN 4 ELSE 0 END
+        |     + CASE WHEN stop_ratio < 0.01 THEN 8 ELSE 0 END
+        |     + CASE WHEN dup_word_frac > 0.65 THEN 16 ELSE 0 END
+        |     + CASE WHEN top_bigram_frac > 0.2 THEN 32 ELSE 0 END)::BIGINT AS reasons
+        |  FROM sig) g USING (doc_id)
+        |ORDER BY cd.doc_id""".stripMargin,
     // dedup_clusters' labeling CTE with the survivor re-ranked by
     // quality (word count desc, then doc_id): DuckDB's
     // regexp_extract_all('\S+') length equals Spark's regexp_count

@@ -277,8 +277,12 @@ object TextAnalysis {
       .withColumn("dup_word_frac",
         when(col("n_words") === 0, lit(0.0)).otherwise(
           lit(1.0) - col("n_distinct").cast("double") / col("n_words").cast("double")))
+      // explicit zero-bigram guard, not bare division + coalesce: a
+      // 0/0 throws under ANSI mode (hit by pipe_span_ingest's
+      // fully-cut empty documents; raw docs always have >= 2 words)
       .withColumn("top_bigram_frac",
-        coalesce(col("max_c").cast("double") / col("n_bigrams").cast("double"), lit(0.0)))
+        when(col("n_bigrams") === 0L, lit(0.0)).otherwise(
+          col("max_c").cast("double") / col("n_bigrams").cast("double")))
       .withColumn("reasons",
         when(col("n_words") < 30 || col("n_words") > 100000, lit(1L)).otherwise(lit(0L)) +
           when(col("mwl") < 3.0 || col("mwl") > 10.0, lit(2L)).otherwise(lit(0L)) +
@@ -287,6 +291,30 @@ object TextAnalysis {
           when(col("dup_word_frac") > 0.65, lit(16L)).otherwise(lit(0L)) +
           when(col("top_bigram_frac") > 0.2, lit(32L)).otherwise(lit(0L)))
       .withColumn("keep", col("reasons") === 0L)
+
+  /** SPAN-CUT INGEST (`pipe_span_ingest`) — the Lee et al. 2021
+    * intervention COMPOSED with the quality gate, in gate-after-cut
+    * order (the order a real pretraining pipeline runs them):
+    * repeated ≥50-char spans are removed first
+    * ([[Dedup.spanDedupCore]]), then the Gopher rules score the
+    * CLEANED text. The composition is the point: a document whose
+    * unique remainder falls below the 30-word floor after cutting is
+    * rejected by bit 1 — a consequence invisible when the gate runs
+    * on raw text (spec asserts at least one verdict flips vs
+    * [[pipeGopherGate]]). One plan: the per-doc cut fold feeds
+    * [[gopherSignals]]' map-side rules directly — composition is
+    * plan fusion, not materialized stages (the pipe_full_ingest
+    * discipline). Cut evidence rides along (never silent), cleaned
+    * text certified by md5 as in `pipe_span_dedup`. */
+  def pipeSpanIngest(s: SparkSession, dir: String, n: Int = 50): DataFrame = {
+    val cleaned = graft.operators.Dedup.spanDedupCore(
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), n)
+    gopherSignals(cleaned.withColumn("text", col("clean_text")))
+      .select(col("doc_id"), col("is_ascii"), col("n_spans_cut"),
+        col("n_chars_cut"), md5(col("clean_text")).as("clean_md5"),
+        col("n_words"), col("reasons"), col("keep"))
+      .orderBy("doc_id")
+  }
 
   /** PII scrubbing (`pipe_pii_scrub`) — the redaction pass every
     * public-data pipeline runs before training: emails → `<EMAIL>`,

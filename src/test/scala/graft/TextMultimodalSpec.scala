@@ -673,6 +673,40 @@ class TextMultimodalSpec extends SparkSpec {
       "fewer than 3 distinct reason patterns")
   }
 
+  test("pipe_span_ingest: gate-after-cut flips verdicts the raw gate cannot see; evidence consistent") {
+    import org.apache.spark.sql.functions._
+    val ingest = TextAnalysis.pipeSpanIngest(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val rawGate = TextAnalysis.pipeGopherGate(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val spanOut = graft.operators.Dedup.pipeSpanDedup(spark, Sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(ingest.keySet == rawGate.keySet && ingest.keySet == spanOut.keySet)
+    // the cut evidence rides through the composition unchanged —
+    // same spans, same chars, same certified cleaned text
+    for ((id, r) <- ingest) {
+      val sd = spanOut(id)
+      assert(r.getAs[Long]("n_spans_cut") == sd.getAs[Long]("n_spans_cut") &&
+        r.getAs[Long]("n_chars_cut") == sd.getAs[Long]("n_chars_cut") &&
+        r.getAs[String]("clean_md5") == sd.getAs[String]("clean_md5"),
+        s"doc $id: composition's cut evidence diverges from pipe_span_dedup")
+      assert(r.getAs[Boolean]("keep") == (r.getAs[Long]("reasons") == 0L))
+    }
+    // the POINT of gate-after-cut: at least one document's verdict
+    // changes once its repeated spans are gone (a doc whose unique
+    // remainder falls under the word floor, or whose repetition
+    // signals were carried by the duplicated text)
+    val flipped = ingest.count { case (id, r) =>
+      r.getAs[Boolean]("keep") != rawGate(id) }
+    info(s"verdicts flipped by cutting: $flipped/${ingest.size}")
+    assert(flipped > 0, "gate-after-cut never disagrees with the raw gate — composition vacuous")
+    // uncut docs must gate identically to the raw gate
+    for ((id, r) <- ingest if r.getAs[Long]("n_spans_cut") == 0L &&
+           r.getAs[Boolean]("is_ascii"))
+      assert(r.getAs[Boolean]("keep") == rawGate(id),
+        s"doc $id: uncut doc's verdict differs from the raw gate")
+  }
+
   test("pipe_sketch_rollup: union-rolled and direct sketches both within bound of exact") {
     val rows = TextAnalysis.pipeSketchRollup(spark, Sf).collect()
     assert(rows.nonEmpty)
