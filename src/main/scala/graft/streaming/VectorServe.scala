@@ -58,6 +58,12 @@ object VectorServe {
     * `batch_id=N` partition idempotently. `informed` selects LSH
     * bucket-mate entry points (the production seeding); the default
     * keeps the LCG contract the batch registry queries replay.
+    * `informedFromTable` is the 100 TB informed form: bucket-mates
+    * AND the fallback sample both come from the persisted
+    * [[Similarity.lshSeedTable]] artifact, so each micro-batch's seed
+    * derivation hashes only its own query vectors and reads the
+    * artifact — no corpus-sized input anywhere on the seed path
+    * (row-identical to inline informed seeding, the batch-side spec).
     *
     * At 100 TB: per batch this costs hops·(batch-keyed joins against
     * the graph and corpus tables) — cost tracks the query rate and
@@ -66,7 +72,8 @@ object VectorServe {
                        outDir: String, checkpoint: String,
                        k: Int = 10, beam: Int = 20, hops: Int = 3,
                        graphK: Int = 10, graphIters: Int = 3,
-                       informed: Boolean = false)
+                       informed: Boolean = false,
+                       informedFromTable: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     queryBatches.writeStream
       .option("checkpointLocation", checkpoint)
@@ -78,9 +85,14 @@ object VectorServe {
         val corpus = graft.Tables.embeddings(spark, dir)
           .select(col("vec_id"),
             expr("transform(embedding, x -> cast(x as double))").as("v"))
-        Similarity.graphSearchCore(graph, corpus,
-            batch.select(col("vec_id").as("qid"), col("v").as("qv")),
-            k, beam, hops, informedSeeds = informed)
+        val queries = batch.select(col("vec_id").as("qid"), col("v").as("qv"))
+        val mates = if (informedFromTable)
+          Some(Similarity.informedSeedMates(spark, dir, queries)) else None
+        val sample = if (informedFromTable)
+          Some(Similarity.informedSeedSample(spark, dir, beam)) else None
+        Similarity.graphSearchCore(graph, corpus, queries, k, beam, hops,
+            informedSeeds = informed || informedFromTable,
+            seedMates = mates, seedSample = sample)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
       }
       .start()

@@ -258,6 +258,42 @@ class StreamingSpec extends SparkSpec {
       s"streamed graph serve diverges from the batch walk: " +
         s"extra=${(streamed -- batch).take(3)} missing=${(batch -- streamed).take(3)}")
     assert(streamed.nonEmpty)
+
+    // the 100 TB informed form: per-batch seed derivation reads only
+    // the persisted artifact (mates + fallback sample) — results must
+    // equal the inline informed batch walk (the artifact is derived
+    // state, so table-fed ≡ inline carries over to micro-batches)
+    val outDir2 = java.nio.file.Files.createTempDirectory("graft-gserve2").toString
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft-gserve2-ck").toString
+    val input2 = MemoryStream[(Long, Seq[Double])]
+    val q2 = graft.streaming.VectorServe.graphServeStream(Sf,
+      input2.toDF().toDF("vec_id", "v"), outDir2, ckpt2,
+      informedFromTable = true)
+    input2.addData(qvecs.take(2).toSeq)
+    q2.processAllAvailable()
+    input2.addData(qvecs.drop(2).toSeq)
+    q2.processAllAvailable()
+    q2.stop()
+    val streamedTf = spark.read.parquet(s"$outDir2/batch_id=*").collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSet
+    val graphT = Similarity.knnGraphTable(spark, Sf, 10, 3)
+    val corpus = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val batchInformed = Similarity.graphSearchCore(
+      spark.table(graphT).select(col("vec_id").as("ga"), col("nbr_id").as("gb")),
+      corpus, corpus.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv")),
+      k = 10, beam = 20, hops = 3, informedSeeds = true).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSet
+    assert(streamedTf == batchInformed,
+      s"table-fed streamed informed serve diverges from the inline informed batch walk: " +
+        s"extra=${(streamedTf -- batchInformed).take(3)} " +
+        s"missing=${(batchInformed -- streamedTf).take(3)}")
+    val seedT = Similarity.lshSeedTable(spark, Sf)
+    spark.sql(s"DROP TABLE IF EXISTS $seedT")
   }
 
   test("stream-static incremental dedup flags arrivals against the corpus table") {
