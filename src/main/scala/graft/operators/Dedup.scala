@@ -1008,12 +1008,18 @@ object Dedup {
     * re-validate UTF-8). Documents shorter than `n` cannot contain a
     * repeated span and pass through with zero cuts.
     *
-    * Scale shape (the [[substringPairs]] discipline): one map-only
-    * codegen scan emits fixed-width (doc_id, p, g) rows; ONE
-    * repartition-by-gram exchange feeds both the occurrence count and
-    * the hit probe (ReusedExchange); hit positions are ∝ DUPLICATED
-    * text, so the interval merge (one doc_id-keyed window) and the
-    * rebuild join are small. The rebuild is a per-doc `aggregate`
+    * Scale shape: map-only codegen scans emit fixed-width
+    * (doc_id, p, g) rows; the occurrence count shuffles a
+    * column-pruned g-only stream, and the hit probe broadcast-joins
+    * the repeated-gram set (∝ duplicated text) against the scan, so
+    * the fat per-character stream never shuffles (unlike
+    * [[substringPairs]], no self-join forces a gram partitioning
+    * here). Hit positions are ∝ DUPLICATED text, so the interval
+    * merge (one doc_id-keyed window) and the rebuild join are small;
+    * the per-doc collect_list of cut spans is an object aggregate
+    * over hit DOCS only — bounded by duplicated-doc count, never the
+    * gram-group millions that made dedup_substring's object agg a
+    * GC hazard. The rebuild is a per-doc `aggregate`
     * over its sorted cut list — per-document state, no corpus-sized
     * buffer. One-pass semantics like the paper's: cutting can in
     * principle create new cross-boundary repeats (two docs whose
@@ -1040,12 +1046,20 @@ object Dedup {
       .select(col("doc_id"), posexplode(
         graft.functions.VectorFunctions.ngram_hashes(lower(col("text")), n))
         .as(Seq("p", "g")))
-    // ONE gram exchange, two consumers (the substringPairs shape):
-    // the occurrence count and the hit probe both read it
-    val ex = pos.repartition(col("g"))
-    val rep = ex.groupBy("g").agg(count(lit(1)).as("df"))
+    // NO forced gram exchange (deliberately unlike substringPairs,
+    // whose self-join genuinely needs hash partitioning on g for all
+    // three consumers): here the only agg shuffles a COLUMN-PRUNED
+    // g-only stream, and the hit probe joins the full (doc_id, p, g)
+    // scan against the df>=2 gram set — repeated grams are ∝
+    // duplicated text, so that side broadcasts and the fat per-char
+    // stream never shuffles at all (plan-verified: broadcast hash
+    // join straight off the codegen scan). Recomputing the gram scan
+    // for the count is the cheap side of the dedupSubstring
+    // cache-crossover trade; a forced repartition would shuffle
+    // ~20 bytes/char for nothing whenever the probe broadcasts.
+    val rep = pos.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select("g")
-    val hits = ex.join(rep, "g").select(col("doc_id"), col("p"))
+    val hits = pos.join(rep, "g").select(col("doc_id"), col("p"))
     // maximal covered runs: each hit covers [p, p+n); gaps-and-islands
     // over the per-doc position order (running max of span ends)
     val w = Window.partitionBy("doc_id").orderBy("p")

@@ -209,6 +209,30 @@ class PlanSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("pipe_span_dedup: fat gram stream never force-shuffled; count stays long-only codegen agg") {
+    val df = graft.operators.Dedup.pipeSpanDedup(spark, Sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // no forced repartition of the ~20-bytes-per-character
+    // (doc_id, p, g) stream: the occurrence count shuffles a
+    // column-pruned g-only stream and the hit probe broadcast-joins
+    // the small repeated-gram set against the scan
+    assert(!plan.contains("REPARTITION_BY_COL"),
+      s"fat gram stream force-shuffled:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in span dedup:\n$plan")
+    // the gram occurrence count is a fixed-width HashAggregate with
+    // map-side combine (the dedup_substring GC lesson) — the only
+    // object aggregate is the per-doc cut-list fold, keyed on doc_id
+    // and bounded by duplicated-doc count
+    assert("HashAggregate\\(keys=\\[g#\\d+L\\], functions=\\[count".r
+      .findFirstIn(plan).isDefined,
+      s"gram count is not a long-only hash aggregate:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"no map-side combine on the gram count:\n$plan")
+    assert(!"ObjectHashAggregate\\(keys=\\[g#".r.findFirstIn(plan).isDefined,
+      s"object aggregation on gram groups (GC-pressure-sensitive):\n$plan")
+  }
+
   test("dedup_substring stays in fixed-width codegen aggregation — no object-agg, no unbounded buffer") {
     val df = graft.operators.Dedup.dedupSubstring(spark, Sf)
     df.collect()
