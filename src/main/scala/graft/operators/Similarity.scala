@@ -1652,18 +1652,30 @@ object Similarity {
     * carry over verbatim. */
   def knnGraphSegmentTableFor(s: SparkSession, dir: String, segKey: String,
                               members: DataFrame, k: Int = 10,
-                              iters: Int = 3): String = {
+                              iters: Int = 3,
+                              converged: Boolean = false): String = {
     require(segKey.matches("[a-z0-9_]{1,32}"),
       s"segment key must be a short lowercase slug, got '$segKey'")
     val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
     val dirTag = (scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff).toHexString
-    val table = s"graft_knn_graph_seg_${slug}_${dirTag}_${segKey}_k${k}_t${iters}_v1"
+    val form = if (converged) "conv" else s"t$iters"
+    val table = s"graft_knn_graph_seg_${slug}_${dirTag}_${segKey}_k${k}_${form}_v1"
     if (!s.catalog.tableExists(table)) {
       graft.sources.Sources.clearOrphanedLocation(s, table)
-      val seeds = denseLcgSeeds(members.select("vec_id"),
-        members.select(col("vec_id").as("a")), "a", k)
-      knnDescentFixed(s, members, k, iters, seedsOverride = Some(seeds))
-        .write.format("parquet").saveAsTable(table)
+      // harness form: fixed-T descent with dense-rank LCG seeds (the
+      // replayable contract; the rank window is bounded by segment
+      // size). Production form (`converged`): run-to-convergence
+      // hybrid descent ([[knnDescentConverged]] — hash + LSH
+      // bucket-mate seeds, no global window anywhere), the right
+      // build when a hot segment is a large corpus fraction.
+      val content =
+        if (converged) knnDescentConverged(s, members, k)
+        else {
+          val seeds = denseLcgSeeds(members.select("vec_id"),
+            members.select(col("vec_id").as("a")), "a", k)
+          knnDescentFixed(s, members, k, iters, seedsOverride = Some(seeds))
+        }
+      content.write.format("parquet").saveAsTable(table)
     } else {
       StagedRewrite.recover(s, table)
     }
@@ -1681,11 +1693,23 @@ object Similarity {
     * and no shortfall: the answer is the plain top-k of the final
     * beam, exactly [[simGraphSearch]]'s contract restricted to the
     * segment. Replayable end to end — the oracle ranks the segment,
-    * unrolls the dense-seeded descent, and walks the same hops. */
+    * unrolls the dense-seeded descent, and walks the same hops.
+    *
+    * `informedSeeds = true` is the AT-SCALE entry-point switch, the
+    * same harness/production split as the full-corpus walk: dense-rank
+    * LCG is the replayable contract, but its global row_number window
+    * is bounded by SEGMENT size — fine for small declared segments, a
+    * single-partition sort if a hot language is 30% of a 100 TB
+    * corpus. Informed seeding (LSH bucket-mates hashed over the
+    * segment + the hash-sample fallback of existing segment ids) has
+    * no global window anywhere and is id-space-immune — the
+    * production form for LARGE segments; no oracle (the registry
+    * keeps the dense-LCG contract). */
   def simGraphSearchSegment(s: SparkSession, dir: String, lang: String = "en",
                             nQueries: Int = 5, k: Int = 10, beam: Int = 20,
                             hops: Int = 3, graphK: Int = 10,
-                            graphIters: Int = 3): DataFrame = {
+                            graphIters: Int = 3,
+                            informedSeeds: Boolean = false): DataFrame = {
     require(lang.matches("[a-z]{2}"),
       s"lang must be a two-letter code, got '$lang'")
     val table = knnGraphSegmentTableFor(s, dir, lang,
@@ -1697,10 +1721,15 @@ object Similarity {
     val queries = Tables.embeddings(s, dir)
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
-    val seeds = denseLcgSeeds(members.select("vec_id"),
-      queries.select("qid"), "qid", beam)
-    graphSearchCore(graph, members, queries, k, beam, hops,
-      seedsOverride = Some(seeds))
+    if (informedSeeds)
+      graphSearchCore(graph, members, queries, k, beam, hops,
+        informedSeeds = true)
+    else {
+      val seeds = denseLcgSeeds(members.select("vec_id"),
+        queries.select("qid"), "qid", beam)
+      graphSearchCore(graph, members, queries, k, beam, hops,
+        seedsOverride = Some(seeds))
+    }
   }
 
   /** Filtered serving with SEGMENT ROUTING — the production

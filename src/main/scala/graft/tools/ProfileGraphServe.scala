@@ -96,7 +96,14 @@ object ProfileGraphServe {
     def sample() =
       if (fromTable) Some(Similarity.informedSeedSample(spark, sfDir, beam = 20))
       else None
-    if (fromTable) Similarity.lshSeedTable(spark, sfDir)
+    if (fromTable) {
+      val seedT = Similarity.lshSeedTable(spark, sfDir)
+      // the staleness alarm rides with every artifact-fed measurement:
+      // plane drift / occupancy / sample size next to the q/s rows
+      val health = Similarity.seedArtifactHealthRow(spark, seedT,
+        Tables.embeddings(spark, sfDir)).collect()(0)
+      println(s"[graphserve] seed-health $health")
+    }
     if (mode == "latency") {
       // the per-batch FIXED-COST floor the bulk rows amortize away:
       // one warm pass, then best-of-3 per batch size — at batch = 1

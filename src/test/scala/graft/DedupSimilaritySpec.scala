@@ -1946,7 +1946,19 @@ class DedupSimilaritySpec extends SparkSpec {
       declared = Set("en")).collect().toSeq
     val direct = Similarity.simGraphSearchSegment(spark, Sf, "en").collect().toSeq
     assert(routed == direct, "declared-segment routing diverges from the segment walk")
-    spark.sql(s"DROP TABLE IF EXISTS $segT")
+    // the PRODUCTION combination (converged segment build + informed
+    // seeds — no dense-rank window anywhere) fills identically: with
+    // n_seg <= 4*beam the informed fallback seeds every query with
+    // the whole segment, so the answer is the same exact top-k
+    val segTc = Similarity.knnGraphSegmentTableFor(spark, Sf, "spec_pct1",
+      members, k = 10, converged = true)
+    val graphC = spark.table(segTc)
+      .select(col("vec_id").as("ga"), col("nbr_id").as("gb"))
+    val servedProd = Similarity.graphSearchCore(graphC, segV, queries, k,
+      beam = 20, hops = 3, informedSeeds = true).select("qid", "vec_id")
+    assert(servedProd.exceptAll(exact).isEmpty && exact.exceptAll(servedProd).isEmpty,
+      "converged+informed segment serving diverges from exact brute force")
+    Seq(segT, segTc).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     CacheRegistry.releaseAll()
   }
 }
