@@ -1026,7 +1026,8 @@ object Dedup {
     * sub-50-char fragments concatenate identically); the spec pins
     * that a second pass finds nothing on real data. */
   def pipeSpanDedup(s: SparkSession, dir: String, n: Int = 50): DataFrame =
-    spanDedupCore(Tables.documents(s, dir).select(col("doc_id"), col("text")), n)
+    spanDedupCore(Tables.documents(s, dir).select(col("doc_id"), col("text")), n,
+        cacheGrams = Tables.rowCount(s, dir, "documents") <= 20000)
       .select(col("doc_id"), col("is_ascii"), col("n_spans_cut"),
         col("n_chars_cut"),
         length(col("clean_text")).cast("long").as("clean_len"),
@@ -1037,15 +1038,24 @@ object Dedup {
     * cleaned text as a column — factored so the idempotence spec can
     * feed the cleaned corpus back through and assert zero further
     * cuts. */
-  private[graft] def spanDedupCore(docs: DataFrame, n: Int): DataFrame = {
+  private[graft] def spanDedupCore(docs: DataFrame, n: Int,
+                                   cacheGrams: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import graft.CacheRegistry.Cacheable
     val base = docs
       .withColumn("is_ascii", length(col("text")) === octet_length(col("text")))
-    val pos = base
+    val posBase = base
       .filter(col("is_ascii") && length(col("text")) >= n)
       .select(col("doc_id"), posexplode(
         graft.functions.VectorFunctions.ngram_hashes(lower(col("text")), n))
         .as(Seq("p", "g")))
+    // the occurrence count and the hit probe both read the
+    // per-position gram table — `cacheGrams` caches it below the
+    // dedupSubstring crossover (callers gate on the same rowCount
+    // guard; the exploded table is ~20 bytes PER CORPUS CHARACTER, so
+    // at scale the uncached double codegen scan is the 100 TB shape:
+    // recomputing a scan is cheap, spilling a 20×-corpus cache is not)
+    val pos = if (cacheGrams) posBase.cacheTracked else posBase
     // NO forced gram exchange (deliberately unlike substringPairs,
     // whose self-join genuinely needs hash partitioning on g for all
     // three consumers): here the only agg shuffles a COLUMN-PRUNED

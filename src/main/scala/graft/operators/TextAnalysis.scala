@@ -308,7 +308,8 @@ object TextAnalysis {
     * text certified by md5 as in `pipe_span_dedup`. */
   def pipeSpanIngest(s: SparkSession, dir: String, n: Int = 50): DataFrame = {
     val cleaned = graft.operators.Dedup.spanDedupCore(
-      Tables.documents(s, dir).select(col("doc_id"), col("text")), n)
+      Tables.documents(s, dir).select(col("doc_id"), col("text")), n,
+      cacheGrams = Tables.rowCount(s, dir, "documents") <= 20000)
     gopherSignals(cleaned.withColumn("text", col("clean_text")))
       .select(col("doc_id"), col("is_ascii"), col("n_spans_cut"),
         col("n_chars_cut"), md5(col("clean_text")).as("clean_md5"),
