@@ -1961,4 +1961,17 @@ class DedupSimilaritySpec extends SparkSpec {
     Seq(segT, segTc).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     CacheRegistry.releaseAll()
   }
+
+  test("filtered routing: a non-declared segment falls back to the adaptive widener, filter honored") {
+    import org.apache.spark.sql.functions._
+    val routed = Similarity.graphSearchFilteredRouted(spark, Sf, "fr",
+      declared = Set("en")).cache()
+    val allowed = Tables.documents(spark, Sf)
+      .filter(col("lang") === "fr").select(col("doc_id").as("b"))
+    assert(routed.count() > 0, "fallback arm returned nothing")
+    assert(routed.join(allowed, routed("vec_id") === allowed("b"), "left_anti").isEmpty,
+      "fallback arm leaked a pick outside the lang allow-list")
+    routed.unpersist()
+    CacheRegistry.releaseAll()
+  }
 }
