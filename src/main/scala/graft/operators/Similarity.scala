@@ -1712,11 +1712,12 @@ object Similarity {
                             informedSeeds: Boolean = false): DataFrame = {
     require(lang.matches("[a-z]{2}"),
       s"lang must be a two-letter code, got '$lang'")
-    val table = knnGraphSegmentTableFor(s, dir, lang,
-      segmentMembers(s, dir, lang), graphK, graphIters)
+    val memberRows = segmentMembers(s, dir, lang)
+    val table = knnGraphSegmentTableFor(s, dir, lang, memberRows,
+      graphK, graphIters)
     val graph = s.table(table)
       .select(col("vec_id").as("ga"), col("nbr_id").as("gb"))
-    val members = segmentMembers(s, dir, lang)
+    val members = memberRows
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val queries = Tables.embeddings(s, dir)
       .filter(col("vec_id") < nQueries)

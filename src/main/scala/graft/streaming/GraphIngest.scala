@@ -68,7 +68,11 @@ object GraphIngest {
     *   [[Similarity.lshSeedAppend]] per batch, which is
     *   rebuild-identical by construction (stateless buckets) and
     *   idempotent by key, so it adds no new crash window: a replay
-    *   re-derives the same rows and the anti-join drops them.
+    *   re-derives the same rows and the anti-join drops them. Append
+    *   pins the table's plane count while the corpus grows — run
+    *   [[Similarity.seedArtifactHealthRow]] on a rollout cadence
+    *   (`stale` fires at >1 plane drift, BEFORE the measured
+    *   0.289-recall occupancy cliff) and rebuild when it flags.
     * @param afterBatch test seam fired after BOTH effects but before
     *   the commit log records the batch — throwing here simulates the
     *   worst crash window (all effects applied, nothing committed). */
