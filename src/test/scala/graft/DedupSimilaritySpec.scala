@@ -1760,6 +1760,35 @@ class DedupSimilaritySpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("lshSeedTable build sweeps stale generations (old plane counts, pre-sample _v1 schema)") {
+    import org.apache.spark.sql.functions._
+    // plant two stale generations of THIS dir's artifact family —
+    // an old plane count and a pre-sample _v1 schema — and verify the
+    // accessor's build drops both (orphaned derived state an ingest
+    // loop would otherwise keep maintaining while nothing serves
+    // from it), then returns the current generation
+    val slug = Sf.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    val dirTag = (scala.util.hashing.MurmurHash3.stringHash(Sf) & 0x7fffffff).toHexString
+    val staleA = s"graft_lsh_seed_${slug}_${dirTag}_p7_v1"
+    val staleB = s"graft_lsh_seed_${slug}_${dirTag}_p12_v2"
+    val current = s"graft_lsh_seed_${slug}_${dirTag}_p9_v2" // adaptive count at n=500
+    Seq(staleA, staleB, current).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.sources.Sources.clearOrphanedLocation(spark, t)
+    }
+    Seq(staleA, staleB).foreach { t =>
+      spark.range(1).select(lit(0).as("t"), lit(0L).as("bk"), col("id").as("b"))
+        .write.format("parquet").saveAsTable(t)
+    }
+    val table = Similarity.lshSeedTable(spark, Sf)
+    assert(table == current, s"unexpected current generation $table")
+    assert(!spark.catalog.tableExists(staleA) && !spark.catalog.tableExists(staleB),
+      "stale seed-table generations not dropped by the build sweep")
+    assert(spark.catalog.tableExists(current))
+    spark.sql(s"DROP TABLE IF EXISTS $current")
+    CacheRegistry.releaseAll()
+  }
+
   test("seed-artifact staleness alarm: plane drift past one boundary fires before recall collapses") {
     import org.apache.spark.sql.functions._
     // the 0.289-recall cliff made visible as a dashboard flag: a table
