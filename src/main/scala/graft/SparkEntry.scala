@@ -552,15 +552,21 @@ object SparkEntry {
       |      ORDER BY k.c) AS ct
       |  FROM keptc k JOIN d USING (doc_id)
       |  GROUP BY k.doc_id),
+      |rng AS (
+      |  SELECT doc_id,
+      |    string_agg(s || '-' || e, ';' ORDER BY s) AS cut_ranges
+      |  FROM spans GROUP BY doc_id),
       |cleandocs AS (
       |  SELECT d.doc_id, d.is_ascii,
       |    coalesce(sa.n_spans_cut, 0) AS n_spans_cut,
       |    coalesce(sa.n_chars_cut, 0) AS n_chars_cut,
+      |    coalesce(r.cut_ranges, '') AS cut_ranges,
       |    coalesce(c.ct, '') AS text,
       |    md5(coalesce(c.ct, '')) AS clean_md5
       |  FROM d
       |  LEFT JOIN spanagg sa USING (doc_id)
-      |  LEFT JOIN clean c USING (doc_id))""".stripMargin
+      |  LEFT JOIN clean c USING (doc_id)
+      |  LEFT JOIN rng r USING (doc_id))""".stripMargin
 
   private def lshOracleSql(nQueries: Int, k: Int, numPlanes: Int, dim: Int): String = {
     val planes = Similarity.lshPlanes(numPlanes, dim)
@@ -2775,7 +2781,7 @@ object SparkEntry {
     // fine oracle-side), certify by md5
     "pipe_span_dedup" ->
       s"""WITH $spanCutCtesSql
-        |SELECT doc_id, is_ascii, n_spans_cut, n_chars_cut,
+        |SELECT doc_id, is_ascii, n_spans_cut, n_chars_cut, cut_ranges,
         |  CAST(length(text) AS BIGINT) AS clean_len, clean_md5
         |FROM cleandocs
         |ORDER BY doc_id""".stripMargin,

@@ -1029,7 +1029,7 @@ object Dedup {
     spanDedupCore(Tables.documents(s, dir).select(col("doc_id"), col("text")), n,
         cacheGrams = Tables.rowCount(s, dir, "documents") <= 20000)
       .select(col("doc_id"), col("is_ascii"), col("n_spans_cut"),
-        col("n_chars_cut"),
+        col("n_chars_cut"), col("cut_ranges"),
         length(col("clean_text")).cast("long").as("clean_len"),
         md5(col("clean_text")).as("clean_md5"))
       .orderBy("doc_id")
@@ -1107,6 +1107,12 @@ object Dedup {
       .select(col("doc_id"), col("is_ascii"),
         coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"),
         coalesce(col("n_chars_cut"), lit(0L)).as("n_chars_cut"),
+        // the ranges themselves, canonical "s-e;s-e" form (sorted,
+        // half-open) — the audit trail that makes every cut
+        // reconstructible from the original text, not just counted
+        coalesce(concat_ws(";", transform(col("cuts"),
+          c => concat(c.getField("s"), lit("-"), c.getField("e")))), lit(""))
+          .as("cut_ranges"),
         col("clean_text"))
   }
 

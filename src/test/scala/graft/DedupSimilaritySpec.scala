@@ -1703,8 +1703,8 @@ class DedupSimilaritySpec extends SparkSpec {
     val out = Dedup.pipeSpanDedup(spark, Sf, n).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         ((r.getAs[Boolean]("is_ascii"), r.getAs[Long]("n_spans_cut"),
-          r.getAs[Long]("n_chars_cut"), r.getAs[Long]("clean_len"),
-          r.getAs[String]("clean_md5")))).toMap
+          r.getAs[Long]("n_chars_cut"), r.getAs[String]("cut_ranges"),
+          r.getAs[Long]("clean_len"), r.getAs[String]("clean_md5")))).toMap
     val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out.size == docs.size, "every document must emit a row")
@@ -1726,8 +1726,8 @@ class DedupSimilaritySpec extends SparkSpec {
     var anyCut = false
     for ((id, t) <- docs) {
       val ascii = asciiOf(t)
-      val (spans, chars, clean) =
-        if (!ascii || t.length < n) (0L, 0L, t)
+      val (spans, chars, ranges, clean) =
+        if (!ascii || t.length < n) (0L, 0L, "", t)
         else {
           val lt = t.toLowerCase
           val cut = new Array[Boolean](t.length)
@@ -1738,15 +1738,19 @@ class DedupSimilaritySpec extends SparkSpec {
             p += 1
           }
           val kept = t.zipWithIndex.collect { case (c, i) if !cut(i) => c }.mkString
-          val runs = (0 until t.length).count(i => cut(i) && (i == 0 || !cut(i - 1)))
-          (runs.toLong, cut.count(identity).toLong, kept)
+          val starts = (0 until t.length).filter(i => cut(i) && (i == 0 || !cut(i - 1)))
+          val rs = starts.map { s0 =>
+            val e0 = (s0 until t.length).takeWhile(cut).last + 1
+            s"$s0-$e0"
+          }.mkString(";")
+          (starts.length.toLong, cut.count(identity).toLong, rs, kept)
         }
       if (spans > 0) anyCut = true
       val got = out(id)
-      assert(got == ((ascii, spans, chars, clean.length.toLong, md5hex(clean))),
-        s"doc $id: got $got, replay says ($ascii, $spans, $chars, ${clean.length}, ${md5hex(clean)})")
+      assert(got == ((ascii, spans, chars, ranges, clean.length.toLong, md5hex(clean))),
+        s"doc $id: got $got, replay says ($ascii, $spans, $chars, $ranges, ${clean.length}, ${md5hex(clean)})")
       // never silent: the kept length plus the cut length is the doc
-      assert(got._4 + got._3 == t.length.toLong, s"doc $id: cut accounting leaks")
+      assert(got._5 + got._3 == t.length.toLong, s"doc $id: cut accounting leaks")
     }
     assert(anyCut, "testdata has repeated spans (dedup_substring finds pairs) — none were cut")
     // idempotence on real data: the cleaned corpus has no df>=2 span
