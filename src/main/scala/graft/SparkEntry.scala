@@ -94,6 +94,7 @@ object SparkEntry {
     "dedup_keep_best" -> ((s, d) => Dedup.dedupKeepBest(s, d)),
     "dedup_substring" -> ((s, d) => Dedup.dedupSubstring(s, d)),
     "pipe_span_dedup" -> ((s, d) => Dedup.pipeSpanDedup(s, d)),
+    "pipe_span_dedup_keep_first" -> ((s, d) => Dedup.pipeSpanDedupKeepFirst(s, d)),
     // §2.4 similarity
     "sim_bruteforce_topk" -> ((s, d) => Similarity.simBruteforceTopK(s, d)),
     "sim_lsh_ann" -> ((s, d) => Similarity.simLshAnn(s, d)),
@@ -567,6 +568,77 @@ object SparkEntry {
       |  LEFT JOIN spanagg sa USING (doc_id)
       |  LEFT JOIN clean c USING (doc_id)
       |  LEFT JOIN rng r USING (doc_id))""".stripMargin
+
+  /** DuckDB replica of [[operators.Dedup.pipeSpanDedupKeepFirst]] —
+    * char-level replay of the keeper rule: the first (doc_id, p)
+    * occurrence of each repeated gram protects its positions; a char
+    * is cut iff some non-keeper occurrence covers it and no keeper
+    * does. Brute force per character is fine oracle-side. */
+  private val spanKeepFirstOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text, length(text) AS len,
+      |         length(text) = strlen(text) AS is_ascii
+      |  FROM documents),
+      |pos AS (
+      |  SELECT doc_id, unnest(range(0, len - 49)) AS p
+      |  FROM d WHERE is_ascii AND len >= 50),
+      |pg AS (
+      |  SELECT pos.doc_id, pos.p,
+      |         substr(lower(d.text), CAST(pos.p + 1 AS INT), 50) AS g
+      |  FROM pos JOIN d USING (doc_id)),
+      |rk AS (
+      |  SELECT doc_id, p,
+      |         row_number() OVER (PARTITION BY g ORDER BY doc_id, p) AS rn,
+      |         count(*) OVER (PARTITION BY g) AS df
+      |  FROM pg),
+      |hits AS (SELECT doc_id, p, (rn = 1) AS keeper FROM rk WHERE df >= 2),
+      |chars AS (SELECT doc_id, unnest(range(0, len)) AS c FROM d),
+      |charcut AS (
+      |  SELECT ch.doc_id, ch.c FROM chars ch
+      |  WHERE EXISTS (
+      |      SELECT 1 FROM hits h
+      |      WHERE h.doc_id = ch.doc_id AND NOT h.keeper
+      |        AND ch.c >= h.p AND ch.c < h.p + 50)
+      |    AND NOT EXISTS (
+      |      SELECT 1 FROM hits h2
+      |      WHERE h2.doc_id = ch.doc_id AND h2.keeper
+      |        AND ch.c >= h2.p AND ch.c < h2.p + 50)),
+      |spans AS (
+      |  SELECT doc_id, min(c) AS s, max(c) + 1 AS e
+      |  FROM (SELECT doc_id, c,
+      |          c - row_number() OVER (PARTITION BY doc_id ORDER BY c) AS isl
+      |        FROM charcut)
+      |  GROUP BY doc_id, isl),
+      |spanagg AS (
+      |  SELECT doc_id, count(*) AS n_spans_cut,
+      |         CAST(sum(e - s) AS BIGINT) AS n_chars_cut
+      |  FROM spans GROUP BY doc_id),
+      |rng AS (
+      |  SELECT doc_id,
+      |    string_agg(s || '-' || e, ';' ORDER BY s) AS cut_ranges
+      |  FROM spans GROUP BY doc_id),
+      |keptc AS (
+      |  SELECT ch.doc_id, ch.c FROM chars ch
+      |  WHERE NOT EXISTS (
+      |    SELECT 1 FROM charcut cc
+      |    WHERE cc.doc_id = ch.doc_id AND cc.c = ch.c)),
+      |clean AS (
+      |  SELECT k.doc_id,
+      |    string_agg(substr(d.text, CAST(k.c + 1 AS INT), 1), ''
+      |      ORDER BY k.c) AS ct
+      |  FROM keptc k JOIN d USING (doc_id)
+      |  GROUP BY k.doc_id)
+      |SELECT d.doc_id, d.is_ascii,
+      |  coalesce(sa.n_spans_cut, 0) AS n_spans_cut,
+      |  coalesce(sa.n_chars_cut, 0) AS n_chars_cut,
+      |  coalesce(r.cut_ranges, '') AS cut_ranges,
+      |  CAST(length(coalesce(c.ct, '')) AS BIGINT) AS clean_len,
+      |  md5(coalesce(c.ct, '')) AS clean_md5
+      |FROM d
+      |LEFT JOIN spanagg sa USING (doc_id)
+      |LEFT JOIN rng r USING (doc_id)
+      |LEFT JOIN clean c USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
 
   private def lshOracleSql(nQueries: Int, k: Int, numPlanes: Int, dim: Int): String = {
     val planes = Similarity.lshPlanes(numPlanes, dim)
@@ -2785,6 +2857,7 @@ object SparkEntry {
         |  CAST(length(text) AS BIGINT) AS clean_len, clean_md5
         |FROM cleandocs
         |ORDER BY doc_id""".stripMargin,
+    "pipe_span_dedup_keep_first" -> spanKeepFirstOracleSql,
     // the intervention composed with the quality gate (gate AFTER
     // cut): the Gopher chain replayed over the span-cut text
     "pipe_span_ingest" ->

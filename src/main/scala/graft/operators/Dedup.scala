@@ -1084,6 +1084,13 @@ object Dedup {
       .groupBy("doc_id", "island")
       .agg(min(col("p")).cast("long").as("s"),
         (max(col("p")) + n).cast("long").as("e"))
+    spanRebuild(base, spans)
+  }
+
+  /** Shared tail of the span-cut family: per-doc (s, e) half-open cut
+    * spans → cleaned text (fold over the sorted cut list), counts,
+    * and the canonical "s-e;s-e" range string. */
+  private def spanRebuild(base: DataFrame, spans: DataFrame): DataFrame = {
     val cuts = spans.groupBy("doc_id").agg(
       sort_array(collect_list(struct(col("s"), col("e")))).as("cuts"),
       count(lit(1)).as("n_spans_cut"),
@@ -1114,6 +1121,89 @@ object Dedup {
           c => concat(c.getField("s"), lit("-"), c.getField("e")))), lit(""))
           .as("cut_ranges"),
         col("clean_text"))
+  }
+
+  /** KEEP-FIRST span dedup (`pipe_span_dedup_keep_first`) — the
+    * paper's STATED semantics ("remove all but one occurrence"; the
+    * released tool removes all, which [[pipeSpanDedup]] matches): the
+    * globally-FIRST occurrence of each repeated n-gram — minimal
+    * (doc_id, p) — is a KEEPER, and a position is cut iff some
+    * non-keeper repeated-gram occurrence covers it AND no keeper
+    * occurrence does. Keeper coverage therefore survives verbatim:
+    * every repeated span still exists at least once in the cleaned
+    * corpus (spec-asserted), while later copies lose exactly the
+    * text a keeper does not protect.
+    *
+    * Scale shape: same gram machinery as [[spanDedupCore]], then a
+    * BOUNDARY SWEEP instead of a single interval merge — each hit
+    * contributes ±1 events on its cut or keep counter at p and p+n,
+    * one per-doc window computes both running sums, and a boundary
+    * segment is cut when cutCover > 0 ∧ keepCover = 0; consecutive
+    * cut segments merge into maximal runs. Events are ∝ HITS (4 rows
+    * each), never ∝ characters — the keep-first decision costs one
+    * more window over the same duplicated-text-sized stream. */
+  def pipeSpanDedupKeepFirst(s: SparkSession, dir: String, n: Int = 50): DataFrame =
+    spanDedupKeepFirstCore(
+        Tables.documents(s, dir).select(col("doc_id"), col("text")), n,
+        cacheGrams = Tables.rowCount(s, dir, "documents") <= 20000)
+      .select(col("doc_id"), col("is_ascii"), col("n_spans_cut"),
+        col("n_chars_cut"), col("cut_ranges"),
+        length(col("clean_text")).cast("long").as("clean_len"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  /** [[pipeSpanDedupKeepFirst]]'s frame-parameterized core. */
+  private[graft] def spanDedupKeepFirstCore(docs: DataFrame, n: Int,
+                                            cacheGrams: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.CacheRegistry.Cacheable
+    val base = docs
+      .withColumn("is_ascii", length(col("text")) === octet_length(col("text")))
+    val posBase = base
+      .filter(col("is_ascii") && length(col("text")) >= n)
+      .select(col("doc_id"), posexplode(
+        graft.functions.VectorFunctions.ngram_hashes(lower(col("text")), n))
+        .as(Seq("p", "g")))
+    val pos = if (cacheGrams) posBase.cacheTracked else posBase
+    // repeated grams WITH their first occurrence — min(struct) gives
+    // the lexicographically-first (doc_id, p) in one long-only pass
+    val rep = pos.groupBy("g").agg(count(lit(1)).as("df"),
+        min(struct(col("doc_id"), col("p"))).as("first"))
+      .filter(col("df") >= 2)
+      .select(col("g"), col("first.doc_id").as("kd"), col("first.p").as("kp"))
+    val hits = pos.join(rep, "g")
+      .withColumn("keeper", col("doc_id") === col("kd") && col("p") === col("kp"))
+      .select(col("doc_id"), col("p"), col("keeper"))
+    // boundary sweep: ±1 events on the cut/keep counters at each
+    // hit's [p, p+n) endpoints, collapsed per boundary
+    val ev = hits.select(col("doc_id"), col("p").as("pos"),
+        when(col("keeper"), lit(0)).otherwise(lit(1)).as("dc"),
+        when(col("keeper"), lit(1)).otherwise(lit(0)).as("dk"))
+      .union(hits.select(col("doc_id"), (col("p") + n).as("pos"),
+        when(col("keeper"), lit(0)).otherwise(lit(-1)).as("dc"),
+        when(col("keeper"), lit(-1)).otherwise(lit(0)).as("dk")))
+      .groupBy("doc_id", "pos")
+      .agg(sum(col("dc")).as("dc"), sum(col("dk")).as("dk"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val runFrame = w.rowsBetween(Window.unboundedPreceding, 0)
+    val segs = ev
+      .withColumn("cc", sum(col("dc")).over(runFrame))
+      .withColumn("ck", sum(col("dk")).over(runFrame))
+      .withColumn("nextPos", lead(col("pos"), 1).over(w))
+      .filter(col("nextPos").isNotNull && col("nextPos") > col("pos"))
+      .withColumn("cut", col("cc") > 0 && col("ck") === 0)
+    // merge consecutive cut segments into maximal runs: a new run
+    // starts where a cut segment follows a non-cut one (segments are
+    // contiguous between boundaries by construction)
+    val spans = segs
+      .withColumn("ni",
+        (col("cut") && !coalesce(lag(col("cut"), 1).over(w), lit(false))).cast("int"))
+      .withColumn("run", sum(col("ni")).over(runFrame))
+      .filter(col("cut"))
+      .groupBy("doc_id", "run")
+      .agg(min(col("pos")).cast("long").as("s"),
+        max(col("nextPos")).cast("long").as("e"))
+    spanRebuild(base, spans)
   }
 
   /** Approximate-dedup quality evaluation (`dedup_eval`) — the

@@ -1764,6 +1764,62 @@ class DedupSimilaritySpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("pipe_span_dedup_keep_first: keeper occurrences survive verbatim; cuts are a subset of remove-all") {
+    import org.apache.spark.sql.functions._
+    val n = 50
+    val kf = Dedup.pipeSpanDedupKeepFirst(spark, Sf, n).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val all = Dedup.pipeSpanDedup(spark, Sf, n).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = Tables.documents(spark, Sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kf.keySet == docs.keySet)
+    // independent char-level replay of the keeper rule
+    def asciiOf(t: String) = t.forall(_ < 128)
+    val occ = scala.collection.mutable.HashMap.empty[String, List[(Long, Int)]]
+    for ((id, t) <- docs.toSeq.sortBy(_._1) if asciiOf(t) && t.length >= n) {
+      val lt = t.toLowerCase
+      for (p <- 0 to lt.length - n)
+        occ.updateWith(lt.substring(p, p + n))(v => Some((id, p) :: v.getOrElse(Nil)))
+    }
+    val repOcc = occ.filter(_._2.length >= 2).map { case (g, os) =>
+      g -> (os.sortBy(identity), os.min) } // (all occurrences, keeper)
+    var anyKept = false
+    for ((id, t) <- docs) {
+      val r = kf(id)
+      if (asciiOf(t) && t.length >= n) {
+        val cutC = new Array[Boolean](t.length)
+        val keepC = new Array[Boolean](t.length)
+        for ((_, (os, keeper)) <- repOcc; (d, p) <- os if d == id) {
+          val m = if ((d, p) == keeper) keepC else cutC
+          (p until p + n).foreach(m(_) = true)
+        }
+        val cut = (0 until t.length).map(i => cutC(i) && !keepC(i))
+        val expChars = cut.count(identity).toLong
+        assert(r.getAs[Long]("n_chars_cut") == expChars,
+          s"doc $id: keep-first cut ${r.getAs[Long]("n_chars_cut")} chars, replay says $expChars")
+        val kept = t.zipWithIndex.collect { case (c, i) if !cut(i) => c }.mkString
+        assert(r.getAs[Long]("clean_len") == kept.length.toLong, s"doc $id: clean_len mismatch")
+      }
+      // subset: anything keep-first cuts, remove-all also cuts
+      assert(r.getAs[Long]("n_chars_cut") <= all(id).getAs[Long]("n_chars_cut"),
+        s"doc $id: keep-first cut more than remove-all")
+      if (r.getAs[Long]("n_chars_cut") < all(id).getAs[Long]("n_chars_cut")) anyKept = true
+    }
+    assert(anyKept, "keep-first never preserved anything remove-all cut — keeper rule vacuous")
+    // retention: every repeated gram still exists in its keeper doc's
+    // cleaned text (keeper coverage is never cut and the fold keeps
+    // contiguity)
+    val cleaned = Dedup.spanDedupKeepFirstCore(
+        Tables.documents(spark, Sf).select(col("doc_id"), col("text")), n)
+      .select(col("doc_id"), col("clean_text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase).toMap
+    for ((g, (_, (kd, _))) <- repOcc)
+      assert(cleaned(kd).contains(g),
+        s"repeated gram lost from the corpus: keeper doc $kd no longer contains it")
+    CacheRegistry.releaseAll()
+  }
+
   test("lshSeedTable build sweeps stale generations (old plane counts, pre-sample _v1 schema)") {
     import org.apache.spark.sql.functions._
     // plant two stale generations of THIS dir's artifact family —
