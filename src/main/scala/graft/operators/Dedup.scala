@@ -1165,12 +1165,23 @@ object Dedup {
         graft.functions.VectorFunctions.ngram_hashes(lower(col("text")), n))
         .as(Seq("p", "g")))
     val pos = if (cacheGrams) posBase.cacheTracked else posBase
-    // repeated grams WITH their first occurrence — min(struct) gives
-    // the lexicographically-first (doc_id, p) in one long-only pass
+    // repeated grams WITH their first occurrence. The lexicographic
+    // (doc_id, p) argmin is PACKED into one long (doc_id << 24 | p)
+    // so the per-gram aggregate stays a codegen'd long-only
+    // HashAggregate — min over a struct falls back to OBJECT
+    // aggregation, and with near-all-distinct gram keys that is
+    // millions of groups on the sort-based slow path (the
+    // dedup_substring GC lesson). The shift bounds: positions are
+    // byte offsets < 2^24 (a 16 MB document — far beyond this
+    // family's per-doc envelope; the gram kernel already materializes
+    // an 8-byte hash per character), doc ids < 2^39.
+    val shift = 24
     val rep = pos.groupBy("g").agg(count(lit(1)).as("df"),
-        min(struct(col("doc_id"), col("p"))).as("first"))
+        min(shiftleft(col("doc_id"), shift) + col("p")).as("firstPacked"))
       .filter(col("df") >= 2)
-      .select(col("g"), col("first.doc_id").as("kd"), col("first.p").as("kp"))
+      .select(col("g"),
+        shiftright(col("firstPacked"), shift).as("kd"),
+        col("firstPacked").bitwiseAND(lit((1L << shift) - 1)).cast("int").as("kp"))
     val hits = pos.join(rep, "g")
       .withColumn("keeper", col("doc_id") === col("kd") && col("p") === col("kp"))
       .select(col("doc_id"), col("p"), col("keeper"))
