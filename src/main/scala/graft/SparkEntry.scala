@@ -95,6 +95,8 @@ object SparkEntry {
     "dedup_substring" -> ((s, d) => Dedup.dedupSubstring(s, d)),
     "pipe_span_dedup" -> ((s, d) => Dedup.pipeSpanDedup(s, d)),
     "pipe_span_dedup_keep_first" -> ((s, d) => Dedup.pipeSpanDedupKeepFirst(s, d)),
+    "pipe_span_dedup_multibyte" -> ((s, d) => Dedup.pipeSpanDedupMultibyte(s, d)),
+    "pipe_span_keep_first_multibyte" -> ((s, d) => Dedup.pipeSpanKeepFirstMultibyte(s, d)),
     // §2.4 similarity
     "sim_bruteforce_topk" -> ((s, d) => Similarity.simBruteforceTopK(s, d)),
     "sim_lsh_ann" -> ((s, d) => Similarity.simLshAnn(s, d)),
@@ -509,14 +511,18 @@ object SparkEntry {
     * text. Composed by `pipe_span_dedup` (certification tail) and
     * `pipe_span_ingest` (the Gopher chain re-run over the cleaned
     * text). */
-  private val spanCutCtesSql: String =
-    """d AS (
-      |  SELECT doc_id, text, length(text) AS len,
-      |         length(text) = strlen(text) AS is_ascii
+  /** DuckDB-side twin of `Dedup.multibyteDocs`' injection. */
+  private val multibyteTextSql: String =
+    "CASE WHEN doc_id % 3 = 0 THEN replace(replace(text, 'e', 'é'), 'o', 'ø') ELSE text END"
+
+  private def spanCutCtesSql(textExpr: String = "text"): String =
+    s"""d AS (
+      |  SELECT doc_id, $textExpr AS text, length($textExpr) AS len,
+      |         length($textExpr) = strlen($textExpr) AS is_ascii
       |  FROM documents),
       |pos AS (
       |  SELECT doc_id, unnest(range(0, len - 49)) AS p
-      |  FROM d WHERE is_ascii AND len >= 50),
+      |  FROM d WHERE len >= 50 AND length(lower(text)) = len),
       |pg AS (
       |  SELECT pos.doc_id, pos.p,
       |         substr(lower(d.text), CAST(pos.p + 1 AS INT), 50) AS g
@@ -574,14 +580,14 @@ object SparkEntry {
     * occurrence of each repeated gram protects its positions; a char
     * is cut iff some non-keeper occurrence covers it and no keeper
     * does. Brute force per character is fine oracle-side. */
-  private val spanKeepFirstOracleSql: String =
-    """WITH d AS (
-      |  SELECT doc_id, text, length(text) AS len,
-      |         length(text) = strlen(text) AS is_ascii
+  private def spanKeepFirstOracleSql(textExpr: String = "text"): String =
+    s"""WITH d AS (
+      |  SELECT doc_id, $textExpr AS text, length($textExpr) AS len,
+      |         length($textExpr) = strlen($textExpr) AS is_ascii
       |  FROM documents),
       |pos AS (
       |  SELECT doc_id, unnest(range(0, len - 49)) AS p
-      |  FROM d WHERE is_ascii AND len >= 50),
+      |  FROM d WHERE len >= 50 AND length(lower(text)) = len),
       |pg AS (
       |  SELECT pos.doc_id, pos.p,
       |         substr(lower(d.text), CAST(pos.p + 1 AS INT), 50) AS g
@@ -2852,16 +2858,27 @@ object SparkEntry {
     // rebuild the cleaned text character-by-character (brute force is
     // fine oracle-side), certify by md5
     "pipe_span_dedup" ->
-      s"""WITH $spanCutCtesSql
+      s"""WITH ${spanCutCtesSql()}
         |SELECT doc_id, is_ascii, n_spans_cut, n_chars_cut, cut_ranges,
         |  CAST(length(text) AS BIGINT) AS clean_len, clean_md5
         |FROM cleandocs
         |ORDER BY doc_id""".stripMargin,
-    "pipe_span_dedup_keep_first" -> spanKeepFirstOracleSql,
+    "pipe_span_dedup_keep_first" -> spanKeepFirstOracleSql(),
+    // the same two interventions over the multi-byte-injected corpus
+    // (every third doc 'e'→'é'/'o'→'ø', mirrored in the Spark entry):
+    // testdata ships pure-ASCII, so these entries are the non-vacuous
+    // hash gate on code-point-exact cutting of non-ASCII text
+    "pipe_span_dedup_multibyte" ->
+      s"""WITH ${spanCutCtesSql(multibyteTextSql)}
+        |SELECT doc_id, is_ascii, n_spans_cut, n_chars_cut, cut_ranges,
+        |  CAST(length(text) AS BIGINT) AS clean_len, clean_md5
+        |FROM cleandocs
+        |ORDER BY doc_id""".stripMargin,
+    "pipe_span_keep_first_multibyte" -> spanKeepFirstOracleSql(multibyteTextSql),
     // the intervention composed with the quality gate (gate AFTER
     // cut): the Gopher chain replayed over the span-cut text
     "pipe_span_ingest" ->
-      s"""WITH $spanCutCtesSql,
+      s"""WITH ${spanCutCtesSql()},
         |toks AS (
         |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
         |  FROM cleandocs),

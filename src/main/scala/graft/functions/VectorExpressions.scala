@@ -299,6 +299,106 @@ object NgramHashes {
   }
 }
 
+/** All CODE-POINT-window n-gram hashes of a string in one O(len)
+  * pass — the multi-byte-safe sibling of [[NgramHashes]]: windows are
+  * n Unicode code points (not n bytes) and offsets are code-point
+  * offsets, so downstream `substr`-based cutting (SQL substr counts
+  * code points in both Spark and DuckDB) is exact on any UTF-8 text,
+  * not just ASCII. The rolling polynomial hash runs over code-point
+  * values with the same base (1000003, natural 2^64 wrap), so on
+  * pure-ASCII input — where code point == byte — the emitted hashes
+  * are bit-identical to [[NgramHashes]]: ASCII corpora keep their
+  * published fingerprints. Emits `cpLen <= n` → one hash of the whole
+  * string, else `cpLen - n + 1` window hashes. The UTF-8 decode is a
+  * single forward scan (truncated/malformed tails degrade to
+  * byte-value code points rather than throwing — Spark strings are
+  * valid UTF-8, so this is a never-reached safety rail). */
+case class NgramHashesChars(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) =>
+        if (!right.foldable)
+          TypeCheckResult.TypeCheckFailure(s"$prettyName requires a literal window size")
+        else right.eval() match {
+          case n: Integer if n >= 1 => TypeCheckResult.TypeCheckSuccess
+          case other => TypeCheckResult.TypeCheckFailure(
+            s"$prettyName requires window size >= 1, got $other")
+        }
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (string, int), got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes_chars"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val bytes = a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(NgramHashesChars.hashes(bytes, b.asInstanceOf[Int]))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, nn) =>
+      s"""
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.NgramHashesChars.hashes($s.getBytes(), $nn));
+       """.stripMargin)
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object NgramHashesChars {
+  /** UTF-8 bytes → code-point array, single forward scan. */
+  private[functions] def codePoints(bytes: Array[Byte]): Array[Int] = {
+    val len = bytes.length
+    val out = new Array[Int](len) // upper bound; trimmed below
+    var i = 0; var m = 0
+    while (i < len) {
+      val b = bytes(i) & 0xff
+      var cp = b; var sz = 1
+      if (b >= 0x80) {
+        if ((b & 0xe0) == 0xc0) { cp = b & 0x1f; sz = 2 }
+        else if ((b & 0xf0) == 0xe0) { cp = b & 0x0f; sz = 3 }
+        else if ((b & 0xf8) == 0xf0) { cp = b & 0x07; sz = 4 }
+        if (i + sz <= len) {
+          var k = 1
+          while (k < sz) { cp = (cp << 6) | (bytes(i + k) & 0x3f); k += 1 }
+        } else { cp = b; sz = 1 } // malformed tail: byte-value fallback
+      }
+      out(m) = cp; m += 1; i += sz
+    }
+    if (m == len) out else java.util.Arrays.copyOf(out, m)
+  }
+
+  def hashes(bytes: Array[Byte], n: Int): Array[Long] = {
+    val cps = codePoints(bytes)
+    val len = cps.length
+    val B = 1000003L
+    if (len <= n) {
+      var h = 0L; var j = 0
+      while (j < len) { h = h * B + cps(j); j += 1 }
+      Array(h)
+    } else {
+      val out = new Array[Long](len - n + 1)
+      var pow = 1L; var j = 0
+      while (j < n - 1) { pow *= B; j += 1 }
+      var h = 0L; j = 0
+      while (j < n) { h = h * B + cps(j); j += 1 }
+      out(0) = h
+      var i = 1
+      while (i <= len - n) {
+        h = (h - cps(i - 1) * pow) * B + cps(i + n - 1)
+        out(i) = h
+        i += 1
+      }
+      out
+    }
+  }
+}
+
 /** All byte-window n-gram hashes on the ORACLE-REPRODUCIBLE md5-60
   * family, one kernel pass per row — the codegen'd replacement for
   * `transform(sequence(...), i -> conv(substring(md5(substr(text, i,
@@ -1242,6 +1342,14 @@ object VectorFunctions {
   def ngram_hashes(c: Column, n: Int): Column =
     GraftColumnBridge.column(
       NgramHashes(GraftColumnBridge.expression(c),
+        org.apache.spark.sql.catalyst.expressions.Literal(n)))
+
+  /** Column API: all code-point-window n-gram rolling hashes of a
+    * string column (multi-byte safe; ASCII-identical to
+    * [[ngram_hashes]]). */
+  def ngram_hashes_chars(c: Column, n: Int): Column =
+    GraftColumnBridge.column(
+      NgramHashesChars(GraftColumnBridge.expression(c),
         org.apache.spark.sql.catalyst.expressions.Literal(n)))
 
   /** Column API: all n-gram md5-60 hashes of a string column. */

@@ -1000,13 +1000,24 @@ object Dedup {
     * survives as an empty string with n_chars_cut = length — the
     * caller's signal to drop it, auditable.
     *
-    * Offsets are BYTE offsets from the rolling-hash gram kernel;
-    * cutting is done in CHARACTER space, so only pure-ASCII documents
-    * (length == octet_length, where the two coincide) are eligible —
-    * others pass through UNCUT with `is_ascii` = false (flagged, not
-    * silent; a multi-byte-safe variant would cut in byte space and
-    * re-validate UTF-8). Documents shorter than `n` cannot contain a
-    * repeated span and pass through with zero cuts.
+    * Multi-byte safe: offsets are CODE-POINT offsets from the
+    * char-window rolling-hash kernel ([[graft.functions
+    * .NgramHashesChars]]), the same unit `substr` counts in both
+    * Spark and DuckDB, so cutting is exact on any UTF-8 text —
+    * `is_ascii` is a DIAGNOSTIC column only (round 15 gated cutting
+    * on it; round 16 removed the gate). Collision-safe: 64-bit hash
+    * equality only nominates CANDIDATE positions; before any cut,
+    * each candidate's RAW lowercased n-char window is re-extracted
+    * and must itself occur ≥ 2 times (a bounded confirmation pass ∝
+    * duplicated text) — at the 100 TB target (~1e14 grams) 64-bit
+    * collisions are a statistical certainty (~1e8 expected pairs),
+    * and an unconfirmed collision would irreversibly delete
+    * non-duplicated text. Documents shorter than `n` (code points)
+    * cannot contain a repeated span and pass through with zero cuts;
+    * the vanishingly rare document whose code-point count CHANGES
+    * under lowercasing (e.g. U+0130 İ) also passes through uncut —
+    * gram offsets are computed on lower(text) and applied to text,
+    * which is only sound when the two align position-for-position.
     *
     * Scale shape: map-only codegen scans emit fixed-width
     * (doc_id, p, g) rows; the occurrence count shuffles a
@@ -1014,41 +1025,85 @@ object Dedup {
     * the repeated-gram set (∝ duplicated text) against the scan, so
     * the fat per-character stream never shuffles (unlike
     * [[substringPairs]], no self-join forces a gram partitioning
-    * here). Hit positions are ∝ DUPLICATED text, so the interval
-    * merge (one doc_id-keyed window) and the rebuild join are small;
-    * the per-doc collect_list of cut spans is an object aggregate
-    * over hit DOCS only — bounded by duplicated-doc count, never the
-    * gram-group millions that made dedup_substring's object agg a
-    * GC hazard. The rebuild is a per-doc `aggregate`
-    * over its sorted cut list — per-document state, no corpus-sized
-    * buffer. One-pass semantics like the paper's: cutting can in
-    * principle create new cross-boundary repeats (two docs whose
-    * sub-50-char fragments concatenate identically); the spec pins
-    * that a second pass finds nothing on real data. */
+    * here). On duplication-HEAVY corpora — the operator's target
+    * regime at 100 TB, where the repeated-gram set itself outgrows
+    * any broadcast threshold — callers above [[SpanBroadcastDocLimit]]
+    * documents get the deliberate fallback instead: one forced gram
+    * repartition of the scan (the [[substringPairs]] shape) that both
+    * the count and the probe reuse as a single exchange, rather than
+    * an accidental sort-merge-join shuffle of the fat stream on top
+    * of the count's. Hit positions are ∝ DUPLICATED text, so the
+    * confirmation pass (raw-window re-extraction + one sub-keyed
+    * window), the interval merge (one doc_id-keyed window) and the
+    * rebuild join are all hit-sized; the per-doc collect_list of cut
+    * spans is an object aggregate over hit DOCS only — bounded by
+    * duplicated-doc count, never the gram-group millions that made
+    * dedup_substring's object agg a GC hazard. The rebuild is a
+    * per-doc `aggregate` over its sorted cut list — per-document
+    * state, no corpus-sized buffer. One-pass semantics like the
+    * paper's: cutting can in principle create new cross-boundary
+    * repeats (two docs whose sub-50-char fragments concatenate
+    * identically); the spec pins that a second pass finds nothing on
+    * real data. */
   def pipeSpanDedup(s: SparkSession, dir: String, n: Int = 50): DataFrame =
     spanDedupCore(Tables.documents(s, dir).select(col("doc_id"), col("text")), n,
-        cacheGrams = Tables.rowCount(s, dir, "documents") <= 20000)
+        cacheGrams = Tables.rowCount(s, dir, "documents") <= 20000,
+        forceGramShuffle = Tables.rowCount(s, dir, "documents") > SpanBroadcastDocLimit)
       .select(col("doc_id"), col("is_ascii"), col("n_spans_cut"),
         col("n_chars_cut"), col("cut_ranges"),
         length(col("clean_text")).cast("long").as("clean_len"),
         md5(col("clean_text")).as("clean_md5"))
       .orderBy("doc_id")
 
-  /** [[pipeSpanDedup]]'s frame-parameterized core, keeping the
-    * cleaned text as a column — factored so the idempotence spec can
-    * feed the cleaned corpus back through and assert zero further
-    * cuts. */
-  private[graft] def spanDedupCore(docs: DataFrame, n: Int,
-                                   cacheGrams: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** Documents past this count take the forced-gram-repartition shape
+    * in [[pipeSpanDedup]]/[[pipeSpanDedupKeepFirst]]: repeated grams
+    * are ∝ duplicated text, and on crawl-scale corpora (10-50%
+    * duplication at 100 TB) the df≥2 gram set is far past any
+    * broadcast threshold — without the explicit switch, Spark would
+    * silently sort-merge-join, shuffling the ~20-bytes-per-character
+    * gram stream ON TOP of the count's pruned shuffle. The forced
+    * shape repartitions the scan on g ONCE and both consumers reuse
+    * the exchange (ReusedExchange — one fat shuffle total, plan-
+    * asserted in PlanSpec). Threshold calibrated from the ProfileSpan
+    * crossover measurement (README): at 50k docs / 10× duplication
+    * the broadcast shape still wins, so the switch sits well above
+    * every testable scale and exists for the cluster regime. */
+  val SpanBroadcastDocLimit: Long = 2000000L
+
+  /** Shared candidate→confirmed hit derivation for the span-cut
+    * family: code-point-window rolling-hash CANDIDATES (df ≥ 2 on the
+    * 64-bit hash), then each candidate's raw lowercased n-char window
+    * re-extracted from the document and kept only when the RAW window
+    * itself occurs ≥ 2 times — hash equality nominates, substring
+    * equality convicts, so a 64-bit collision can never delete
+    * non-duplicated text. Output: (doc_id, p, sub), one row per
+    * confirmed repeated-window occurrence, `cdf`/`firstPacked`
+    * available to callers via the shared sub-keyed window.
+    *
+    * Cost shape: the confirmation joins the per-doc hit-position list
+    * back to the text ONCE per hit document (collect_list is bounded
+    * by positions-per-doc), re-extracts ∝ hit windows, and runs one
+    * sub-keyed window over hit rows — everything ∝ duplicated text,
+    * the fat per-character stream untouched. */
+  private def spanCandidateSubs(base: DataFrame, n: Int, cacheGrams: Boolean,
+                                forceGramShuffle: Boolean): DataFrame = {
     import graft.CacheRegistry.Cacheable
-    val base = docs
-      .withColumn("is_ascii", length(col("text")) === octet_length(col("text")))
-    val posBase = base
-      .filter(col("is_ascii") && length(col("text")) >= n)
+    val posBase0 = base
+      // length/substr both count code points; docs whose code-point
+      // count changes under lowercasing (U+0130-class) are excluded —
+      // gram offsets computed on lower(text) only apply to text when
+      // the two align position-for-position (scaladoc caveat)
+      .filter(length(col("text")) >= n &&
+        length(lower(col("text"))) === length(col("text")))
       .select(col("doc_id"), posexplode(
-        graft.functions.VectorFunctions.ngram_hashes(lower(col("text")), n))
+        graft.functions.VectorFunctions.ngram_hashes_chars(lower(col("text")), n))
         .as(Seq("p", "g")))
+    // Past-broadcast fallback (duplication-heavy corpora): repartition
+    // the scan on g once; the count needs no further exchange and the
+    // probe co-locates — one fat shuffle, reused. Below the limit the
+    // probe broadcasts the df>=2 set and the fat stream never
+    // shuffles at all (plan-verified both ways in PlanSpec).
+    val posBase = if (forceGramShuffle) posBase0.repartition(col("g")) else posBase0
     // the occurrence count and the hit probe both read the
     // per-position gram table — `cacheGrams` caches it below the
     // dedupSubstring crossover (callers gate on the same rowCount
@@ -1056,20 +1111,40 @@ object Dedup {
     // at scale the uncached double codegen scan is the 100 TB shape:
     // recomputing a scan is cheap, spilling a 20×-corpus cache is not)
     val pos = if (cacheGrams) posBase.cacheTracked else posBase
-    // NO forced gram exchange (deliberately unlike substringPairs,
-    // whose self-join genuinely needs hash partitioning on g for all
-    // three consumers): here the only agg shuffles a COLUMN-PRUNED
-    // g-only stream, and the hit probe joins the full (doc_id, p, g)
-    // scan against the df>=2 gram set — repeated grams are ∝
-    // duplicated text, so that side broadcasts and the fat per-char
-    // stream never shuffles at all (plan-verified: broadcast hash
-    // join straight off the codegen scan). Recomputing the gram scan
-    // for the count is the cheap side of the dedupSubstring
-    // cache-crossover trade; a forced repartition would shuffle
-    // ~20 bytes/char for nothing whenever the probe broadcasts.
     val rep = pos.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select("g")
-    val hits = pos.join(rep, "g").select(col("doc_id"), col("p"))
+    val probe = if (forceGramShuffle) pos.join(rep.hint("merge"), "g")
+                else pos.join(rep, "g")
+    val hits0 = probe.select(col("doc_id"), col("p"))
+    // confirmation: re-extract the raw window at each candidate
+    // position (text joined once per hit doc, positions carried as a
+    // bounded per-doc list) — `sub` is the ground-truth key from here
+    val hitList = hits0.groupBy("doc_id").agg(collect_list(col("p")).as("ps"))
+    base.join(hitList, Seq("doc_id"))
+      .select(col("doc_id"), col("text"), explode(col("ps")).as("p"))
+      .select(col("doc_id"), col("p"),
+        lower(col("text")).substr(col("p") + 1, lit(n)).as("sub"))
+  }
+
+  /** [[pipeSpanDedup]]'s frame-parameterized core, keeping the
+    * cleaned text as a column — factored so the idempotence spec can
+    * feed the cleaned corpus back through and assert zero further
+    * cuts. */
+  private[graft] def spanDedupCore(docs: DataFrame, n: Int,
+                                   cacheGrams: Boolean = false,
+                                   forceGramShuffle: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs
+      .withColumn("is_ascii", length(col("text")) === octet_length(col("text")))
+    val subs = spanCandidateSubs(base, n, cacheGrams, forceGramShuffle)
+    // convict on the raw window: ≥ 2 occurrences of the SUBSTRING
+    // (one hit-sized window shuffle on sub — collision candidates
+    // whose raw windows are unique fall out here)
+    val wSub = Window.partitionBy("sub")
+    val hits = subs
+      .withColumn("cdf", count(lit(1)).over(wSub))
+      .filter(col("cdf") >= 2)
+      .select(col("doc_id"), col("p"))
     // maximal covered runs: each hit covers [p, p+n); gaps-and-islands
     // over the per-doc position order (running max of span ends)
     val w = Window.partitionBy("doc_id").orderBy("p")
@@ -1145,7 +1220,8 @@ object Dedup {
   def pipeSpanDedupKeepFirst(s: SparkSession, dir: String, n: Int = 50): DataFrame =
     spanDedupKeepFirstCore(
         Tables.documents(s, dir).select(col("doc_id"), col("text")), n,
-        cacheGrams = Tables.rowCount(s, dir, "documents") <= 20000)
+        cacheGrams = Tables.rowCount(s, dir, "documents") <= 20000,
+        forceGramShuffle = Tables.rowCount(s, dir, "documents") > SpanBroadcastDocLimit)
       .select(col("doc_id"), col("is_ascii"), col("n_spans_cut"),
         col("n_chars_cut"), col("cut_ranges"),
         length(col("clean_text")).cast("long").as("clean_len"),
@@ -1154,36 +1230,33 @@ object Dedup {
 
   /** [[pipeSpanDedupKeepFirst]]'s frame-parameterized core. */
   private[graft] def spanDedupKeepFirstCore(docs: DataFrame, n: Int,
-                                            cacheGrams: Boolean = false): DataFrame = {
+                                            cacheGrams: Boolean = false,
+                                            forceGramShuffle: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    import graft.CacheRegistry.Cacheable
     val base = docs
       .withColumn("is_ascii", length(col("text")) === octet_length(col("text")))
-    val posBase = base
-      .filter(col("is_ascii") && length(col("text")) >= n)
-      .select(col("doc_id"), posexplode(
-        graft.functions.VectorFunctions.ngram_hashes(lower(col("text")), n))
-        .as(Seq("p", "g")))
-    val pos = if (cacheGrams) posBase.cacheTracked else posBase
-    // repeated grams WITH their first occurrence. The lexicographic
-    // (doc_id, p) argmin is PACKED into one long (doc_id << 24 | p)
-    // so the per-gram aggregate stays a codegen'd long-only
-    // HashAggregate — min over a struct falls back to OBJECT
-    // aggregation, and with near-all-distinct gram keys that is
-    // millions of groups on the sort-based slow path (the
-    // dedup_substring GC lesson). The shift bounds: positions are
-    // byte offsets < 2^24 (a 16 MB document — far beyond this
-    // family's per-doc envelope; the gram kernel already materializes
-    // an 8-byte hash per character), doc ids < 2^39.
+    val subs = spanCandidateSubs(base, n, cacheGrams, forceGramShuffle)
+    // keeper = lexicographic (doc_id, p) argmin among the CONFIRMED
+    // raw-window occurrences, PACKED into one long (doc_id << 24 | p)
+    // so the sub-keyed window stays a fixed-width aggregate — min
+    // over a struct falls back to OBJECT aggregation (the
+    // dedup_substring GC lesson). The packing envelope (p < 2^24
+    // code points ≈ a 16 M-char document, doc_id < 2^39) is ENFORCED,
+    // not assumed: a violating row raises rather than silently
+    // electing the wrong keeper and md5-certifying the wrong output.
     val shift = 24
-    val rep = pos.groupBy("g").agg(count(lit(1)).as("df"),
-        min(shiftleft(col("doc_id"), shift) + col("p")).as("firstPacked"))
-      .filter(col("df") >= 2)
-      .select(col("g"),
-        shiftright(col("firstPacked"), shift).as("kd"),
-        col("firstPacked").bitwiseAND(lit((1L << shift) - 1)).cast("int").as("kp"))
-    val hits = pos.join(rep, "g")
-      .withColumn("keeper", col("doc_id") === col("kd") && col("p") === col("kp"))
+    val packed = when(
+      assert_true(col("p") < lit(1 << shift) && col("doc_id") < lit(1L << (63 - shift)),
+        lit(s"pipe_span_dedup_keep_first: packed-argmin envelope exceeded " +
+          s"(need position < 2^$shift and doc_id < 2^${63 - shift})")).isNull,
+      shiftleft(col("doc_id"), shift) + col("p"))
+    val wSub = Window.partitionBy("sub")
+    val hits = subs
+      .withColumn("packed", packed)
+      .withColumn("cdf", count(lit(1)).over(wSub))
+      .withColumn("firstPacked", min(col("packed")).over(wSub))
+      .filter(col("cdf") >= 2)
+      .withColumn("keeper", col("packed") === col("firstPacked"))
       .select(col("doc_id"), col("p"), col("keeper"))
     // boundary sweep: ±1 events on the cut/keep counters at each
     // hit's [p, p+n) endpoints, collapsed per boundary
@@ -1216,6 +1289,47 @@ object Dedup {
         max(col("nextPos")).cast("long").as("e"))
     spanRebuild(base, spans)
   }
+
+  /** Deterministic multi-byte corpus for the `*_multibyte` span
+    * entries: every third document gets its 'e'→'é' and 'o'→'ø'
+    * (testdata ships pure-ASCII, so the multi-byte cut regime would
+    * otherwise be vacuous — the injection is SQL-expressible, so the
+    * DuckDB oracle applies the identical transform and the hash gate
+    * stays hard). Injected docs share their boilerplate spans with
+    * each OTHER (both sides transformed identically), so repeated
+    * spans containing multi-byte characters exist and must be CUT —
+    * the round-15 implementation would have passed them through
+    * uncut as non-ASCII. Lowercase target characters keep `lower()`
+    * a code-point-count-preserving no-op on the injected material in
+    * both engines. */
+  private def multibyteDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(col("doc_id"),
+      when(col("doc_id") % 3 === 0,
+          expr("replace(replace(text, 'e', 'é'), 'o', 'ø')"))
+        .otherwise(col("text")).as("text"))
+
+  /** [[pipeSpanDedup]] over the multi-byte-injected corpus
+    * (`pipe_span_dedup_multibyte`) — the hash-verified evidence that
+    * span cutting is exact on non-ASCII text. */
+  def pipeSpanDedupMultibyte(s: SparkSession, dir: String, n: Int = 50): DataFrame =
+    spanDedupCore(multibyteDocs(s, dir), n,
+        cacheGrams = Tables.rowCount(s, dir, "documents") <= 20000)
+      .select(col("doc_id"), col("is_ascii"), col("n_spans_cut"),
+        col("n_chars_cut"), col("cut_ranges"),
+        length(col("clean_text")).cast("long").as("clean_len"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  /** [[pipeSpanDedupKeepFirst]] over the multi-byte-injected corpus
+    * (`pipe_span_keep_first_multibyte`). */
+  def pipeSpanKeepFirstMultibyte(s: SparkSession, dir: String, n: Int = 50): DataFrame =
+    spanDedupKeepFirstCore(multibyteDocs(s, dir), n,
+        cacheGrams = Tables.rowCount(s, dir, "documents") <= 20000)
+      .select(col("doc_id"), col("is_ascii"), col("n_spans_cut"),
+        col("n_chars_cut"), col("cut_ranges"),
+        length(col("clean_text")).cast("long").as("clean_len"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
 
   /** Approximate-dedup quality evaluation (`dedup_eval`) — the
     * measurement a production rollout of MinHash-LSH needs before

@@ -1820,6 +1820,113 @@ class DedupSimilaritySpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("span cutting is code-point exact on multi-byte text (BMP and supplementary planes)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val n = 50
+    // the repeated span carries 2-byte (é, ø), 3-byte (→) and 4-byte
+    // (U+1F600, TWO UTF-16 units but ONE code point) characters — the
+    // exact population the round-15 implementation passed through
+    // uncut, and the supplementary-plane char is the case where
+    // UTF-16 indexing and code-point indexing genuinely diverge
+    val emoji = new String(Character.toChars(0x1f600))
+    val rBase = s"déjà vu $emoji shared bøilerplate footer → across docs!" * 3
+    // exactly 60 code points of it
+    val rEnd = rBase.offsetByCodePoints(0, 60)
+    val r = rBase.substring(0, rEnd)
+    assert(r.codePointCount(0, r.length) == 60 && r.length > 60,
+      "planted span must be 60 code points and multi-byte")
+    // distinct trailing characters: a shared final char would extend
+    // the repeated region one code point left of the planted span
+    val fillerA = "unique preamble for document alpha 123:"
+    val fillerB = "and a different lead-in for doc beta xyz-"
+    val tailA = " trailing unique alpha content 9"
+    val docA = fillerA + r + tailA
+    val docB = fillerB + r
+    val docs = Seq((1L, docA), (2L, docB)).toDF("doc_id", "text")
+    def cp(s: String) = s.codePointCount(0, s.length)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // remove-all: each doc loses exactly the 60-code-point span
+    // (windows fully inside it repeat across the pair; nothing else
+    // repeats given the distinct fillers)
+    val out = Dedup.spanDedupCore(docs, n).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    for ((id, filler, doc) <- Seq((1L, fillerA, docA), (2L, fillerB, docB))) {
+      val s0 = cp(filler); val e0 = s0 + 60
+      val o = out(id)
+      assert(!o.getAs[Boolean]("is_ascii"), s"doc $id should be flagged non-ascii")
+      assert(o.getAs[Long]("n_spans_cut") == 1L && o.getAs[Long]("n_chars_cut") == 60L,
+        s"doc $id: expected one 60-code-point cut, got " +
+          s"${o.getAs[Long]("n_spans_cut")} spans / ${o.getAs[Long]("n_chars_cut")} chars")
+      assert(o.getAs[String]("cut_ranges") == s"$s0-$e0",
+        s"doc $id: cut at ${o.getAs[String]("cut_ranges")}, expected $s0-$e0")
+      // replay the cut with code-point-aware indexing on the JVM side
+      val expected = doc.substring(0, doc.offsetByCodePoints(0, s0)) +
+        doc.substring(doc.offsetByCodePoints(0, e0))
+      assert(o.getAs[String]("clean_text") == expected,
+        s"doc $id: cleaned text diverges from the code-point replay")
+      assert(md5hex(expected) == md5hex(o.getAs[String]("clean_text")))
+    }
+    // keep-first: doc 1 holds the globally-first occurrence — its
+    // span survives verbatim; doc 2 loses it
+    val kf = Dedup.spanDedupKeepFirstCore(docs, n).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x).toMap
+    assert(kf(1L).getAs[Long]("n_chars_cut") == 0L,
+      "keeper doc lost protected text")
+    assert(kf(1L).getAs[String]("clean_text") == docA)
+    assert(kf(2L).getAs[Long]("n_chars_cut") == 60L &&
+      kf(2L).getAs[String]("cut_ranges") == s"${cp(fillerB)}-${cp(fillerB) + 60}",
+      "non-keeper doc must lose exactly the unprotected span")
+    CacheRegistry.releaseAll()
+  }
+
+  test("64-bit gram-hash collisions never cut: raw-window confirmation rejects colliding singletons") {
+    import spark.implicits._
+    val n = 50
+    // constructed collision for the base-1000003 rolling hash: bump
+    // position 48 by one (+B) and drop position 49 by B (valid code
+    // points: U+100000 → U+BDBD differ by exactly 1000003), so the
+    // two 50-code-point windows hash identically while being
+    // different text — each occurs ONCE, so cutting either would
+    // destroy unique data
+    val w1 = "a" * 48 + "b" + new String(Character.toChars(0x100000))
+    val w2 = "a" * 48 + "c" + new String(Character.toChars(0xbdbd))
+    assert(w1 != w2)
+    val h1 = graft.functions.NgramHashesChars.hashes(w1.getBytes("UTF-8"), n)
+    val h2 = graft.functions.NgramHashesChars.hashes(w2.getBytes("UTF-8"), n)
+    assert(h1.length == 1 && h2.length == 1 && h1(0) == h2(0),
+      "planted windows no longer collide — the kernel's hash changed, rebuild the pair")
+    val docs = Seq((1L, w1), (2L, w2)).toDF("doc_id", "text")
+    for ((label, res) <- Seq(
+        "remove-all" -> Dedup.spanDedupCore(docs, n).collect(),
+        "keep-first" -> Dedup.spanDedupKeepFirstCore(docs, n).collect())) {
+      res.foreach { o =>
+        assert(o.getAs[Long]("n_spans_cut") == 0L &&
+          o.getAs[String]("clean_text") == (if (o.getAs[Long]("doc_id") == 1L) w1 else w2),
+          s"$label: hash-collision singleton was cut — confirmation pass broken")
+      }
+    }
+    CacheRegistry.releaseAll()
+  }
+
+  test("keep-first packed-argmin envelope violations raise instead of electing a wrong keeper") {
+    import spark.implicits._
+    val span = "this exact sentence repeats across both documents!" // 50 chars
+    assert(span.length == 50)
+    val docs = Seq((1L << 39, "lead-in one " + span), ((1L << 39) + 1, span + " trailer"))
+      .toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.spanDedupKeepFirstCore(docs, 50).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else t.toString + messages(t.getCause)
+    assert(messages(e).contains("envelope"),
+      s"expected the packed-argmin envelope error, got: ${messages(e).take(400)}")
+    CacheRegistry.releaseAll()
+  }
+
   test("lshSeedTable build sweeps stale generations (old plane counts, pre-sample _v1 schema)") {
     import org.apache.spark.sql.functions._
     // plant two stale generations of THIS dir's artifact family —

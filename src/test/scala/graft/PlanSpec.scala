@@ -233,6 +233,30 @@ class PlanSpec extends SparkSpec {
       s"object aggregation on gram groups (GC-pressure-sensitive):\n$plan")
   }
 
+  test("span dedup past-broadcast fallback: forced gram exchange, no broadcast probe, identical cuts") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    // the deliberate duplication-heavy-corpus shape: repartition the
+    // gram scan on g once (count and probe both consume it) instead
+    // of letting a too-big-to-broadcast rep set silently force a
+    // sort-merge shuffle of the fat stream ON TOP of the count's
+    val forced = graft.operators.Dedup.spanDedupCore(docs, 50, forceGramShuffle = true)
+    val forcedRows = forced.collect()
+    val plan = forced.queryExecution.executedPlan.toString
+    assert(plan.contains("REPARTITION_BY_COL"),
+      s"forced shape lost its explicit gram exchange:\n$plan")
+    assert("BroadcastHashJoin.*\\[g#".r.findFirstIn(plan).isEmpty,
+      s"forced shape still broadcasts the repeated-gram set:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // both shapes certify the same cleaned corpus
+    val default = graft.operators.Dedup.spanDedupCore(docs, 50).collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars_cut"), r.getAs[String]("cut_ranges"))
+    assert(forcedRows.map(key).toSet == default.map(key).toSet,
+      "forced-shuffle shape cuts differently from the broadcast shape")
+    CacheRegistry.releaseAll()
+  }
+
   test("dedup_substring stays in fixed-width codegen aggregation — no object-agg, no unbounded buffer") {
     val df = graft.operators.Dedup.dedupSubstring(spark, Sf)
     df.collect()
