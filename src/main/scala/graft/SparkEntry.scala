@@ -306,7 +306,7 @@ object SparkEntry {
        |      text || ' contact user' || doc_id || '@example.com from 10.' ||
        |      (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.' || (doc_id % 200 + 1)
        |    ELSE text END AS raw
-       |  FROM documents WHERE doc_id % 10 = 0 AND doc_id >= $nEval),
+       |  FROM documents),
        |cleaned AS (
        |  SELECT doc_id,
        |    (len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
@@ -315,13 +315,15 @@ object SparkEntry {
        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
        |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS clean
        |  FROM scrub),
+       |${spanCutCtesSql(textExpr = "clean", fromRel = "cleaned")},
        |q AS (
-       |  SELECT doc_id, n_pii,
-       |    len(regexp_extract_all(clean, '\\S+'))::BIGINT AS words,
-       |    round(len(regexp_extract_all(clean, '[A-Za-z]')) / greatest(length(clean), 1), 4) AS alpha_ratio,
-       |    (len(regexp_extract_all(clean, '\\S+')) >= $minWords
-       |     AND len(regexp_extract_all(clean, '[A-Za-z]')) / greatest(length(clean), 1) >= $minAlpha) AS passed_quality
-       |  FROM cleaned),
+       |  SELECT cd.doc_id, cl.n_pii, cd.n_spans_cut, cd.n_chars_cut,
+       |    len(regexp_extract_all(cd.text, '\\S+'))::BIGINT AS words,
+       |    round(len(regexp_extract_all(cd.text, '[A-Za-z]')) / greatest(length(cd.text), 1), 4) AS alpha_ratio,
+       |    (len(regexp_extract_all(cd.text, '\\S+')) >= $minWords
+       |     AND len(regexp_extract_all(cd.text, '[A-Za-z]')) / greatest(length(cd.text), 1) >= $minAlpha) AS passed_quality
+       |  FROM cleandocs cd JOIN cleaned cl USING (doc_id)
+       |  WHERE cd.doc_id % 10 = 0 AND cd.doc_id >= $nEval),
        |dsh AS (
        |  SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS INT), 20) AS g
        |  FROM (SELECT doc_id, text, unnest(range(1, greatest(length(text) - 19, 1) + 1)) AS i
@@ -331,7 +333,8 @@ object SparkEntry {
        |  SELECT DISTINCT doc_id FROM dsh
        |  WHERE doc_id >= $nEval AND g IN (SELECT g FROM ev)),
        |flags AS (
-       |  SELECT q.doc_id, q.n_pii, q.words, q.alpha_ratio, q.passed_quality,
+       |  SELECT q.doc_id, q.n_pii, q.n_spans_cut, q.n_chars_cut,
+       |    q.words, q.alpha_ratio, q.passed_quality,
        |    (c.doc_id IS NOT NULL) AS contaminated, sf.exact_dup, sf.near_dup,
        |    (q.passed_quality AND c.doc_id IS NULL
        |     AND NOT sf.exact_dup AND NOT sf.near_dup) AS accepted
@@ -348,7 +351,8 @@ object SparkEntry {
        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
        |      - words) // $seqLen)::BIGINT AS pack_bin
        |  FROM keyed)
-       |SELECT f.doc_id, f.n_pii, f.words, f.alpha_ratio, f.passed_quality,
+       |SELECT f.doc_id, f.n_pii, f.n_spans_cut, f.n_chars_cut,
+       |  f.words, f.alpha_ratio, f.passed_quality,
        |  f.contaminated, f.exact_dup, f.near_dup, f.accepted,
        |  coalesce(p.pack_shard, -1)::BIGINT AS pack_shard,
        |  coalesce(p.pack_bin, -1)::BIGINT AS pack_bin
@@ -515,11 +519,12 @@ object SparkEntry {
   private val multibyteTextSql: String =
     "CASE WHEN doc_id % 3 = 0 THEN replace(replace(text, 'e', 'é'), 'o', 'ø') ELSE text END"
 
-  private def spanCutCtesSql(textExpr: String = "text"): String =
+  private def spanCutCtesSql(textExpr: String = "text",
+                             fromRel: String = "documents"): String =
     s"""d AS (
       |  SELECT doc_id, $textExpr AS text, length($textExpr) AS len,
       |         length($textExpr) = strlen($textExpr) AS is_ascii
-      |  FROM documents),
+      |  FROM $fromRel),
       |pos AS (
       |  SELECT doc_id, unnest(range(0, len - 49)) AS p
       |  FROM d WHERE len >= 50 AND length(lower(text)) = len),

@@ -364,43 +364,65 @@ object TextAnalysis {
   /** The CAPSTONE composition (`pipe_full_ingest`) — the dataset-card
     * pipeline a user actually runs, chained in ONE plan over the
     * incoming shard (doc_id % 10 = 0, eval ids excluded):
-    * PII scrub (planted ground truth, redaction) → quality gate on
-    * the SCRUBBED text → eval-set decontamination (20-gram overlap,
+    * PII scrub (planted ground truth, redaction) → span-level dedup
+    * of repeated ≥50-char runs on the scrubbed text
+    * ([[Dedup.spanDedupCore]], the Lee et al. 2021 intervention in
+    * the `pipe_span_ingest` cut-before-gate order; gram scope is the
+    * FULL corpus — an incoming page's boilerplate repeats against
+    * what is already ingested, not just against the rest of its own
+    * 10% shard, so a shard-local count would miss most real cuts) →
+    * quality gate on the CUT text → eval-set decontamination
+    * (20-gram overlap,
     * [[pipeDecontaminate]]) → corpus dedup probes (exact 192-bit +
     * minhash band collision, [[Dedup.dedupIncremental]]) →
     * shuffle-pack of the ACCEPTED docs into (shard, bin) manifest
-    * slots ([[pipeShufflePack]]'s keyed order). One row per incoming
-    * doc: every gate's verdict, the accept decision, and the pack
-    * assignment (−1s when rejected) — end-to-end oracle-checked, so
-    * the COMPOSITION (not just each stage) is hash-verified.
+    * slots ([[pipeShufflePack]]'s keyed order), bins sized by the
+    * POST-CUT word counts (the tokens that actually train). One row
+    * per incoming doc: every gate's verdict, the cut evidence
+    * (n_spans_cut / n_chars_cut — never silent), the accept decision,
+    * and the pack assignment (−1s when rejected) — end-to-end
+    * oracle-checked, so the COMPOSITION (not just each stage) is
+    * hash-verified. (A streaming deployment would swap the corpus
+    * gram scan for a persisted gram index, the
+    * dedupIncrementalPersisted discipline — same probe shape.)
     *
     * Plan shape at 100 TB: each gate is the operator it reuses —
-    * map-only scrub/quality, broadcast eval-shingle semi-join,
+    * map-only scrub/quality, the span cutter's broadcast-probed gram
+    * scan with hit-sized windows, broadcast eval-shingle semi-join,
     * broadcast-probed corpus scans — then one window over accepted
-    * docs partitioned by pack shard. Nothing new shuffles; the
-    * composition is plan fusion, not materialized stages. */
+    * docs partitioned by pack shard. Nothing new shuffles beyond the
+    * cutter's hit-sized streams; the composition is plan fusion, not
+    * materialized stages. */
   def pipeFullIngest(s: SparkSession, dir: String, minWords: Int = 30,
                      minAlpha: Double = 0.6, nEval: Long = 10, nShards: Int = 4,
                      seqLen: Int = 256, seed: Int = 42): DataFrame = {
     val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
     val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-    val shard = Tables.documents(s, dir)
-      .filter(col("doc_id") % 10 === 0 && col("doc_id") >= nEval)
-      .withColumn("raw",
-        when(col("doc_id") % 7 === 0,
-          concat(col("text"), lit(" contact user"), col("doc_id"),
-            lit("@example.com from 10."), col("doc_id") % 256,
-            lit("."), (col("doc_id") * 7) % 256,
-            lit("."), col("doc_id") % 200 + 1))
-          .otherwise(col("text")))
+    // scrub is deterministic per doc_id, so it can run corpus-wide:
+    // the gram count needs every document's scrubbed text, the shard
+    // rows are filtered out of the same frame below
+    val scrubAll = Tables.documents(s, dir)
+      .withColumn("raw", piiRawCol)
       .withColumn("clean",
         regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"), ipRe, "<IP>"))
+    val shard = scrubAll
+      .filter(col("doc_id") % 10 === 0 && col("doc_id") >= nEval)
       .withColumn("n_pii",
         (size(regexp_extract_all(col("raw"), lit(emailRe), lit(0))) +
           size(regexp_extract_all(col("raw"), lit(ipRe), lit(0)))).cast("long"))
-      .withColumn("words", nWords(col("clean")))
-      .withColumn("ar", charCount(col("clean"), "[A-Za-z]") / greatest(length(col("clean")), lit(1)))
-    val flagged = shard
+    // cut-before-gate: spans repeated anywhere in the scrubbed CORPUS
+    // are removed from the incoming docs, quality signals computed on
+    // what survives (the inner join below keeps shard rows only)
+    val cut = graft.operators.Dedup.spanDedupCore(
+        scrubAll.select(col("doc_id"), col("clean").as("text")), n = 50,
+        cacheGrams = Tables.rowCount(s, dir, "documents") <= 20000)
+      .select(col("doc_id"), col("n_spans_cut"), col("n_chars_cut"),
+        col("clean_text"))
+    val gated = shard.join(cut, Seq("doc_id"))
+      .withColumn("words", nWords(col("clean_text")))
+      .withColumn("ar", charCount(col("clean_text"), "[A-Za-z]") /
+        greatest(length(col("clean_text")), lit(1)))
+    val flagged = gated
       .join(pipeDecontaminate(s, dir, nEval = nEval), Seq("doc_id"))
       .join(graft.operators.Dedup.dedupIncremental(s, dir), Seq("doc_id"))
       .withColumn("passed_quality", col("words") >= minWords && col("ar") >= minAlpha)
@@ -415,7 +437,8 @@ object TextAnalysis {
       .withColumn("pack_bin", floor((col("cum") - col("words")) / seqLen))
       .select(col("doc_id"), col("pack_shard"), col("pack_bin"))
     flagged.join(packed, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_pii"), col("words"),
+      .select(col("doc_id"), col("n_pii"), col("n_spans_cut"),
+        col("n_chars_cut"), col("words"),
         round(col("ar"), 4).as("alpha_ratio"),
         col("passed_quality"), col("contaminated"), col("exact_dup"),
         col("near_dup"), col("accepted"),

@@ -435,6 +435,35 @@ class TextMultimodalSpec extends SparkSpec {
     // the run must be non-vacuous: both accepted docs and rejections
     assert(rows.exists(_.getAs[Boolean]("accepted")))
     assert(rows.exists(r => !r.getAs[Boolean]("accepted")))
+    // span-cut evidence equals the standalone cutter run on the same
+    // corpus-wide scrubbed frame (cut-before-gate: words/quality are
+    // computed on the CUT text, so the whole downstream verdict chain
+    // depends on this stage matching)
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val scrubAll = Tables.documents(spark, Sf)
+      .withColumn("raw", TextAnalysis.piiRawCol)
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("raw"), emailRe, "<EMAIL>"), ipRe, "<IP>")
+          .as("text"))
+    val standalone = graft.operators.Dedup.spanDedupCore(scrubAll, 50)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_spans_cut"), r.getAs[Long]("n_chars_cut"),
+          r.getAs[String]("clean_text")))).toMap
+    var anyCut = false
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val (sp, ch, cleanText) = standalone(id)
+      assert(r.getAs[Long]("n_spans_cut") == sp && r.getAs[Long]("n_chars_cut") == ch,
+        s"doc $id: capstone cut evidence diverges from standalone spanDedupCore")
+      // and the gate really ran on the cut text
+      val expWords = cleanText.split("\\s+").count(_.nonEmpty).toLong
+      assert(r.getAs[Long]("words") == expWords,
+        s"doc $id: capstone word count not computed on the cut text")
+      if (sp > 0) anyCut = true
+    }
+    assert(anyCut, "no shard doc was span-cut — the capstone's cut stage is vacuous here")
+    CacheRegistry.releaseAll()
   }
 
   test("corpus invariant backing the mm_decode*/raw byte-sum oracles: non-empty ASCII text") {
