@@ -4,6 +4,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // warm (default): operators persist multi-consumer subtrees, the
+    // timed pair measures the resident steady state — but per-query
+    // bytes then depend on whether the warm run's cache SURVIVED into
+    // the timed runs (memory pressure, eviction), which round 15's
+    // drift flags proved is host-state-dependent. cold: tracked
+    // caching disabled entirely — hermetic recompute plans. The two
+    // modes keep SEPARATE committed baselines (bench_out.json /
+    // bench_cold_out.json) so drift compares like with like.
+    val cacheMode = sys.env.getOrElse("SPARK_GRAFT_BENCH_CACHE", "warm")
+    require(cacheMode == "warm" || cacheMode == "cold",
+      s"SPARK_GRAFT_BENCH_CACHE must be warm|cold, got $cacheMode")
+    CacheRegistry.disabled = cacheMode == "cold"
+    val baselineFile = if (cacheMode == "cold") "bench_cold_out.json" else "bench_out.json"
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -53,7 +66,7 @@ object Bench {
     // maps are this tool's own single-line emission format.
     def priorMap(key: String): Option[Map[String, Double]] =
       try {
-        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get("bench_out.json"))
+        val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(baselineFile))
         val tag = "\"" + key + "\":{"
         val at = txt.indexOf(tag)
         if (at < 0) None
@@ -152,6 +165,19 @@ object Bench {
       // costs nothing when the pair already agrees (steady state).
       val all = if (two.max > two.min * 1.3) two :+ timedOnce() else two
       val dt = all.min
+      // Cache-state fingerprint AT MEASUREMENT END, before the
+      // release: n tracked frames, cached/total partitions, bytes in
+      // memory/disk. A drift flag whose shuffle bytes moved at
+      // identical code now self-arbitrates — parts < total here means
+      // the warm run's cache was evicted under pressure and the timed
+      // runs re-shuffled (host state), not that the plan changed.
+      val cacheState = {
+        val infos = spark.sparkContext.getRDDStorageInfo
+        val parts = infos.map(_.numCachedPartitions).sum
+        val total = infos.map(_.numPartitions).sum
+        s"n=${CacheRegistry.trackedCount},parts=$parts/$total," +
+          s"mem=${infos.map(_.memSize).sum},disk=${infos.map(_.diskSize).sum}"
+      }
       // blocking: the previous query's block drop must finish here,
       // not during the next query's timed run
       CacheRegistry.releaseAll(blocking = true)
@@ -182,7 +208,7 @@ object Bench {
       drainListenerBus() // every timed-run event delivered before the read
       val shPerRun = (byteCounter.shuffle.get - sh0) / all.size
       val inPerRun = (byteCounter.input.get - in0) / all.size
-      (name, dt, shPerRun, inPerRun)
+      (name, dt, shPerRun, inPerRun, cacheState)
     }
     // 3-decimal timings keep the whole line inside a tail-capture
     // window (~40% shorter than raw doubles)
@@ -192,12 +218,14 @@ object Bench {
     // queries — the ones a reader grades — always survive; what
     // truncates is the sub-0.3 s noise floor. The complete map is in
     // bench_out.json (committed) either way.
-    val qs = results.sortBy(_._2).map { case (k, v, _, _) => s"\"" + k + "\":" + f3(v) }
+    val qs = results.sortBy(_._2).map { case (k, v, _, _, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val shuffleBytes = results.sortBy(_._2)
-      .map { case (k, _, sh, _) => s"\"" + k + "\":" + sh }.mkString("{", ",", "}")
+      .map { case (k, _, sh, _, _) => s"\"" + k + "\":" + sh }.mkString("{", ",", "}")
     val inputBytes = results.sortBy(_._2)
-      .map { case (k, _, _, in) => s"\"" + k + "\":" + in }.mkString("{", ",", "}")
+      .map { case (k, _, _, in, _) => s"\"" + k + "\":" + in }.mkString("{", ",", "}")
+    val cacheStates = results.sortBy(_._2)
+      .map { case (k, _, _, _, cs) => s"\"" + k + "\":\"" + cs + "\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val drift = confDrift.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Timing drift vs the previously COMMITTED per-query map: conf
@@ -214,7 +242,7 @@ object Bench {
     // data didn't move, the host did) vs `sh:OLD->NEW` (a structural
     // change — code or input data). No prior bytes → no annotation.
     val timeDrift: Seq[String] = priorQueries match {
-      case Some(prior) => results.flatMap { case (k, v, sh, _) =>
+      case Some(prior) => results.flatMap { case (k, v, sh, _, _) =>
         prior.get(k).collect {
           case p if math.max(p, v) >= 0.25 && (v > p * 1.8 || v < p * 0.55) =>
             val ann = priorShuffle.flatMap(_.get(k)).map { psh =>
@@ -238,8 +266,8 @@ object Bench {
     // the headline number impossible to drift from the code again.
     val nq = SparkEntry.queries.size
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":$nq,"queries":$qs,"shuffle_bytes":$shuffleBytes,"input_bytes":$inputBytes,"failed":$fails,"time_drift":$tdrift,"conf_drift":$drift,"sf":"$sfDir"}"""
-    val totalLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":$nq,"n_failed":${failed.size},"n_time_drift":${timeDrift.size},"conf_drift":$drift,"full":"bench_out.json","sf":"$sfDir"}"""
+    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":$nq,"cache_mode":"$cacheMode","queries":$qs,"shuffle_bytes":$shuffleBytes,"input_bytes":$inputBytes,"cache_state":$cacheStates,"failed":$fails,"time_drift":$tdrift,"conf_drift":$drift,"sf":"$sfDir"}"""
+    val totalLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","n_queries":$nq,"cache_mode":"$cacheMode","n_failed":${failed.size},"n_time_drift":${timeDrift.size},"conf_drift":$drift,"full":"$baselineFile","sf":"$sfDir"}"""
     // sbt prefixes forked stdout with [info], which defeats line-level
     // JSON parsing — also write the bare full line (with the per-query
     // map) where a harness can read it directly.
@@ -251,7 +279,7 @@ object Bench {
     // read as a regression (the round-7 failure mode, now surfaced
     // via `failed` but previously still persisted).
     val outFiles = if (args.nonEmpty || failed.nonEmpty) Seq("target/bench.json")
-                   else Seq("target/bench.json", "bench_out.json")
+                   else Seq("target/bench.json", baselineFile)
     for (p <- outFiles) {
       try {
         val path = java.nio.file.Paths.get(p)

@@ -13,12 +13,28 @@ import org.apache.spark.storage.StorageLevel
 object CacheRegistry {
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
+  /** When true, [[cache]] is a no-op passthrough — the bench's
+    * cache-cold mode (SPARK_GRAFT_BENCH_CACHE=cold): every operator
+    * runs its pure recompute plan, so per-query timings and shuffle
+    * bytes carry NO tracked-cache state and are hermetic w.r.t.
+    * execution order and memory pressure. Warm (default) measures the
+    * steady state a resident pipeline would see; cold is the
+    * arbitration baseline when a drift flag's shuffle bytes moved at
+    * identical code (round-15's recurring flag class). */
+  @volatile var disabled: Boolean = false
+
   /** Persist (memory-and-disk) and remember for the next releaseAll. */
   def cache(df: DataFrame): DataFrame = synchronized {
-    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
-    tracked += p
-    p
+    if (disabled) df
+    else {
+      val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+      tracked += p
+      p
+    }
   }
+
+  /** Number of frames currently tracked (bench cache-state probe). */
+  def trackedCount: Int = synchronized { tracked.size }
 
   /** Unpersist everything cached since the last release. Double
     * unpersist (e.g. frames an iterative loop already dropped) is a

@@ -1498,8 +1498,16 @@ object Similarity {
     // its hash COULD belong to the bottom-SeedSampleCap of the grown
     // corpus — any h ≤ the kept set's max (which never grows: admitted
     // rows satisfy the same bound), or everything while the set is
-    // under capacity. The kept rows are a SUPERSET of the true bottom
-    // set; [[informedSeedSample]]'s read-time prune restores the exact
+    // under capacity — AND cap admissions at SeedSampleCap bottom-
+    // (bk, b) rows per append: a single large append to a fresh or
+    // under-capacity artifact would otherwise write O(batch) sample
+    // rows (the health spec's 8× balloon), unbounded storage between
+    // rebuilds for rows the read-time prune discards anyway. A fresh
+    // row in the true bottom set of the grown corpus is necessarily
+    // within the bottom cap of THIS batch (fewer than cap union rows
+    // below it ⇒ fewer than cap fresh rows below it), so the kept
+    // set stays a superset of the true bottom set;
+    // [[informedSeedSample]]'s read-time prune restores the exact
     // inline sample. One bounded aggregate over ≤ ~cap kept rows per
     // append; expected admissions decay as cap/n.
     val samp = s.table(table).filter(col("t") === -1)
@@ -1509,6 +1517,7 @@ object Similarity {
     val sampleRows = fresh
       .select(col("vec_id").as("b"), xxhash64(col("vec_id")).as("bk"))
       .filter(lit(underCap) || col("bk") <= maxKept)
+      .orderBy(col("bk"), col("b")).limit(SeedSampleCap)
       .select(lit(-1).as("t"), col("bk"), col("b"))
     bucketRows.union(sampleRows)
       .repartition(col("t"), col("bk"))
@@ -1524,7 +1533,7 @@ object Similarity {
   def informedSeedMates(s: SparkSession, dir: String,
                         queries: DataFrame): DataFrame = {
     val table = lshSeedTable(s, dir)
-    // plane count parsed from the RESOLVED table's _p<n>_v1 suffix —
+    // plane count parsed from the RESOLVED table's _p<n>_v<k> suffix —
     // the single source of truth. Re-deriving from the current corpus
     // count would, after growth across a plane-count boundary (a
     // GraphIngest loop appending to a pinned-plane table), silently
@@ -1761,6 +1770,96 @@ object Similarity {
       graphSearchFilteredAdaptive(graph, corpus, queries, allowed, k,
         beam, hops)
     }
+
+  /** PER-SEGMENT serving-tier quality row — [[graphServeRecallRow]]'s
+    * sibling for the declared-hot-filter path: walk the persisted
+    * SEGMENT graph ([[knnGraphSegmentTableFor]], the table
+    * [[knnGraphAppend]]/[[knnGraphForget]] mutate in production) with
+    * the registry walk parameters and score against exact brute force
+    * over the CURRENT segment members. One row per call:
+    * (segment, n_segment, n_exact, n_ann, n_hit, recall) — the number
+    * a rollout watches per hot segment, which the full-corpus row
+    * cannot see (a stale or degraded segment graph serves every
+    * `lang = X` query while the global dashboards stay green). Exact
+    * side is O(queries × segment) — the per-segment analog of
+    * [[graphServeRecallRow]]'s sampled-truth methodology; run on a
+    * sample cadence at scale. */
+  def segmentServeRecallRow(s: SparkSession, dir: String, lang: String = "en",
+                            nQueries: Int = 5, k: Int = 10, beam: Int = 20,
+                            hops: Int = 3, graphK: Int = 10,
+                            graphIters: Int = 3): DataFrame = {
+    val memberRows = segmentMembers(s, dir, lang)
+    val table = knnGraphSegmentTableFor(s, dir, lang, memberRows,
+      graphK, graphIters)
+    val graph = s.table(table)
+      .select(col("vec_id").as("ga"), col("nbr_id").as("gb"))
+    val members = memberRows
+      .select(col("vec_id"), asDouble(col("embedding")).as("v")).cacheTracked
+    val queries = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
+      .cacheTracked
+    val seeds = denseLcgSeeds(members.select("vec_id"),
+      queries.select("qid"), "qid", beam)
+    val served = graphSearchCore(graph, members, queries, k, beam, hops,
+      seedsOverride = Some(seeds))
+    val exact = queries.join(members.select(col("vec_id"), col("v")),
+        col("qid") =!= col("vec_id"))
+      .withColumn("c", cosine(col("qv"), col("v")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("c").desc, col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select("qid", "vec_id").cacheTracked
+    val annIds = served.select("qid", "vec_id").cacheTracked
+    val hit = annIds.join(exact, Seq("qid", "vec_id"), "left_semi")
+    // one-row scalar attaches (the dedup_eval crossJoin shape)
+    members.agg(count(lit(1)).as("n_segment"))
+      .crossJoin(exact.agg(count(lit(1)).as("n_exact")))
+      .crossJoin(annIds.agg(count(lit(1)).as("n_ann")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(lit(lang).as("segment"), col("n_segment"),
+        col("n_exact"), col("n_ann"), col("n_hit"),
+        round(when(col("n_exact") === 0, 0.0)
+          .otherwise(col("n_hit").cast("double") / col("n_exact").cast("double")), 4)
+          .as("recall"))
+  }
+
+  /** GRAPH-ARTIFACT health row — coverage staleness for any persisted
+    * k-NN graph table (full-corpus or per-segment) against the member
+    * set it is supposed to serve, the [[seedArtifactHealthRow]]
+    * discipline applied to the graph itself: an ingest loop that
+    * appends members without [[knnGraphAppend]]-ing the graph (or a
+    * membership change that strands old vertices) degrades serving
+    * SILENTLY — missing members can never be answered by the walk,
+    * orphaned vertices serve answers OUTSIDE the declared segment (a
+    * filter-correctness leak, not just a quality one). One row:
+    * member/vertex counts, `n_missing` (members absent from the graph,
+    * `stale` past 5%), `n_orphans` (vertices no longer members,
+    * `filter_leak` when any), `mean_degree`. All bounded key joins on
+    * vec_id — O(members + graph), nothing collected. */
+  def graphArtifactHealthRow(s: SparkSession, table: String,
+                             members: DataFrame): DataFrame = {
+    StagedRewrite.recover(s, table)
+    val g = s.table(table)
+    val verts = g.select("vec_id").distinct().cacheTracked
+    val mem = members.select("vec_id").cacheTracked
+    val missing = mem.join(verts, Seq("vec_id"), "left_anti")
+    val orphans = verts.join(mem, Seq("vec_id"), "left_anti")
+    val deg = g.groupBy("vec_id").agg(count(lit(1)).as("d"))
+      .agg(round(avg(col("d")), 2).as("mean_degree"))
+    mem.agg(count(lit(1)).as("n_members")) // one-row scalar attaches
+      .crossJoin(verts.agg(count(lit(1)).as("n_vertices")))
+      .crossJoin(missing.agg(count(lit(1)).as("n_missing")))
+      .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+      .crossJoin(deg)
+      .select(lit(table).as("table"), col("n_members"), col("n_vertices"),
+        col("n_missing"), col("n_orphans"), col("mean_degree"),
+        round(col("n_missing").cast("double") /
+          greatest(col("n_members"), lit(1L)).cast("double"), 4).as("missing_frac"),
+        (col("n_missing").cast("double") >
+          greatest(col("n_members"), lit(1L)).cast("double") * 0.05).as("stale"),
+        (col("n_orphans") > 0).as("filter_leak"))
+  }
 
   /** PRODUCTION form of [[simKnnGraph]] — NN-Descent run TO
     * CONVERGENCE instead of a fixed round count. The registry's

@@ -3,14 +3,24 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Scale measurement for [[graft.operators.Dedup.pipeSpanDedup]]
-  * (dev tool — the ProfileGraphServe discipline for the span cutter):
-  * run the cut on a dir, report wall time, docs-with-cuts, and the
-  * cut-character fraction. The 10×-replica is the WORST CASE by
-  * construction: every document's text repeats across ten replicas
-  * (modulo the per-replica suffix), so hit volume ≈ the whole corpus
-  * — the "hits ∝ duplicated text" bound with duplicated-text ≈ 100%.
-  * The natural twin is the opposite pole (near-zero duplication). */
+/** Scale measurement for the span-cut family (dev tool — the
+  * ProfileGraphServe discipline): run each variant on a dir, report
+  * wall time, docs-with-cuts, and the cut-character fraction. The
+  * 10×-replica is the WORST CASE by construction: every document's
+  * text repeats across ten replicas (modulo the per-replica suffix),
+  * so hit volume ≈ the whole corpus — the "hits ∝ duplicated text"
+  * bound with duplicated-text ≈ 100%. The natural twin is the
+  * opposite pole (near-zero duplication).
+  *
+  * Three rows per dir:
+  *   - `remove-all` — [[graft.operators.Dedup.pipeSpanDedup]]'s
+  *     broadcast-probe shape (the below-threshold default);
+  *   - `remove-all/forced-shuffle` — the past-broadcast fallback
+  *     (forceGramShuffle: one explicit gram exchange both consumers
+  *     reuse), measured on the SAME data so the crossover between
+  *     the two shapes is a number, not a guess;
+  *   - `keep-first` — the boundary sweep at its worst case
+  *     (maximal keepers + maximal hits on the replica). */
 object ProfileSpan {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
@@ -24,22 +34,35 @@ object ProfileSpan {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def run(): Unit = {
+    import org.apache.spark.sql.DataFrame
+    def docs: DataFrame = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    def run(label: String, df: => DataFrame): Unit = {
       val t0 = System.nanoTime()
-      val agg = graft.operators.Dedup.pipeSpanDedup(spark, sfDir)
+      val agg = df
         .agg(count(lit(1)).as("docs"),
           sum((col("n_spans_cut") > 0).cast("long")).as("docs_cut"),
           sum(col("n_chars_cut")).as("chars_cut"),
-          sum(col("clean_len") + col("n_chars_cut")).as("chars_total"))
+          sum(length(col("clean_text")).cast("long") + col("n_chars_cut")).as("chars_total"))
         .collect()(0)
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[span] $sfDir%s: ${agg.getLong(0)}%d docs, " +
+      graft.CacheRegistry.releaseAll(blocking = true)
+      println(f"[span] $label%-26s $sfDir%s: ${agg.getLong(0)}%d docs, " +
         f"${agg.getLong(1)}%d with cuts, " +
         f"${agg.getLong(2).toDouble / agg.getLong(3)}%.3f of chars cut, " +
         f"$dt%.2f s")
     }
-    run() // warm: JIT + codegen + footers
-    run()
+    val cacheGrams = graft.Tables.rowCount(spark, sfDir, "documents") <= 20000
+    // warm pass (JIT + codegen + footers), then one timed pass each
+    for (pass <- Seq("warm", "timed")) {
+      run(s"remove-all/$pass",
+        graft.operators.Dedup.spanDedupCore(docs, 50, cacheGrams))
+      run(s"remove-all/forced/$pass",
+        graft.operators.Dedup.spanDedupCore(docs, 50, cacheGrams,
+          forceGramShuffle = true))
+      run(s"keep-first/$pass",
+        graft.operators.Dedup.spanDedupKeepFirstCore(docs, 50, cacheGrams))
+    }
     spark.stop()
   }
 }

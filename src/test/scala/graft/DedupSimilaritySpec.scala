@@ -1676,6 +1676,13 @@ class DedupSimilaritySpec extends SparkSpec {
             org.apache.spark.sql.types.LongType))))
       .write.format("parquet").saveAsTable(specT)
     Similarity.lshSeedAppend(spark, specT, synth.filter(col("vec_id") % 3 =!= 0))
+    // admissions are capped PER APPEND: the first batch (~667 ids,
+    // > cap) into an empty under-capacity store must not balloon the
+    // t = -1 set past SeedSampleCap — only the batch's bottom-(bk, b)
+    // rows are admitted (they contain every true-bottom candidate)
+    val keptAfterFirst = spark.table(specT).filter(col("t") === -1).count()
+    assert(keptAfterFirst <= Similarity.SeedSampleCap,
+      s"single oversized append admitted $keptAfterFirst sample rows — per-append cap broken")
     Similarity.lshSeedAppend(spark, specT, synth)
     val kept = spark.table(specT).filter(col("t") === -1)
     // superset of the true bottom set, never a miss
@@ -1992,10 +1999,21 @@ class DedupSimilaritySpec extends SparkSpec {
       s"two-boundary drift did not fire the staleness flag: $row")
     assert(row.getAs[Double]("mean_bucket") > 2.0,
       s"occupancy should show fattened buckets past the ~2 basin target: $row")
-    // built under capacity then grown far past it: the t = -1 superset
-    // balloons (every append admits everything) — flagged for rebuild
-    assert(row.getAs[Boolean]("sample_over_cap"),
-      s"ballooned under-capacity sample not flagged: $row")
+    // per-append admission cap: even built under capacity then grown
+    // 8x, the t = -1 superset stays O(cap) per append (two appends
+    // here) — the r15 balloon scenario is structurally impossible now
+    assert(row.getAs[Long]("sample_rows") <= 2L * Similarity.SeedSampleCap &&
+      !row.getAs[Boolean]("sample_over_cap"),
+      s"bounded admissions should keep the sample under 2x cap: $row")
+    // the over-cap flag still guards LEGACY/externally-written
+    // artifacts: plant a raw oversized t = -1 set and it must fire
+    spark.range(4L * Similarity.SeedSampleCap + 1)
+      .select(lit(-1).as("t"), xxhash64(col("id") + 90000L).as("bk"),
+        (col("id") + 90000L).as("b"))
+      .write.mode("append").insertInto(specT)
+    val legacy = Similarity.seedArtifactHealthRow(spark, specT, grown).collect()(0)
+    assert(legacy.getAs[Boolean]("sample_over_cap"),
+      s"oversized legacy sample not flagged: $legacy")
     spark.sql(s"DROP TABLE IF EXISTS $specT")
     grown.unpersist()
     CacheRegistry.releaseAll()
@@ -2155,6 +2173,51 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(servedProd.exceptAll(exact).isEmpty && exact.exceptAll(servedProd).isEmpty,
       "converged+informed segment serving diverges from exact brute force")
     Seq(segT, segTc).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    CacheRegistry.releaseAll()
+  }
+
+  test("segment serving dashboard: per-segment recall row holds a floor; graph health row flags coverage drift") {
+    import org.apache.spark.sql.functions._
+    // recall row over the real en segment graph (the table the
+    // registry walk serves from)
+    val row = Similarity.segmentServeRecallRow(spark, Sf).collect()(0)
+    assert(row.getAs[String]("segment") == "en" &&
+      row.getAs[Long]("n_segment") > 0L)
+    assert(row.getAs[Long]("n_ann") == row.getAs[Long]("n_exact"),
+      s"segment serving returned short answers: $row")
+    assert(row.getAs[Double]("recall") >= 0.9,
+      s"per-segment serve recall below floor: $row")
+    // graph health on a synthetic segment: fresh build is clean
+    val members = Tables.embeddings(spark, Sf)
+      .filter(col("vec_id") % 2 === 0).select("vec_id", "embedding").cache()
+    val segT = Similarity.knnGraphSegmentTableFor(spark, Sf, "spechealth", members)
+    def health(m: org.apache.spark.sql.DataFrame) =
+      Similarity.graphArtifactHealthRow(spark, segT, m).collect()(0)
+    val fresh = health(members)
+    assert(fresh.getAs[Long]("n_missing") == 0L && fresh.getAs[Long]("n_orphans") == 0L &&
+      !fresh.getAs[Boolean]("stale") && !fresh.getAs[Boolean]("filter_leak"),
+      s"fresh segment graph reported unhealthy: $fresh")
+    // membership grown WITHOUT a graph append — the silent-degradation
+    // scenario the row exists for: missing members can never be served
+    val grown = members.union(
+      members.select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))).cache()
+    val drifted = health(grown)
+    assert(drifted.getAs[Long]("n_missing") == members.count() &&
+      drifted.getAs[Boolean]("stale"),
+      s"half-missing membership did not flag stale: $drifted")
+    // knnGraphAppend brings the graph up to date — the row heals
+    Similarity.knnGraphAppend(spark, segT, grown)
+    val healed = health(grown)
+    assert(healed.getAs[Long]("n_missing") == 0L && !healed.getAs[Boolean]("stale"),
+      s"graph append did not clear the staleness flag: $healed")
+    // membership SHRUNK below the graph (docs re-tagged/removed):
+    // orphaned vertices would serve answers OUTSIDE the segment —
+    // a filter-correctness leak, flagged on any orphan
+    val leak = health(grown.filter(col("vec_id") % 4 === 0))
+    assert(leak.getAs[Long]("n_orphans") > 0L && leak.getAs[Boolean]("filter_leak"),
+      s"orphaned vertices not flagged as a filter leak: $leak")
+    spark.sql(s"DROP TABLE IF EXISTS $segT")
+    members.unpersist(); grown.unpersist()
     CacheRegistry.releaseAll()
   }
 
