@@ -73,6 +73,11 @@ object GraphIngest {
     *   [[Similarity.seedArtifactHealthRow]] on a rollout cadence
     *   (`stale` fires at >1 plane drift, BEFORE the measured
     *   0.289-recall occupancy cliff) and rebuild when it flags.
+    *   The graph itself has the matching dashboard pair:
+    *   [[Similarity.graphArtifactHealthRow]] (member/vertex coverage —
+    *   an ingest loop that appends the corpus but crashes before the
+    *   graph swap shows up as `n_missing` > 0) and, for per-segment
+    *   graphs, [[Similarity.segmentServeRecallRow]].
     * @param afterBatch test seam fired after BOTH effects but before
     *   the commit log records the batch — throwing here simulates the
     *   worst crash window (all effects applied, nothing committed). */
