@@ -1332,22 +1332,59 @@ object Similarity {
     // sentinel table id t = -1 (bk = xxhash64(vec_id), the sort key;
     // bottom-[[SeedSampleCap]] ids) — see [[informedSeedSample]]
     val table = s"graft_lsh_seed_${slug}_${dirTag}_p${nPlanes}_v2"
+    buildSeedTableIfAbsent(s, table,
+      genPrefix = s"graft_lsh_seed_${slug}_${dirTag}_p",
+      corpus = corpus, nPlanes = nPlanes)
+    table
+  }
+
+  /** PER-SEGMENT seed-bucket artifact — [[lshSeedTable]] scoped to a
+    * declared segment's member set, keyed (dir, segKey): the serving
+    * piece that makes INFORMED per-segment walks
+    * ([[simGraphSearchSegment]] with `informedSeeds = true`, the
+    * large-segment production form) corpus-scan-free at serve time.
+    * Without it the informed segment walk re-hashes every segment
+    * member per serve batch — the same per-batch O(corpus) class the
+    * full-graph path eliminated in round 15. Plane count adaptive on
+    * SEGMENT size; same v2 schema (4 LSH tables + the t = -1 fallback
+    * sample), so [[seedMatesFromTable]], [[seedSampleRead]],
+    * [[lshSeedAppend]] and [[seedArtifactHealthRow]] all apply
+    * unchanged (table-parameterized lifecycle, like the segment
+    * graph's). Stale generations swept within the (dir, segKey)
+    * family only. */
+  def lshSeedTableSegment(s: SparkSession, dir: String, segKey: String,
+                          members: DataFrame): String = {
+    require(segKey.matches("[a-z0-9_]{1,32}"),
+      s"segment key must be a short lowercase slug, got '$segKey'")
+    val m = members.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val nPlanes = lshSeedPlaneCount(m.count())
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    val dirTag = (scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff).toHexString
+    val table = s"graft_lsh_seed_seg_${slug}_${dirTag}_${segKey}_p${nPlanes}_v2"
+    buildSeedTableIfAbsent(s, table,
+      genPrefix = s"graft_lsh_seed_seg_${slug}_${dirTag}_${segKey}_p",
+      corpus = m, nPlanes = nPlanes)
+    table
+  }
+
+  /** Shared build for the seed-bucket artifact family. The
+    * stale-generation sweep (the slug-migration discipline): after
+    * corpus growth crosses a plane boundary the adaptive count
+    * changes and a new session builds the new generation — without
+    * the drop the old one sits orphaned, and an ingest loop still
+    * holding its name would keep maintaining an artifact nothing
+    * serves from. The drop makes that divergence LOUD (the loop's
+    * next append fails → operator re-resolves) and reclaims the
+    * storage; seed buckets are derived state, so rebuild re-derives
+    * everything. The same sweep retires pre-sample `_p<n>_v1` schema
+    * generations. Inside the build branch only: the accessor sits on
+    * the per-batch serve path, and a catalog enumeration per batch
+    * would be pure overhead once the current generation exists (at
+    * which point prior builds already swept). */
+  private def buildSeedTableIfAbsent(s: SparkSession, table: String,
+                                     genPrefix: String, corpus: DataFrame,
+                                     nPlanes: Int): Unit =
     if (!s.catalog.tableExists(table)) {
-      // drop STALE generations of this dir's artifact (the
-      // slug-migration discipline): after corpus growth crosses a
-      // plane boundary the adaptive count changes and a new session
-      // builds the new generation — without the drop the old one sits
-      // orphaned, and an ingest loop still holding its name would
-      // keep maintaining an artifact nothing serves from. The drop
-      // makes that divergence LOUD (the loop's next append fails →
-      // operator re-resolves) and reclaims the storage; seed buckets
-      // are derived state, so there is nothing to migrate — rebuild
-      // re-derives everything. The same sweep retires pre-sample
-      // `_p<n>_v1` schema generations. Inside the build branch only:
-      // the accessor sits on the per-batch serve path, and a catalog
-      // enumeration per batch would be pure overhead once the current
-      // generation exists (at which point prior builds already swept).
-      val genPrefix = s"graft_lsh_seed_${slug}_${dirTag}_p"
       s.catalog.listTables().collect().map(_.name)
         .filter(n => n.startsWith(genPrefix) && n.matches(".*_p\\d+_v\\d+$")
           && n != table)
@@ -1372,8 +1409,6 @@ object Similarity {
         .repartition(col("t"), col("bk"))
         .write.format("parquet").saveAsTable(table)
     }
-    table
-  }
 
   /** Fallback-sample capacity persisted with [[lshSeedTable]] (t = -1
     * rows): serves any beam ≤ cap/4 table-fed. 512 covers the default
@@ -1531,8 +1566,14 @@ object Similarity {
     * spec-asserted), with the corpus-side hashing paid at build time
     * instead of per batch. */
   def informedSeedMates(s: SparkSession, dir: String,
-                        queries: DataFrame): DataFrame = {
-    val table = lshSeedTable(s, dir)
+                        queries: DataFrame): DataFrame =
+    seedMatesFromTable(s, lshSeedTable(s, dir), queries)
+
+  /** [[informedSeedMates]] on an already-resolved artifact table —
+    * the shared core the full-corpus and per-segment paths both
+    * call. */
+  private[graft] def seedMatesFromTable(s: SparkSession, table: String,
+                                        queries: DataFrame): DataFrame = {
     // plane count parsed from the RESOLVED table's _p<n>_v<k> suffix —
     // the single source of truth. Re-deriving from the current corpus
     // count would, after growth across a plane-count boundary (a
@@ -1731,10 +1772,19 @@ object Similarity {
     val queries = Tables.embeddings(s, dir)
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
-    if (informedSeeds)
+    if (informedSeeds) {
+      // large-segment production form, fully table-fed: mates + the
+      // fallback sample come from the per-segment seed artifact
+      // ([[lshSeedTableSegment]]), so seed derivation reads no
+      // member-sized input at serve time — the round-15 full-corpus
+      // discipline applied to the segment path (inline ≡ table-fed
+      // row identity spec'd, same planes / cap / fallback)
+      val seedT = lshSeedTableSegment(s, dir, lang, memberRows)
       graphSearchCore(graph, members, queries, k, beam, hops,
-        informedSeeds = true)
-    else {
+        informedSeeds = true,
+        seedMates = Some(seedMatesFromTable(s, seedT, queries)),
+        seedSample = Some(seedSampleRead(s.table(seedT), beam)))
+    } else {
       val seeds = denseLcgSeeds(members.select("vec_id"),
         queries.select("qid"), "qid", beam)
       graphSearchCore(graph, members, queries, k, beam, hops,

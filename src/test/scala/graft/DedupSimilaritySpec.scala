@@ -1612,6 +1612,67 @@ class DedupSimilaritySpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("per-segment seed artifact: table-fed informed segment serving equals inline, seeds artifact-only") {
+    import org.apache.spark.sql.functions._
+    // the round-15 full-corpus discipline applied to the segment
+    // path: informed per-segment walks previously re-hashed every
+    // segment member per serve batch; with lshSeedTableSegment the
+    // mates and the fallback sample both come from the persisted
+    // per-(dir, segKey) artifact, row-identical by construction
+    val memberRows = Tables.embeddings(spark, Sf).join(
+      Tables.documents(spark, Sf).filter(col("lang") === "en")
+        .select(col("doc_id").as("vec_id")),
+      Seq("vec_id"), "left_semi")
+    val members = memberRows
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+    val segGraphT = Similarity.knnGraphSegmentTableFor(spark, Sf, "en",
+      memberRows, 10, 3)
+    val graph = spark.table(segGraphT)
+      .select(col("vec_id").as("ga"), col("nbr_id").as("gb"))
+    val queries = Tables.embeddings(spark, Sf).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+        transform(col("embedding"), _.cast("double")).as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("cosine"))).toSet
+    val inline = rows(Similarity.graphSearchCore(graph, members, queries,
+      k = 10, beam = 20, hops = 3, informedSeeds = true))
+    // the public entry now takes the table-fed path for informed mode
+    val tableFed = rows(Similarity.simGraphSearchSegment(spark, Sf, "en",
+      informedSeeds = true))
+    assert(inline == tableFed && inline.nonEmpty,
+      s"table-fed informed segment serving diverges from inline: " +
+        s"extra=${(tableFed -- inline).take(3)} missing=${(inline -- tableFed).take(3)}")
+    // serve-time seed derivation reads ONLY the artifact: with the
+    // query batch as a LOCAL frame (arrived vectors, not a corpus
+    // read), neither the mates frame nor the sample frame may scan
+    // the embeddings parquet
+    val seedT = Similarity.lshSeedTableSegment(spark, Sf, "en", memberRows)
+    val localQueries = {
+      import spark.implicits._
+      queries.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toSeq.toDF("qid", "qv")
+    }
+    for ((label, df) <- Seq(
+        "mates" -> Similarity.seedMatesFromTable(spark, seedT, localQueries),
+        "sample" -> Similarity.seedSampleRead(spark.table(seedT), 20))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("embeddings"),
+        s"segment seed $label still scans the corpus parquet:\n$plan")
+      assert(plan.contains("graft_lsh_seed_seg"),
+        s"segment seed $label does not read the segment artifact:\n$plan")
+    }
+    // lifecycle carries over verbatim: health row takes the segment
+    // seed table; fresh artifact is not stale
+    val health = Similarity.seedArtifactHealthRow(spark, seedT, members)
+      .collect()(0)
+    assert(!health.getAs[Boolean]("stale") && health.getAs[Int]("plane_drift") == 0,
+      s"fresh segment seed artifact reported stale: $health")
+    Seq(seedT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    CacheRegistry.releaseAll()
+  }
+
   test("lshSeedAppend: growth is rebuild-identical (stateless buckets); idempotent") {
     import org.apache.spark.sql.functions._
     // bucket ids are a pure function of the vector, so appending the
