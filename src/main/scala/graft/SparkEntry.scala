@@ -97,6 +97,7 @@ object SparkEntry {
     "pipe_span_dedup_keep_first" -> ((s, d) => Dedup.pipeSpanDedupKeepFirst(s, d)),
     "pipe_span_dedup_multibyte" -> ((s, d) => Dedup.pipeSpanDedupMultibyte(s, d)),
     "pipe_span_keep_first_multibyte" -> ((s, d) => Dedup.pipeSpanKeepFirstMultibyte(s, d)),
+    "pipe_span_incremental" -> ((s, d) => Dedup.pipeSpanIncremental(s, d)),
     // §2.4 similarity
     "sim_bruteforce_topk" -> ((s, d) => Similarity.simBruteforceTopK(s, d)),
     "sim_lsh_ann" -> ((s, d) => Similarity.simLshAnn(s, d)),
@@ -2880,6 +2881,15 @@ object SparkEntry {
         |FROM cleandocs
         |ORDER BY doc_id""".stripMargin,
     "pipe_span_keep_first_multibyte" -> spanKeepFirstOracleSql(multibyteTextSql),
+    // incremental form: EXACTLY the batch cut over (corpus ∪ batch)
+    // restricted to the arriving shard rows — same CTEs, one filter
+    "pipe_span_incremental" ->
+      s"""WITH ${spanCutCtesSql()}
+        |SELECT doc_id, is_ascii, n_spans_cut, n_chars_cut, cut_ranges,
+        |  CAST(length(text) AS BIGINT) AS clean_len, clean_md5
+        |FROM cleandocs
+        |WHERE doc_id % 10 = 0
+        |ORDER BY doc_id""".stripMargin,
     // the intervention composed with the quality gate (gate AFTER
     // cut): the Gopher chain replayed over the span-cut text
     "pipe_span_ingest" ->

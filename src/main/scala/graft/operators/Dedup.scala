@@ -1117,13 +1117,41 @@ object Dedup {
                 else pos.join(rep, "g")
     val hits0 = probe.select(col("doc_id"), col("p"))
     // confirmation: re-extract the raw window at each candidate
-    // position (text joined once per hit doc, positions carried as a
-    // bounded per-doc list) — `sub` is the ground-truth key from here
-    val hitList = hits0.groupBy("doc_id").agg(collect_list(col("p")).as("ps"))
+    // position — `sub` is the ground-truth key from here
+    subsAt(base, hits0, n)
+  }
+
+  /** Raw n-char lowercased windows at the given (doc_id, p) candidate
+    * positions: text joined once per hit doc (positions carried as a
+    * bounded per-doc list), the window extracted in the same stage —
+    * cost ∝ candidate rows, the fat text column never shuffled per
+    * position. */
+  private def subsAt(base: DataFrame, hitPos: DataFrame, n: Int): DataFrame = {
+    val hitList = hitPos.groupBy("doc_id").agg(collect_list(col("p")).as("ps"))
     base.join(hitList, Seq("doc_id"))
       .select(col("doc_id"), col("text"), explode(col("ps")).as("p"))
       .select(col("doc_id"), col("p"),
         lower(col("text")).substr(col("p") + 1, lit(n)).as("sub"))
+  }
+
+  /** Maximal covered runs from confirmed hit positions: each hit
+    * covers [p, p+n); gaps-and-islands over the per-doc position
+    * order (running max of span ends). Shared by [[spanDedupCore]]
+    * and [[spanDedupIncrementalCore]]. */
+  private def spanIslands(hits: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    val prevEnd = max(col("p") + n)
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    hits
+      // a hit starting AT the previous run's end is adjacent — same
+      // maximal run (strict > starts a new island)
+      .withColumn("ni", coalesce(col("p") > prevEnd, lit(true)).cast("int"))
+      .withColumn("island",
+        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(min(col("p")).cast("long").as("s"),
+        (max(col("p")) + n).cast("long").as("e"))
   }
 
   /** [[pipeSpanDedup]]'s frame-parameterized core, keeping the
@@ -1145,21 +1173,7 @@ object Dedup {
       .withColumn("cdf", count(lit(1)).over(wSub))
       .filter(col("cdf") >= 2)
       .select(col("doc_id"), col("p"))
-    // maximal covered runs: each hit covers [p, p+n); gaps-and-islands
-    // over the per-doc position order (running max of span ends)
-    val w = Window.partitionBy("doc_id").orderBy("p")
-    val prevEnd = max(col("p") + n)
-      .over(w.rowsBetween(Window.unboundedPreceding, -1))
-    val spans = hits
-      // a hit starting AT the previous run's end is adjacent — same
-      // maximal run (strict > starts a new island)
-      .withColumn("ni", coalesce(col("p") > prevEnd, lit(true)).cast("int"))
-      .withColumn("island",
-        sum(col("ni")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .groupBy("doc_id", "island")
-      .agg(min(col("p")).cast("long").as("s"),
-        (max(col("p")) + n).cast("long").as("e"))
-    spanRebuild(base, spans)
+    spanRebuild(base, spanIslands(hits, n))
   }
 
   /** Shared tail of the span-cut family: per-doc (s, e) half-open cut
@@ -1325,6 +1339,138 @@ object Dedup {
   def pipeSpanKeepFirstMultibyte(s: SparkSession, dir: String, n: Int = 50): DataFrame =
     spanDedupKeepFirstCore(multibyteDocs(s, dir), n,
         cacheGrams = Tables.rowCount(s, dir, "documents") <= 20000)
+      .select(col("doc_id"), col("is_ascii"), col("n_spans_cut"),
+        col("n_chars_cut"), col("cut_ranges"),
+        length(col("clean_text")).cast("long").as("clean_len"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  // --- incremental span dedup against persisted corpus gram state ---
+
+  /** Distinct (g, sub, df) window counts of a document frame — the
+    * span-cut family's persistable corpus state: one row per distinct
+    * raw lowercased n-char window, keyed by its rolling hash for
+    * probe pruning and carrying the RAW window so the incremental cut
+    * keeps round 16's hash-nominates/substring-convicts exactness
+    * (a digest-only index would make cutting probabilistic again).
+    * Derived in one scan: the window extraction rides the same stage
+    * as the kernel posexplode (text never shuffles per position; the
+    * (g, sub) aggregate shuffles ~n + 16 bytes per corpus position —
+    * the build-time price, in family with the reference tool's
+    * suffix array at 8× text). */
+  private def gramWindowCounts(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .filter(length(col("text")) >= n &&
+        length(lower(col("text"))) === length(col("text")))
+      .select(col("text"), posexplode(
+        graft.functions.VectorFunctions.ngram_hashes_chars(lower(col("text")), n))
+        .as(Seq("p", "g")))
+      .select(col("g"), lower(col("text")).substr(col("p") + 1, lit(n)).as("sub"))
+      .groupBy("g", "sub").agg(count(lit(1)).as("df"))
+
+  /** Persisted corpus gram-window index for INCREMENTAL span cutting
+    * — the artifact the capstone's scaladoc points at: a streaming
+    * ingest cuts each arriving batch against the EXISTING corpus
+    * without rescanning it (the [[corpusStateTables]] discipline
+    * applied to the span family). Registry convention: the index
+    * covers the non-shard corpus (doc_id % 10 ≠ 0), the shard is the
+    * arrival. Built once per (dir, n); growth via
+    * [[spanGramIndexAppend]] (partial (g, sub, df) rows, summed at
+    * probe time — append ≡ rebuild, spec'd). */
+  def spanGramIndexFor(s: SparkSession, dir: String, n: Int = 50): String = {
+    val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
+    val dirTag = (scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff).toHexString
+    val table = s"graft_span_gram_${slug}_${dirTag}_n${n}_v1"
+    if (!s.catalog.tableExists(table)) {
+      graft.sources.Sources.clearOrphanedLocation(s, table)
+      gramWindowCounts(Tables.documents(s, dir)
+          .filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text")), n)
+        .repartition(col("g"))
+        .write.format("parquet").saveAsTable(table)
+    }
+    table
+  }
+
+  /** Append new documents' window counts to a span gram index:
+    * partial (g, sub, df) rows, merged by summation at probe time
+    * (the lshSeedTable superset-and-prune convention — no
+    * read-modify-write of the corpus-sized table per batch;
+    * compaction = rebuild). Idempotence is the CALLER's contract
+    * (the GraphIngest anti-join discipline): replaying a batch
+    * double-counts its windows. */
+  def spanGramIndexAppend(s: SparkSession, table: String, docs: DataFrame,
+                          n: Int = 50): Unit =
+    gramWindowCounts(docs, n)
+      .repartition(col("g"))
+      .write.mode("append").insertInto(table)
+
+  /** INCREMENTAL span cutting (`pipe_span_incremental`) — the
+    * Lee et al. 2021 intervention as a daily-ingest operation:
+    * repeated ≥n-char spans are cut from an ARRIVING batch where
+    * "repeated" counts occurrences across (existing corpus ∪ batch),
+    * with the corpus side read from the persisted gram index instead
+    * of rescanned. Output and semantics are EXACTLY
+    * [[spanDedupCore]] over (corpus ∪ batch) restricted to the batch
+    * rows — the same oracle regime, hash-verified — so a pipeline
+    * can switch between the batch and incremental forms without a
+    * semantic diff.
+    *
+    * Probe shape (all corpus-side touches are map-only scans, the
+    * [[probeCorpusKeys]] discipline): the batch's distinct hash set
+    * broadcasts against the index (ONE column-pruned scan returning
+    * rows ∝ hash matches), candidate positions are the union of
+    * index-hash matches and batch-internal hash repeats, raw windows
+    * are re-extracted for candidates only, and the cut criterion is
+    * batch-occurrences + Σ index df ≥ 2 per RAW window — collisions
+    * still cannot cut unique text. Per-batch cost: O(batch) scan +
+    * one O(index) column-pruned scan; the index never shuffles. At
+    * 100 TB the index scan prunes further via partition-level g
+    * ranges / runtime bloom filters — the plan already pushes the
+    * broadcast-hash probe to the scan. */
+  private[graft] def spanDedupIncrementalCore(s: SparkSession, indexTable: String,
+                                              batch: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.CacheRegistry.Cacheable
+    val base = batch
+      .withColumn("is_ascii", length(col("text")) === octet_length(col("text")))
+    val pos = base
+      .filter(length(col("text")) >= n &&
+        length(lower(col("text"))) === length(col("text")))
+      .select(col("doc_id"), posexplode(
+        graft.functions.VectorFunctions.ngram_hashes_chars(lower(col("text")), n))
+        .as(Seq("p", "g")))
+      .cacheTracked // feeds the probe key set, both candidate branches, and the batch count
+    val batchG = pos.select("g").distinct()
+    // the ONE index touch: batch hash keys broadcast, matching index
+    // rows come back (∝ duplicated batch text + collisions)
+    val idxHot = s.table(indexTable)
+      .join(broadcast(batchG), Seq("g"))
+      .cacheTracked
+    val candIdx = pos.join(broadcast(idxHot.select("g").distinct()), Seq("g"), "left_semi")
+    val repB = pos.groupBy("g").agg(count(lit(1)).as("bdf"))
+      .filter(col("bdf") >= 2).select("g")
+    val candB = pos.join(repB, Seq("g"), "left_semi")
+    val candPos = candIdx.select("doc_id", "p")
+      .union(candB.select("doc_id", "p")).distinct()
+    val subs = subsAt(base, candPos, n)
+    // corpus occurrences per RAW window (sub separates hash collisions;
+    // sum merges append-partial index rows)
+    val cdf = idxHot.groupBy("sub").agg(sum(col("df")).as("cdf"))
+    val hits = subs
+      .withColumn("bcnt", count(lit(1)).over(Window.partitionBy("sub")))
+      .join(broadcast(cdf), Seq("sub"), "left")
+      .filter(col("bcnt") + coalesce(col("cdf"), lit(0L)) >= 2)
+      .select("doc_id", "p")
+    spanRebuild(base, spanIslands(hits, n))
+  }
+
+  /** Registry entry for [[spanDedupIncrementalCore]]: the shard
+    * (doc_id % 10 == 0) arrives against the index over everything
+    * else; certified projection identical to [[pipeSpanDedup]]. */
+  def pipeSpanIncremental(s: SparkSession, dir: String, n: Int = 50): DataFrame =
+    spanDedupIncrementalCore(s, spanGramIndexFor(s, dir, n),
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text")), n)
       .select(col("doc_id"), col("is_ascii"), col("n_spans_cut"),
         col("n_chars_cut"), col("cut_ranges"),
         length(col("clean_text")).cast("long").as("clean_len"),

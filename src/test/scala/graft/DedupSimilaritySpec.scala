@@ -1832,6 +1832,58 @@ class DedupSimilaritySpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("pipe_span_incremental: persisted-index cut equals the batch form; append equals rebuild; map-only probe") {
+    import org.apache.spark.sql.functions._
+    val n = 50
+    val inc = Dedup.pipeSpanIncremental(spark, Sf, n)
+    def keyed(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_spans_cut"),
+        r.getAs[Long]("n_chars_cut"), r.getAs[String]("cut_ranges"),
+        r.getAs[String]("clean_md5"))).toSet
+    val incRows = keyed(inc.collect())
+    // EXACT semantic equality with the batch form over (corpus ∪
+    // batch), restricted to the arriving shard — the contract that
+    // lets a pipeline switch forms without a semantic diff
+    val batchForm = keyed(Dedup.spanDedupCore(
+        Tables.documents(spark, Sf).select(col("doc_id"), col("text")), n)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("is_ascii"), col("n_spans_cut"),
+        col("n_chars_cut"), col("cut_ranges"),
+        md5(col("clean_text")).as("clean_md5"))
+      .collect())
+    assert(incRows == batchForm,
+      s"incremental cut diverges from the batch form: " +
+        s"extra=${(incRows -- batchForm).take(3)} missing=${(batchForm -- incRows).take(3)}")
+    assert(incRows.exists(_._2 > 0), "no shard doc cut — the incremental regime is vacuous here")
+    // probe shape: the index is read, never crossed
+    val plan = inc.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_span_gram"),
+      s"incremental cut does not read the persisted gram index:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    // append ≡ rebuild: the same corpus indexed in two appended halves
+    // must probe identically (partial df rows summed at probe time)
+    val corpusDocs = Tables.documents(spark, Sf)
+      .filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+    val t2 = "graft_span_gram_spec_parts_v1"
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
+    graft.sources.Sources.clearOrphanedLocation(spark, t2)
+    spark.table(Dedup.spanGramIndexFor(spark, Sf, n)).limit(0)
+      .write.format("parquet").saveAsTable(t2)
+    Dedup.spanGramIndexAppend(spark, t2, corpusDocs.filter(col("doc_id") % 2 === 0), n)
+    Dedup.spanGramIndexAppend(spark, t2, corpusDocs.filter(col("doc_id") % 2 =!= 0), n)
+    val shardDocs = Tables.documents(spark, Sf)
+      .filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+    val viaParts = keyed(Dedup.spanDedupIncrementalCore(spark, t2, shardDocs, n)
+      .select(col("doc_id"), col("n_spans_cut"), col("n_chars_cut"),
+        col("cut_ranges"), md5(col("clean_text")).as("clean_md5"),
+        col("is_ascii"))
+      .collect())
+    assert(viaParts == incRows,
+      "two-append index probes differently from the one-shot build")
+    spark.sql(s"DROP TABLE IF EXISTS $t2")
+    CacheRegistry.releaseAll()
+  }
+
   test("pipe_span_dedup_keep_first: keeper occurrences survive verbatim; cuts are a subset of remove-all") {
     import org.apache.spark.sql.functions._
     val n = 50
