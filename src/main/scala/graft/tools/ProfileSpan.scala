@@ -20,7 +20,11 @@ import org.apache.spark.sql.functions._
   *     reuse), measured on the SAME data so the crossover between
   *     the two shapes is a number, not a guess;
   *   - `keep-first` — the boundary sweep at its worst case
-  *     (maximal keepers + maximal hits on the replica). */
+  *     (maximal keepers + maximal hits on the replica);
+  *   - `incremental` — the persisted-index arrival cut
+  *     ([[graft.operators.Dedup.spanDedupIncrementalCore]]): the
+  *     doc_id % 10 == 0 shard probed against the index over the
+  *     rest (warm pass includes the one-time index build). */
 object ProfileSpan {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
@@ -62,6 +66,12 @@ object ProfileSpan {
           forceGramShuffle = true))
       run(s"keep-first/$pass",
         graft.operators.Dedup.spanDedupKeepFirstCore(docs, 50, cacheGrams))
+      run(s"incremental/$pass",
+        graft.operators.Dedup.spanDedupIncrementalCore(spark,
+          graft.operators.Dedup.spanGramIndexFor(spark, sfDir),
+          graft.Tables.documents(spark, sfDir)
+            .filter(col("doc_id") % 10 === 0)
+            .select(col("doc_id"), col("text")), 50))
     }
     spark.stop()
   }
