@@ -1347,26 +1347,43 @@ object Dedup {
 
   // --- incremental span dedup against persisted corpus gram state ---
 
-  /** Distinct (g, sub, df) window counts of a document frame — the
-    * span-cut family's persistable corpus state: one row per distinct
-    * raw lowercased n-char window, keyed by its rolling hash for
-    * probe pruning and carrying the RAW window so the incremental cut
-    * keeps round 16's hash-nominates/substring-convicts exactness
-    * (a digest-only index would make cutting probabilistic again).
+  /** Per-document (doc_id, g, sub, df) window counts of a document
+    * frame — the span-cut family's persistable corpus state: one row
+    * per document per distinct raw lowercased n-char window, keyed by
+    * the rolling hash for probe pruning and carrying the RAW window
+    * so the incremental cut keeps round 16's hash-nominates/
+    * substring-convicts exactness (a digest-only index would make
+    * cutting probabilistic again). Keyed per DOCUMENT, not
+    * corpus-aggregated: append becomes doc_id-idempotent (the
+    * family's exactly-once contract under streaming replay) and
+    * compliance forget becomes a doc_id rewrite — row count is the
+    * same order either way (distinct windows per doc ≈ positions).
     * Derived in one scan: the window extraction rides the same stage
     * as the kernel posexplode (text never shuffles per position; the
-    * (g, sub) aggregate shuffles ~n + 16 bytes per corpus position —
-    * the build-time price, in family with the reference tool's
-    * suffix array at 8× text). */
-  private def gramWindowCounts(docs: DataFrame, n: Int): DataFrame =
-    docs
+    * aggregate shuffles ~n + 24 bytes per corpus position — the
+    * build-time price, in family with the reference tool's suffix
+    * array at 8× text). */
+  private def gramWindowCounts(docs: DataFrame, n: Int): DataFrame = {
+    val eligible = docs
       .filter(length(col("text")) >= n &&
         length(lower(col("text"))) === length(col("text")))
-      .select(col("text"), posexplode(
+    val real = eligible
+      .select(col("doc_id"), col("text"), posexplode(
         graft.functions.VectorFunctions.ngram_hashes_chars(lower(col("text")), n))
         .as(Seq("p", "g")))
-      .select(col("g"), lower(col("text")).substr(col("p") + 1, lit(n)).as("sub"))
-      .groupBy("g", "sub").agg(count(lit(1)).as("df"))
+      .select(col("doc_id"), col("g"),
+        lower(col("text")).substr(col("p") + 1, lit(n)).as("sub"))
+      .groupBy("doc_id", "g", "sub").agg(count(lit(1)).as("df"))
+    // sentinel rows keep EVERY ingested document's id in the index —
+    // without them a short / lc-unstable / fully-cut document never
+    // enters, and the doc_id-idempotence probe would re-admit its
+    // redeliveries forever. Inert at probe time: no real n-char
+    // window equals "", so the sub-confirmed criterion can never
+    // count a sentinel.
+    val sentinels = docs.join(eligible.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(0L).as("g"), lit("").as("sub"), lit(0L).as("df"))
+    real.union(sentinels)
+  }
 
   /** Persisted corpus gram-window index for INCREMENTAL span cutting
     * — the artifact the capstone's scaladoc points at: a streaming
@@ -1375,34 +1392,64 @@ object Dedup {
     * applied to the span family). Registry convention: the index
     * covers the non-shard corpus (doc_id % 10 ≠ 0), the shard is the
     * arrival. Built once per (dir, n); growth via
-    * [[spanGramIndexAppend]] (partial (g, sub, df) rows, summed at
-    * probe time — append ≡ rebuild, spec'd). */
+    * [[spanGramIndexAppend]] (doc_id-idempotent), deletion via
+    * [[spanGramIndexForget]]. */
   def spanGramIndexFor(s: SparkSession, dir: String, n: Int = 50): String = {
     val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
     val dirTag = (scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff).toHexString
-    val table = s"graft_span_gram_${slug}_${dirTag}_n${n}_v1"
+    val table = s"graft_span_gram_${slug}_${dirTag}_n${n}_v2"
     if (!s.catalog.tableExists(table)) {
+      // retire stale schema generations of this dir's index (the
+      // lshSeedTable sweep discipline; inside the build branch only)
+      val genPrefix = s"graft_span_gram_${slug}_${dirTag}_n${n}_v"
+      s.catalog.listTables().collect().map(_.name)
+        .filter(t => t.startsWith(genPrefix) && t.matches(".*_v\\d+$") && t != table)
+        .foreach(t => s.sql(s"DROP TABLE $t"))
       graft.sources.Sources.clearOrphanedLocation(s, table)
       gramWindowCounts(Tables.documents(s, dir)
           .filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text")), n)
         .repartition(col("g"))
         .write.format("parquet").saveAsTable(table)
+    } else {
+      StagedRewrite.recover(s, table)
     }
     table
   }
 
-  /** Append new documents' window counts to a span gram index:
-    * partial (g, sub, df) rows, merged by summation at probe time
-    * (the lshSeedTable superset-and-prune convention — no
-    * read-modify-write of the corpus-sized table per batch;
-    * compaction = rebuild). Idempotence is the CALLER's contract
-    * (the GraphIngest anti-join discipline): replaying a batch
-    * double-counts its windows. */
+  /** Append new documents' window counts to a span gram index —
+    * doc_id-IDEMPOTENT (the GraphIngest/appendShardDocs discipline):
+    * already-indexed documents are anti-joined out via a map-only
+    * broadcast probe of the index's doc_id column, so a streaming
+    * replay or an at-least-once redelivery no-ops instead of
+    * double-counting windows. The insert itself is one
+    * file-commit-protocol-atomic job (a crashed append commits
+    * nothing); probe reads sum df across rows, so no
+    * read-modify-write of the corpus-sized table ever happens
+    * (compaction = rebuild). */
   def spanGramIndexAppend(s: SparkSession, table: String, docs: DataFrame,
-                          n: Int = 50): Unit =
-    gramWindowCounts(docs, n)
+                          n: Int = 50): Unit = {
+    StagedRewrite.recover(s, table)
+    val ids = docs.select("doc_id").distinct()
+    val indexed = probeCorpusKeys(s, table, ids, Seq("doc_id"))
+    val fresh = docs.join(broadcast(indexed), Seq("doc_id"), "left_anti")
+    gramWindowCounts(fresh, n)
       .repartition(col("g"))
       .write.mode("append").insertInto(table)
+  }
+
+  /** Compliance deletion for the span gram index: drop every window
+    * row of the given doc_ids (one crash-safe [[StagedRewrite]] —
+    * the knnGraphForget durability shape). After the forget, spans
+    * that only repeated against the forgotten documents stop being
+    * cut from future arrivals — exactly the behavior a deletion
+    * request requires of derived state. */
+  def spanGramIndexForget(s: SparkSession, table: String,
+                          docIds: DataFrame): Unit = {
+    StagedRewrite.recover(s, table)
+    val keep = s.table(table)
+      .join(broadcast(docIds.select("doc_id").distinct()), Seq("doc_id"), "left_anti")
+    StagedRewrite.rewrite(s, table, keep)
+  }
 
   /** INCREMENTAL span cutting (`pipe_span_incremental`) — the
     * Lee et al. 2021 intervention as a daily-ingest operation:
@@ -1442,9 +1489,12 @@ object Dedup {
       .cacheTracked // feeds the probe key set, both candidate branches, and the batch count
     val batchG = pos.select("g").distinct()
     // the ONE index touch: batch hash keys broadcast, matching index
-    // rows come back (∝ duplicated batch text + collisions)
+    // rows come back (∝ duplicated batch text + collisions); recover
+    // first — a crashed forget must never present a half-swapped index
+    StagedRewrite.recover(s, indexTable)
     val idxHot = s.table(indexTable)
       .join(broadcast(batchG), Seq("g"))
+      .select(col("g"), col("sub"), col("df")) // doc_id pruned at the scan
       .cacheTracked
     val candIdx = pos.join(broadcast(idxHot.select("g").distinct()), Seq("g"), "left_semi")
     val repB = pos.groupBy("g").agg(count(lit(1)).as("bdf"))

@@ -564,6 +564,106 @@ class StreamingSpec extends SparkSpec {
     assert(seen.toMap == batchOut, "streamed gate diverges from batch gate")
   }
 
+  test("span-cut ingest loop: first batch equals the batch operator, retained-text indexing, crash-safe replay") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    val n = 50
+    val base = java.nio.file.Files.createTempDirectory("graft-spaningest").toString
+    val srcDir = s"$base/src"; val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    // synthetic corpus/arrivals with exact span control (distinct
+    // chars around every planted span so coverage = the span itself)
+    val s1 = "the quick brown fox jumps over the lazy dog once more!!!!" // 58 chars
+    val s2 = "completely different boilerplate shared by two arrivals.." // 58
+    val t1 = "unique trailing content of document one hundred, kept intact." // survives in D1
+    assert(Seq(s1, s2, t1).forall(_.length >= n))
+    val corpusDoc = (1L, "corpus filler before:" + s1 + ":corpus filler after")
+    val d1 = (100L, "lead-in one/" + s1 + "_" + t1)   // s1 cut (repeats vs corpus), t1 retained
+    val d2 = (101L, "lead-in two=" + s2 + "-tail two distinct and long enough here")
+    val d3 = (102L, "lead-in three+" + s2 + "~tail three also distinct and long")
+    val d4 = (103L, "arrival four<" + s2 + ">then|" + t1 + "|end four") // s2 NOT cut (gone from retained corpus), t1 cut
+    import spark.implicits._
+    val specT = "graft_span_gram_stream_spec_n50_v2"
+    val refT = "graft_span_gram_stream_ref_n50_v2"
+    Seq(specT, refT).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.sources.Sources.clearOrphanedLocation(spark, t)
+    }
+    val emptyIdx = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sub", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("df", org.apache.spark.sql.types.LongType))))
+    Seq(specT, refT).foreach(t => emptyIdx.write.format("parquet").saveAsTable(t))
+    val corpusDf = Seq(corpusDoc).toDF("doc_id", "text")
+    Dedup.spanGramIndexAppend(spark, specT, corpusDf, n)
+    Dedup.spanGramIndexAppend(spark, refT, corpusDf, n)
+    // reference for batch 0: the batch operator against the same index
+    val b0 = Seq(d1, d2, d3).toDF("doc_id", "text")
+    def keyed(rs: Array[org.apache.spark.sql.Row]) = rs.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_spans_cut"),
+        r.getAs[Long]("n_chars_cut"), r.getAs[String]("cut_ranges"),
+        r.getAs[String]("clean_text"))).toSet
+    val expected0 = keyed(Dedup.spanDedupIncrementalCore(spark, refT, b0, n)
+      .select(col("doc_id"), col("n_spans_cut"), col("n_chars_cut"),
+        col("cut_ranges"), col("clean_text")).collect())
+    def writeSrc(df: org.apache.spark.sql.DataFrame): Unit =
+      df.coalesce(1).write.mode("append").parquet(srcDir)
+    def src = spark.readStream.schema(b0.schema).parquet(srcDir)
+    // batch 0 with an injected crash AFTER all effects, BEFORE commit
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    writeSrc(b0)
+    val q1 = graft.streaming.SpanIngest.spanCutIngest(src, specT, outDir, ckpt, n,
+      afterBatch = { id =>
+        if (id >= 0 && crashed.compareAndSet(false, true))
+          throw new RuntimeException("injected crash after all effects, before commit")
+      })
+    try { q1.processAllAvailable(); q1.awaitTermination() } catch { case _: Exception => () }
+    assert(crashed.get, "crash injection never fired")
+    // restart: batch 0 replays as a manifest no-op; batch 1 carries a
+    // REDELIVERED d1 plus the retained-text probe d4
+    val q2 = graft.streaming.SpanIngest.spanCutIngest(src, specT, outDir, ckpt, n)
+    q2.processAllAvailable()
+    writeSrc(Seq(d4, d1).toDF("doc_id", "text"))
+    q2.processAllAvailable()
+    q2.stop()
+    // batch 0 output: exactly the batch operator's answer (s1 cut from
+    // d1, s2 cut from both d2 and d3), despite the crash replay
+    val got0 = keyed(spark.read.parquet(s"$outDir/batch_id=0")
+      .select(col("doc_id"), col("n_spans_cut"), col("n_chars_cut"),
+        col("cut_ranges"), col("clean_text")).collect())
+    assert(got0 == expected0,
+      s"streamed batch 0 diverges from the batch operator: got $got0")
+    assert(got0.forall(_._2 > 0), "every batch-0 doc carried a planted repeated span")
+    // batch 1: the redelivered d1 is dropped; d4 loses t1 (retained in
+    // d1's cleaned text and indexed) but KEEPS s2 (cut from every
+    // retained copy — the retained-corpus-relative semantics)
+    val got1 = spark.read.parquet(s"$outDir/batch_id=1").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got1.keySet == Set(103L),
+      s"batch 1 must emit only the fresh arrival, got ${got1.keySet}")
+    val cleaned4 = got1(103L).getAs[String]("clean_text")
+    assert(cleaned4.contains(s2),
+      "s2 was cut from d4 although no retained copy exists — retained-text semantics broken")
+    assert(!cleaned4.contains(t1),
+      "t1 survives in d4 although d1's retained copy is indexed")
+    // exactly-once state: the index equals a one-shot reference append
+    // of (corpus, cleaned batch 0, cleaned batch 1) — no double counts
+    // from the crash replay, no rows for the redelivered doc
+    Dedup.spanGramIndexAppend(spark, refT, spark.read.parquet(s"$outDir/batch_id=0")
+      .select(col("doc_id"), col("clean_text").as("text")), n)
+    Dedup.spanGramIndexAppend(spark, refT, spark.read.parquet(s"$outDir/batch_id=1")
+      .select(col("doc_id"), col("clean_text").as("text")), n)
+    def indexSum(t: String) = spark.table(t).groupBy("doc_id", "g", "sub")
+      .agg(sum("df").as("df")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)) -> r.getAs[Long]("df")).toMap
+    assert(indexSum(specT) == indexSum(refT),
+      "streamed index diverges from the one-shot reference (double count or loss)")
+    Seq(specT, refT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    CacheRegistry.releaseAll()
+  }
+
   test("knn graph streaming ingest: corpus + graph maintained per batch, crash-safe, redelivery no-op") {
     import org.apache.spark.sql.functions._
     import graft.operators.Similarity
