@@ -32,6 +32,13 @@ import org.apache.spark.sql.functions._
   *                    The one-time state BUILD happens before the
   *                    clock starts — production state exists before
   *                    ingest does.
+  *   - `spancut`    — the [[graft.streaming.SpanIngest.spanCutIngest]]
+  *                    loop: the doc_id % 10 == 0 shard streamed
+  *                    against a tool-local gram index built from the
+  *                    other 90% (the registry artifact is never
+  *                    mutated — the loop appends retained text).
+  *                    Reports docs/sec plus the offline index build
+  *                    cost and the cut volume.
   *   - `serve`      — the [[graft.streaming.VectorServe.serveStream]]
   *                    query-side runtime: the corpus's vectors
   *                    replayed as a query stream against the
@@ -66,6 +73,7 @@ object StreamThroughput {
     import spark.implicits._
 
     if (mode == "ingest") { runIngest(spark, sfDir); return }
+    if (mode == "spancut") { runSpanCut(spark, sfDir); return }
     if (mode == "serve") { runServe(spark, sfDir); return }
     if (mode == "graphserve") { runGraphServe(spark, sfDir); return }
 
@@ -192,6 +200,49 @@ object StreamThroughput {
     require(servedQ == nQ, s"served $servedQ of $nQ query vectors")
     require(nRes == nQ * k, s"expected ${nQ * k} result rows, got $nRes")
     println(f"""{"metric":"stream_graphserve_queries_per_sec","value":${nQ / dt}%.0f,"queries":$nQ,"result_rows":$nRes,"batches":$nBatches,"graph_build_sec":$buildSec%.2f,"graph_table":"$table%s","sec":$dt%.2f,"sf":"$sfDir"}""")
+  }
+
+  /** `spancut` mode: the streaming span-cut loop at volume — the
+    * arriving shard cut per micro-batch against the persisted gram
+    * index, cleaned docs to the exactly-once sink, retained-text
+    * windows appended back. The index build is offline cost (before
+    * the clock), into a TOOL-LOCAL table because the loop mutates its
+    * index. */
+  private def runSpanCut(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+    val shard = docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+    val nRows = shard.count()
+    val idxT = "graft_span_gram_throughput_probe_n50_v2"
+    spark.sql(s"DROP TABLE IF EXISTS $idxT")
+    graft.sources.Sources.clearOrphanedLocation(spark, idxT)
+    val t0b = System.nanoTime()
+    spark.table(graft.operators.Dedup.spanGramIndexFor(spark, sfDir)).limit(0)
+      .write.format("parquet").saveAsTable(idxT)
+    graft.operators.Dedup.spanGramIndexAppend(spark, idxT,
+      docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text"))
+    val buildSec = (System.nanoTime() - t0b) / 1e9
+    val src = java.nio.file.Files.createTempDirectory("graft-spancut-src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-spancut-out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-spancut-ckpt").toString
+    shard.repartition(16).write.mode("overwrite").parquet(src)
+    val staged = spark.read.parquet(src)
+    val stream = spark.readStream
+      .schema(staged.schema)
+      .option("maxFilesPerTrigger", sys.env.getOrElse("SPARK_GRAFT_FILES_PER_TRIGGER", "2"))
+      .parquet(src)
+    val t0 = System.nanoTime()
+    val query = graft.streaming.SpanIngest.spanCutIngest(stream, idxT, out, ckpt)
+    query.processAllAvailable()
+    val dt = (System.nanoTime() - t0) / 1e9
+    query.stop()
+    val res = spark.read.parquet(out)
+      .agg(count(lit(1)).as("docs"),
+        sum((col("n_spans_cut") > 0).cast("long")).as("docs_cut"),
+        sum(col("n_chars_cut")).as("chars_cut")).collect()(0)
+    spark.sql(s"DROP TABLE IF EXISTS $idxT")
+    spark.stop()
+    println(f"""{"metric":"stream_spancut_docs_per_sec","value":${nRows / dt}%.0f,"docs":$nRows,"emitted":${res.getLong(0)},"docs_cut":${res.getLong(1)},"chars_cut":${res.getLong(2)},"sec":$dt%.2f,"index_build_sec":$buildSec%.2f,"sf":"$sfDir"}""")
   }
 
   private def runIngest(spark: SparkSession, sfDir: String): Unit = {
