@@ -1473,7 +1473,17 @@ object Dedup {
     * one O(index) column-pruned scan; the index never shuffles. At
     * 100 TB the index scan prunes further via partition-level g
     * ranges / runtime bloom filters — the plan already pushes the
-    * broadcast-hash probe to the scan. */
+    * broadcast-hash probe to the scan.
+    *
+    * REGIME: batch ≪ corpus. The probe broadcasts the batch's
+    * distinct hash keys (~8 B per batch character) — the daily-shard
+    * and micro-batch shape, same class as [[probeCorpusKeys]]'s band
+    * keys but per-position, so a BULK arrival comparable to the
+    * corpus outgrows the broadcast budget; at that point the right
+    * tool is the batch operator over (corpus ∪ arrival)
+    * ([[spanDedupCore]], optionally forceGramShuffle) — one fat
+    * shuffle beats a corpus-sized broadcast, and the incremental
+    * index buys nothing when the arrival IS a corpus. */
   private[graft] def spanDedupIncrementalCore(s: SparkSession, indexTable: String,
                                               batch: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
