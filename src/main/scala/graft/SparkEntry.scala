@@ -98,6 +98,7 @@ object SparkEntry {
     "pipe_span_dedup_multibyte" -> ((s, d) => Dedup.pipeSpanDedupMultibyte(s, d)),
     "pipe_span_keep_first_multibyte" -> ((s, d) => Dedup.pipeSpanKeepFirstMultibyte(s, d)),
     "pipe_span_incremental" -> ((s, d) => Dedup.pipeSpanIncremental(s, d)),
+    "pipe_span_keep_first_incremental" -> ((s, d) => Dedup.pipeSpanKeepFirstIncremental(s, d)),
     // §2.4 similarity
     "sim_bruteforce_topk" -> ((s, d) => Similarity.simBruteforceTopK(s, d)),
     "sim_lsh_ann" -> ((s, d) => Similarity.simLshAnn(s, d)),
@@ -586,7 +587,8 @@ object SparkEntry {
     * occurrence of each repeated gram protects its positions; a char
     * is cut iff some non-keeper occurrence covers it and no keeper
     * does. Brute force per character is fine oracle-side. */
-  private def spanKeepFirstOracleSql(textExpr: String = "text"): String =
+  private def spanKeepFirstOracleSql(textExpr: String = "text",
+                                     whereSql: String = "TRUE"): String =
     s"""WITH d AS (
       |  SELECT doc_id, $textExpr AS text, length($textExpr) AS len,
       |         length($textExpr) = strlen($textExpr) AS is_ascii
@@ -650,6 +652,7 @@ object SparkEntry {
       |LEFT JOIN spanagg sa USING (doc_id)
       |LEFT JOIN rng r USING (doc_id)
       |LEFT JOIN clean c USING (doc_id)
+      |WHERE $whereSql
       |ORDER BY d.doc_id""".stripMargin
 
   private def lshOracleSql(nQueries: Int, k: Int, numPlanes: Int, dim: Int): String = {
@@ -2881,7 +2884,7 @@ object SparkEntry {
         |FROM cleandocs
         |ORDER BY doc_id""".stripMargin,
     "pipe_span_keep_first_multibyte" -> spanKeepFirstOracleSql(multibyteTextSql),
-    // incremental form: EXACTLY the batch cut over (corpus ∪ batch)
+    // incremental forms: EXACTLY the batch cut over (corpus ∪ batch)
     // restricted to the arriving shard rows — same CTEs, one filter
     "pipe_span_incremental" ->
       s"""WITH ${spanCutCtesSql()}
@@ -2890,6 +2893,8 @@ object SparkEntry {
         |FROM cleandocs
         |WHERE doc_id % 10 = 0
         |ORDER BY doc_id""".stripMargin,
+    "pipe_span_keep_first_incremental" ->
+      spanKeepFirstOracleSql(whereSql = "d.doc_id % 10 = 0"),
     // the intervention composed with the quality gate (gate AFTER
     // cut): the Gopher chain replayed over the span-cut text
     "pipe_span_ingest" ->

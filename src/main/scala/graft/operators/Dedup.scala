@@ -1254,19 +1254,10 @@ object Dedup {
     // raw-window occurrences, PACKED into one long (doc_id << 24 | p)
     // so the sub-keyed window stays a fixed-width aggregate — min
     // over a struct falls back to OBJECT aggregation (the
-    // dedup_substring GC lesson). The packing envelope (p < 2^24
-    // code points ≈ a 16 M-char document, doc_id < 2^39) is ENFORCED,
-    // not assumed: a violating row raises rather than silently
-    // electing the wrong keeper and md5-certifying the wrong output.
-    val shift = 24
-    val packed = when(
-      assert_true(col("p") < lit(1 << shift) && col("doc_id") < lit(1L << (63 - shift)),
-        lit(s"pipe_span_dedup_keep_first: packed-argmin envelope exceeded " +
-          s"(need position < 2^$shift and doc_id < 2^${63 - shift})")).isNull,
-      shiftleft(col("doc_id"), shift) + col("p"))
+    // dedup_substring GC lesson).
     val wSub = Window.partitionBy("sub")
     val hits = subs
-      .withColumn("packed", packed)
+      .withColumn("packed", packedGuarded(col("doc_id"), col("p")))
       .withColumn("cdf", count(lit(1)).over(wSub))
       .withColumn("firstPacked", min(col("packed")).over(wSub))
       .filter(col("cdf") >= 2)
@@ -1274,6 +1265,31 @@ object Dedup {
       .select(col("doc_id"), col("p"), col("keeper"))
     // boundary sweep: ±1 events on the cut/keep counters at each
     // hit's [p, p+n) endpoints, collapsed per boundary
+    spanRebuild(base, spanKeepFirstSweep(hits, n))
+  }
+
+  /** The keep-first (doc_id, p) lexicographic argmin key, PACKED into
+    * one long (doc_id << 24 | p). The packing envelope (p < 2^24 code
+    * points ≈ a 16 M-char document, doc_id < 2^39) is ENFORCED, not
+    * assumed: a violating row raises rather than silently electing
+    * the wrong keeper and md5-certifying the wrong output. */
+  private val PackShift = 24
+  private def packedGuarded(docId: Column, p: Column): Column = when(
+    assert_true(p < lit(1 << PackShift) && docId < lit(1L << (63 - PackShift)),
+      lit(s"span keep-first: packed-argmin envelope exceeded " +
+        s"(need position < 2^$PackShift and doc_id < 2^${63 - PackShift})")).isNull,
+    shiftleft(docId, PackShift) + p)
+
+  /** The keep-first BOUNDARY SWEEP: (doc_id, p, keeper) hit
+    * occurrences → per-doc (s, e) cut spans. ±1 events on the
+    * cut/keep counters at each hit's [p, p+n) endpoints, one per-doc
+    * window computing both running sums, a segment cut when
+    * cutCover > 0 ∧ keepCover = 0; consecutive cut segments merge
+    * into maximal runs. Events ∝ hits (4 rows each), never ∝ chars.
+    * Shared by [[spanDedupKeepFirstCore]] and
+    * [[spanDedupKeepFirstIncrementalCore]]. */
+  private def spanKeepFirstSweep(hits: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ev = hits.select(col("doc_id"), col("p").as("pos"),
         when(col("keeper"), lit(0)).otherwise(lit(1)).as("dc"),
         when(col("keeper"), lit(1)).otherwise(lit(0)).as("dk"))
@@ -1293,7 +1309,7 @@ object Dedup {
     // merge consecutive cut segments into maximal runs: a new run
     // starts where a cut segment follows a non-cut one (segments are
     // contiguous between boundaries by construction)
-    val spans = segs
+    segs
       .withColumn("ni",
         (col("cut") && !coalesce(lag(col("cut"), 1).over(w), lit(false))).cast("int"))
       .withColumn("run", sum(col("ni")).over(runFrame))
@@ -1301,7 +1317,6 @@ object Dedup {
       .groupBy("doc_id", "run")
       .agg(min(col("pos")).cast("long").as("s"),
         max(col("nextPos")).cast("long").as("e"))
-    spanRebuild(base, spans)
   }
 
   /** Deterministic multi-byte corpus for the `*_multibyte` span
@@ -1371,9 +1386,14 @@ object Dedup {
       .select(col("doc_id"), col("text"), posexplode(
         graft.functions.VectorFunctions.ngram_hashes_chars(lower(col("text")), n))
         .as(Seq("p", "g")))
-      .select(col("doc_id"), col("g"),
+      .select(col("doc_id"), col("g"), col("p"),
         lower(col("text")).substr(col("p") + 1, lit(n)).as("sub"))
-      .groupBy("doc_id", "g", "sub").agg(count(lit(1)).as("df"))
+      .groupBy("doc_id", "g", "sub")
+      // `mp` = the window's FIRST position within the doc — enough to
+      // reconstruct the global lexicographic (doc_id, p) argmin
+      // (each doc's best candidate is its min position), which the
+      // keep-first incremental form needs for keeper election
+      .agg(count(lit(1)).as("df"), min(col("p")).cast("long").as("mp"))
     // sentinel rows keep EVERY ingested document's id in the index —
     // without them a short / lc-unstable / fully-cut document never
     // enters, and the doc_id-idempotence probe would re-admit its
@@ -1381,7 +1401,8 @@ object Dedup {
     // window equals "", so the sub-confirmed criterion can never
     // count a sentinel.
     val sentinels = docs.join(eligible.select("doc_id"), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), lit(0L).as("g"), lit("").as("sub"), lit(0L).as("df"))
+      .select(col("doc_id"), lit(0L).as("g"), lit("").as("sub"),
+        lit(0L).as("df"), lit(0L).as("mp"))
     real.union(sentinels)
   }
 
@@ -1397,7 +1418,7 @@ object Dedup {
   def spanGramIndexFor(s: SparkSession, dir: String, n: Int = 50): String = {
     val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
     val dirTag = (scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff).toHexString
-    val table = s"graft_span_gram_${slug}_${dirTag}_n${n}_v2"
+    val table = s"graft_span_gram_${slug}_${dirTag}_n${n}_v3"
     if (!s.catalog.tableExists(table)) {
       // retire stale schema generations of this dir's index (the
       // lshSeedTable sweep discipline; inside the build branch only)
@@ -1529,6 +1550,78 @@ object Dedup {
     * else; certified projection identical to [[pipeSpanDedup]]. */
   def pipeSpanIncremental(s: SparkSession, dir: String, n: Int = 50): DataFrame =
     spanDedupIncrementalCore(s, spanGramIndexFor(s, dir, n),
+        Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("text")), n)
+      .select(col("doc_id"), col("is_ascii"), col("n_spans_cut"),
+        col("n_chars_cut"), col("cut_ranges"),
+        length(col("clean_text")).cast("long").as("clean_len"),
+        md5(col("clean_text")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  /** KEEP-FIRST incremental span cutting
+    * (`pipe_span_keep_first_incremental`) — the fourth cell of the
+    * batch/incremental × remove-all/keep-first matrix: the arriving
+    * batch is cut under the paper's keep-one-occurrence rule where
+    * keeper = the lexicographic (doc_id, p) argmin across (existing
+    * corpus ∪ batch). The corpus side's argmin candidate comes from
+    * the index's per-doc `mp` column (each doc's min position IS its
+    * best candidate), so keeper election needs no corpus rescan;
+    * keeper protection remains PER-DOC (a corpus keeper protects its
+    * own doc — not being cut here — so corpus-present windows simply
+    * have no protected batch occurrence unless a batch occurrence is
+    * the global first). Output EXACTLY equals
+    * [[spanDedupKeepFirstCore]] over (corpus ∪ batch) restricted to
+    * the batch rows — spec-asserted, shared-oracle hash-verified.
+    * Same probe shape and regime as [[spanDedupIncrementalCore]]. */
+  private[graft] def spanDedupKeepFirstIncrementalCore(
+      s: SparkSession, indexTable: String, batch: DataFrame, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.CacheRegistry.Cacheable
+    val base = batch
+      .withColumn("is_ascii", length(col("text")) === octet_length(col("text")))
+    val pos = base
+      .filter(length(col("text")) >= n &&
+        length(lower(col("text"))) === length(col("text")))
+      .select(col("doc_id"), posexplode(
+        graft.functions.VectorFunctions.ngram_hashes_chars(lower(col("text")), n))
+        .as(Seq("p", "g")))
+      .cacheTracked
+    val batchG = pos.select("g").distinct()
+    StagedRewrite.recover(s, indexTable)
+    val idxHot = s.table(indexTable)
+      .join(broadcast(batchG), Seq("g"))
+      .cacheTracked
+    val candIdx = pos.join(broadcast(idxHot.select("g").distinct()), Seq("g"), "left_semi")
+    val repB = pos.groupBy("g").agg(count(lit(1)).as("bdf"))
+      .filter(col("bdf") >= 2).select("g")
+    val candB = pos.join(repB, Seq("g"), "left_semi")
+    val candPos = candIdx.select("doc_id", "p")
+      .union(candB.select("doc_id", "p")).distinct()
+    val subs = subsAt(base, candPos, n)
+    // per raw window: corpus occurrence total + the corpus-side
+    // argmin candidate (envelope-guarded like the batch side)
+    val cstat = idxHot
+      .withColumn("cpacked", packedGuarded(col("doc_id"), col("mp")))
+      .groupBy("sub")
+      .agg(sum(col("df")).as("cdf"), min(col("cpacked")).as("cminPacked"))
+    val wSub = Window.partitionBy("sub")
+    val hits = subs
+      .withColumn("packed", packedGuarded(col("doc_id"), col("p")))
+      .withColumn("bcnt", count(lit(1)).over(wSub))
+      .withColumn("bminPacked", min(col("packed")).over(wSub))
+      .join(broadcast(cstat), Seq("sub"), "left")
+      .filter(col("bcnt") + coalesce(col("cdf"), lit(0L)) >= 2)
+      .withColumn("keeper", col("packed") ===
+        least(col("bminPacked"), coalesce(col("cminPacked"), lit(Long.MaxValue))))
+      .select(col("doc_id"), col("p"), col("keeper"))
+    spanRebuild(base, spanKeepFirstSweep(hits, n))
+  }
+
+  /** Registry entry for [[spanDedupKeepFirstIncrementalCore]] — the
+    * shard arrives against the index over everything else; certified
+    * projection identical to [[pipeSpanDedupKeepFirst]]. */
+  def pipeSpanKeepFirstIncremental(s: SparkSession, dir: String, n: Int = 50): DataFrame =
+    spanDedupKeepFirstIncrementalCore(s, spanGramIndexFor(s, dir, n),
         Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
           .select(col("doc_id"), col("text")), n)
       .select(col("doc_id"), col("is_ascii"), col("n_spans_cut"),

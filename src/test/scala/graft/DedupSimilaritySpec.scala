@@ -1880,6 +1880,27 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect())
     assert(viaParts == incRows,
       "two-append index probes differently from the one-shot build")
+    // the KEEP-FIRST incremental form: equals the batch keep-first
+    // over (corpus ∪ batch) restricted to the shard — keeper election
+    // uses the index's per-doc min-position column, so the global
+    // (doc_id, p) argmin is reproduced without a corpus rescan
+    val kfInc = keyed(Dedup.pipeSpanKeepFirstIncremental(spark, Sf, n).collect())
+    val kfBatch = keyed(Dedup.spanDedupKeepFirstCore(
+        Tables.documents(spark, Sf).select(col("doc_id"), col("text")), n)
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), col("is_ascii"), col("n_spans_cut"),
+        col("n_chars_cut"), col("cut_ranges"),
+        md5(col("clean_text")).as("clean_md5"))
+      .collect())
+    assert(kfInc == kfBatch,
+      s"keep-first incremental diverges from the batch form: " +
+        s"extra=${(kfInc -- kfBatch).take(3)} missing=${(kfBatch -- kfInc).take(3)}")
+    // keep-first cuts are a subset of remove-all cuts, here too
+    val removeAll = incRows.map(r => r._1 -> r._3).toMap
+    kfInc.foreach { r =>
+      assert(r._3 <= removeAll(r._1),
+        s"doc ${r._1}: keep-first incremental cut more than remove-all")
+    }
     spark.sql(s"DROP TABLE IF EXISTS $t2")
     CacheRegistry.releaseAll()
   }

@@ -594,7 +594,8 @@ class StreamingSpec extends SparkSpec {
         org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("sub", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("df", org.apache.spark.sql.types.LongType))))
+        org.apache.spark.sql.types.StructField("df", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("mp", org.apache.spark.sql.types.LongType))))
     Seq(specT, refT).foreach(t => emptyIdx.write.format("parquet").saveAsTable(t))
     val corpusDf = Seq(corpusDoc).toDF("doc_id", "text")
     Dedup.spanGramIndexAppend(spark, specT, corpusDf, n)
