@@ -36,6 +36,24 @@ object CacheRegistry {
   /** Number of frames currently tracked (bench cache-state probe). */
   def trackedCount: Int = synchronized { tracked.size }
 
+  /** High-water mark for [[releaseSince]] — a resident loop (e.g. the
+    * streaming span-cut ingest) brackets each micro-batch with
+    * mark()/releaseSince() so the frames IT tracked are dropped per
+    * batch without touching caches owned by a co-resident operator
+    * (releaseAll would). */
+  def mark(): Int = synchronized { tracked.size }
+
+  /** Unpersist and forget every frame tracked after the given mark.
+    * The registry holds strong references, so a long-running loop
+    * that never releases accumulates MEMORY_AND_DISK blocks without
+    * bound — this is the per-batch release point. */
+  def releaseSince(mark: Int, blocking: Boolean = false): Unit = synchronized {
+    val m = math.max(0, math.min(mark, tracked.size))
+    tracked.view.slice(m, tracked.size)
+      .foreach(df => try df.unpersist(blocking) catch { case _: Throwable => () })
+    tracked.remove(m, tracked.size - m)
+  }
+
   /** Unpersist everything cached since the last release. Double
     * unpersist (e.g. frames an iterative loop already dropped) is a
     * harmless no-op. Bench passes blocking=true so an async block drop

@@ -1362,22 +1362,31 @@ object Dedup {
 
   // --- incremental span dedup against persisted corpus gram state ---
 
-  /** Per-document (doc_id, g, sub, df) window counts of a document
+  /** Per-document (doc_id, g, sh, df, mp) window counts of a document
     * frame — the span-cut family's persistable corpus state: one row
     * per document per distinct raw lowercased n-char window, keyed by
-    * the rolling hash for probe pruning and carrying the RAW window
-    * so the incremental cut keeps round 16's hash-nominates/
-    * substring-convicts exactness (a digest-only index would make
-    * cutting probabilistic again). Keyed per DOCUMENT, not
-    * corpus-aggregated: append becomes doc_id-idempotent (the
-    * family's exactly-once contract under streaming replay) and
-    * compliance forget becomes a doc_id rewrite — row count is the
-    * same order either way (distinct windows per doc ≈ positions).
-    * Derived in one scan: the window extraction rides the same stage
-    * as the kernel posexplode (text never shuffles per position; the
-    * aggregate shuffles ~n + 24 bytes per corpus position — the
-    * build-time price, in family with the reference tool's suffix
-    * array at 8× text). */
+    * the 64-bit rolling hash `g` for probe pruning plus the 128-bit
+    * md5 digest `sh` of the raw window for CONVICTION. The round-16
+    * discipline (hash nominates, the raw window convicts) survives
+    * with the digest standing in for the stored raw text: the 64-bit
+    * `g` still only nominates candidates, and the cut criterion
+    * compares 128-bit digests of RAW windows (batch side re-extracts
+    * its raw text and digests it), so a false cut needs an md5
+    * collision — 2⁻¹²⁸ per comparison, ~0 expected even at the 100 TB
+    * target's ~1e14 grams (vs ~1e8 expected 64-bit collisions, which
+    * is why `g` alone must never convict). Storing 16 digest bytes
+    * instead of the raw 50-char window is the footprint fix the r16
+    * verdict asked for (~3× fewer bytes per position — measured in
+    * README); the raw text stays recoverable from the corpus itself.
+    * Keyed per DOCUMENT, not corpus-aggregated: append becomes
+    * doc_id-idempotent (the family's exactly-once contract under
+    * streaming replay) and compliance forget becomes a doc_id rewrite
+    * — row count is the same order either way (distinct windows per
+    * doc ≈ positions). Derived in one scan: the window extraction
+    * rides the same stage as the kernel posexplode (text never
+    * shuffles per position; the aggregate shuffles ~40 bytes per
+    * corpus position — the build-time price, toward the reference
+    * tool's suffix-array class). */
   private def gramWindowCounts(docs: DataFrame, n: Int): DataFrame = {
     val eligible = docs
       .filter(length(col("text")) >= n &&
@@ -1387,8 +1396,8 @@ object Dedup {
         graft.functions.VectorFunctions.ngram_hashes_chars(lower(col("text")), n))
         .as(Seq("p", "g")))
       .select(col("doc_id"), col("g"), col("p"),
-        lower(col("text")).substr(col("p") + 1, lit(n)).as("sub"))
-      .groupBy("doc_id", "g", "sub")
+        unhex(md5(lower(col("text")).substr(col("p") + 1, lit(n)))).as("sh"))
+      .groupBy("doc_id", "g", "sh")
       // `mp` = the window's FIRST position within the doc — enough to
       // reconstruct the global lexicographic (doc_id, p) argmin
       // (each doc's best candidate is its min position), which the
@@ -1398,13 +1407,71 @@ object Dedup {
     // without them a short / lc-unstable / fully-cut document never
     // enters, and the doc_id-idempotence probe would re-admit its
     // redeliveries forever. Inert at probe time: no real n-char
-    // window equals "", so the sub-confirmed criterion can never
-    // count a sentinel.
+    // window digests to md5("") (2⁻¹²⁸), so the digest-confirmed
+    // criterion can never count a sentinel.
     val sentinels = docs.join(eligible.select("doc_id"), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), lit(0L).as("g"), lit("").as("sub"),
+      .select(col("doc_id"), lit(0L).as("g"), unhex(md5(lit(""))).as("sh"),
         lit(0L).as("df"), lit(0L).as("mp"))
     real.union(sentinels)
   }
+
+  /** Physical-layout knobs for the span gram index (v4): the table is
+    * hash-partitioned on `pb = pmod(g, P)` so an incremental probe's
+    * broadcast key set DYNAMICALLY PRUNES partitions at the scan
+    * (Spark's DPP inserts a `dynamicpruningexpression` on `pb` —
+    * plan-asserted in PlanSpec) instead of reading the whole index
+    * per arrival. Sizing rule: P grows with the corpus so a partition
+    * holds a bounded row count — then a probe whose distinct-gram set
+    * is SMALLER than P reads only the partitions its grams hash to,
+    * i.e. probe I/O ∝ min(batch grams, P) × partition size, constant
+    * in index size once P passes the batch's gram count (the
+    * micro-batch / single-document lookup regime; a daily shard whose
+    * gram set covers every partition still pays one full column-
+    * pruned scan — but a 16-byte-digest one, not a raw-window one).
+    * Files within a partition are sorted by `g` so parquet row-group
+    * min/max stats stay tight for static g-range reads. P is chosen
+    * at BUILD time and recorded as a table property
+    * ([[SpanIndexPbProp]]) — probes and appends read it from the
+    * table, so layout and content can never disagree. The 65536 cap
+    * is directory-count sanity on a single filesystem; a cluster
+    * deployment at the 1e14-gram scale raises it (or adds a second
+    * bucket level) to keep ~50M rows (~2 GB) per partition. */
+  private[graft] val SpanIndexPbProp = "graft.span.pb"
+
+  /** Partition count for a span gram index over `nDocs` documents —
+    * ~2000 docs (~2M positions at 1k chars/doc) per partition,
+    * clamped to [8, 65536]. */
+  private[graft] def spanIndexPartitionsFor(nDocs: Long): Int =
+    math.min(65536L, math.max(8L, nDocs / 2000L)).toInt
+
+  /** The partition-count property of a span gram index table; every
+    * creation path ([[spanGramIndexFor]], [[spanGramIndexCreateEmpty]])
+    * records it, so absence means the table is not a v4 span index. */
+  private[graft] def spanIndexPb(s: SparkSession, table: String): Int =
+    s.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .collectFirst { case r if r.getString(0) == SpanIndexPbProp =>
+        r.getString(1).toInt }
+      .getOrElse(throw new IllegalStateException(
+        s"table $table lacks $SpanIndexPbProp — span gram indexes must be " +
+          "created via spanGramIndexFor or spanGramIndexCreateEmpty"))
+
+  /** Create an EMPTY span gram index with the v4 partitioned layout —
+    * the entry point for tools and tests that maintain a local index
+    * via [[spanGramIndexAppend]] (replaces the old
+    * schema-copy-via-limit(0) trick, which materialized the registry
+    * index just to steal its schema and lost the partitioning). */
+  def spanGramIndexCreateEmpty(s: SparkSession, table: String, p: Int): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    graft.sources.Sources.clearOrphanedLocation(s, table)
+    s.sql(s"CREATE TABLE $table (doc_id BIGINT, g BIGINT, sh BINARY, " +
+      s"df BIGINT, mp BIGINT) USING parquet PARTITIONED BY (pb INT) " +
+      s"TBLPROPERTIES ('$SpanIndexPbProp' = '$p')")
+  }
+
+  /** The index partition key of a gram hash under partition count
+    * `p`, appended as the layout column `pb`. */
+  private def withPb(df: DataFrame, p: Int): DataFrame =
+    df.withColumn("pb", pmod(col("g"), lit(p.toLong)).cast("int"))
 
   /** Persisted corpus gram-window index for INCREMENTAL span cutting
     * — the artifact the capstone's scaladoc points at: a streaming
@@ -1418,23 +1485,34 @@ object Dedup {
   def spanGramIndexFor(s: SparkSession, dir: String, n: Int = 50): String = {
     val slug = dir.replaceAll("[^A-Za-z0-9]+", "_").replaceAll("^_+|_+$", "")
     val dirTag = (scala.util.hashing.MurmurHash3.stringHash(dir) & 0x7fffffff).toHexString
-    val table = s"graft_span_gram_${slug}_${dirTag}_n${n}_v3"
-    if (!s.catalog.tableExists(table)) {
-      // retire stale schema generations of this dir's index (the
-      // lshSeedTable sweep discipline; inside the build branch only)
-      val genPrefix = s"graft_span_gram_${slug}_${dirTag}_n${n}_v"
-      s.catalog.listTables().collect().map(_.name)
-        .filter(t => t.startsWith(genPrefix) && t.matches(".*_v\\d+$") && t != table)
-        .foreach(t => s.sql(s"DROP TABLE $t"))
-      graft.sources.Sources.clearOrphanedLocation(s, table)
-      gramWindowCounts(Tables.documents(s, dir)
-          .filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text")), n)
-        .repartition(col("g"))
-        .write.format("parquet").saveAsTable(table)
-    } else {
-      StagedRewrite.recover(s, table)
+    val prefix = s"graft_span_gram_${slug}_${dirTag}_n${n}"
+    // the partition count is baked into the name (and the table
+    // property) at build time, so "exists" is a prefix+generation scan
+    val existing = s.catalog.listTables().collect().map(_.name)
+      .filter(t => t.startsWith(s"${prefix}_p") && t.endsWith("_v4"))
+      .sorted.headOption
+    existing match {
+      case Some(table) =>
+        StagedRewrite.recover(s, table)
+        table
+      case None =>
+        // retire stale schema generations of this dir's index (the
+        // lshSeedTable sweep discipline; inside the build branch only)
+        s.catalog.listTables().collect().map(_.name)
+          .filter(t => t.startsWith(prefix) && t.matches(".*_v\\d+$"))
+          .foreach(t => s.sql(s"DROP TABLE $t"))
+        val p = spanIndexPartitionsFor(Tables.rowCount(s, dir, "documents"))
+        val table = s"${prefix}_p${p}_v4"
+        graft.sources.Sources.clearOrphanedLocation(s, table)
+        // repartition on pb (each layout partition written by one
+        // task) + sort by g within files for tight row-group stats
+        withPb(gramWindowCounts(Tables.documents(s, dir)
+            .filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text")), n), p)
+          .repartition(col("pb")).sortWithinPartitions("g")
+          .write.partitionBy("pb").format("parquet").saveAsTable(table)
+        s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$SpanIndexPbProp' = '$p')")
+        table
     }
-    table
   }
 
   /** Append new documents' window counts to a span gram index —
@@ -1450,11 +1528,14 @@ object Dedup {
   def spanGramIndexAppend(s: SparkSession, table: String, docs: DataFrame,
                           n: Int = 50): Unit = {
     StagedRewrite.recover(s, table)
+    val p = spanIndexPb(s, table)
     val ids = docs.select("doc_id").distinct()
     val indexed = probeCorpusKeys(s, table, ids, Seq("doc_id"))
     val fresh = docs.join(broadcast(indexed), Seq("doc_id"), "left_anti")
-    gramWindowCounts(fresh, n)
-      .repartition(col("g"))
+    // column order (doc_id, g, sh, df, mp, pb) matches the table read
+    // order — insertInto is positional, partition column last
+    withPb(gramWindowCounts(fresh, n), p)
+      .repartition(col("pb")).sortWithinPartitions("g")
       .write.mode("append").insertInto(table)
   }
 
@@ -1485,16 +1566,22 @@ object Dedup {
     *
     * Probe shape (all corpus-side touches are map-only scans, the
     * [[probeCorpusKeys]] discipline): the batch's distinct hash set
-    * broadcasts against the index (ONE column-pruned scan returning
-    * rows ∝ hash matches), candidate positions are the union of
-    * index-hash matches and batch-internal hash repeats, raw windows
-    * are re-extracted for candidates only, and the cut criterion is
-    * batch-occurrences + Σ index df ≥ 2 per RAW window — collisions
-    * still cannot cut unique text. Per-batch cost: O(batch) scan +
-    * one O(index) column-pruned scan; the index never shuffles. At
-    * 100 TB the index scan prunes further via partition-level g
-    * ranges / runtime bloom filters — the plan already pushes the
-    * broadcast-hash probe to the scan.
+    * broadcasts against the index (ONE column-pruned, PARTITION-
+    * PRUNED scan returning rows ∝ hash matches), candidate positions
+    * are the union of index-hash matches and batch-internal hash
+    * repeats, raw windows are re-extracted for candidates only and
+    * digested, and the cut criterion is batch-occurrences + Σ index
+    * df ≥ 2 per raw-window md5 — 64-bit collisions still cannot cut
+    * unique text (a false cut now needs a 2⁻¹²⁸ md5 collision).
+    * Per-batch cost: O(batch) scan + one index probe that the v4
+    * layout PRUNES: the probe joins on (pb, g) where pb is the
+    * index's partition column, so DPP drops every partition the
+    * batch's gram set does not hash into (dynamicpruningexpression,
+    * plan-asserted in PlanSpec) — probe I/O ∝ min(batch grams, P) ×
+    * partition size, constant in index size once P exceeds the
+    * batch's gram count (the micro-batch regime; a corpus-covering
+    * daily shard still reads each partition once, column-pruned).
+    * The index never shuffles.
     *
     * REGIME: batch ≪ corpus. The probe broadcasts the batch's
     * distinct hash keys (~8 B per batch character) — the daily-shard
@@ -1518,14 +1605,25 @@ object Dedup {
         graft.functions.VectorFunctions.ngram_hashes_chars(lower(col("text")), n))
         .as(Seq("p", "g")))
       .cacheTracked // feeds the probe key set, both candidate branches, and the batch count
-    val batchG = pos.select("g").distinct()
-    // the ONE index touch: batch hash keys broadcast, matching index
-    // rows come back (∝ duplicated batch text + collisions); recover
-    // first — a crashed forget must never present a half-swapped index
+    // recover first — a crashed forget must never present a
+    // half-swapped index; then read the layout's partition count
     StagedRewrite.recover(s, indexTable)
+    val p = spanIndexPb(s, indexTable)
+    // probe keys carry the PARTITION column: joining on (pb, g) lets
+    // DPP prune index partitions the batch's grams don't hash into.
+    // The between() is the partition-key domain guard (pmod is always
+    // in [0, P)) — and it is ALSO what lets the optimizer insert the
+    // pruning subquery: pos is cache-tracked, so the batch scan's own
+    // selective filters sit behind an InMemoryRelation where DPP's
+    // selectivity check cannot see them; this visible filter on the
+    // key itself restores the signal (plan-asserted in PlanSpec)
+    val batchG = withPb(pos.select("g").distinct(), p)
+      .filter(col("pb").between(lit(0), lit(p - 1)))
+    // the ONE index touch: batch hash keys broadcast, matching index
+    // rows come back (∝ duplicated batch text + collisions)
     val idxHot = s.table(indexTable)
-      .join(broadcast(batchG), Seq("g"))
-      .select(col("g"), col("sub"), col("df")) // doc_id pruned at the scan
+      .join(broadcast(batchG), Seq("pb", "g"))
+      .select(col("g"), col("sh"), col("df")) // doc_id pruned at the scan
       .cacheTracked
     val candIdx = pos.join(broadcast(idxHot.select("g").distinct()), Seq("g"), "left_semi")
     val repB = pos.groupBy("g").agg(count(lit(1)).as("bdf"))
@@ -1533,13 +1631,15 @@ object Dedup {
     val candB = pos.join(repB, Seq("g"), "left_semi")
     val candPos = candIdx.select("doc_id", "p")
       .union(candB.select("doc_id", "p")).distinct()
+    // batch-side confirmation keys: the raw window (within-batch
+    // occurrences) and its md5 (corpus-side occurrences — the index
+    // stores digests, which separate 64-bit hash collisions at 2⁻¹²⁸)
     val subs = subsAt(base, candPos, n)
-    // corpus occurrences per RAW window (sub separates hash collisions;
-    // sum merges append-partial index rows)
-    val cdf = idxHot.groupBy("sub").agg(sum(col("df")).as("cdf"))
+      .withColumn("sh", unhex(md5(col("sub"))))
+    val cdf = idxHot.groupBy("sh").agg(sum(col("df")).as("cdf"))
     val hits = subs
       .withColumn("bcnt", count(lit(1)).over(Window.partitionBy("sub")))
-      .join(broadcast(cdf), Seq("sub"), "left")
+      .join(broadcast(cdf), Seq("sh"), "left")
       .filter(col("bcnt") + coalesce(col("cdf"), lit(0L)) >= 2)
       .select("doc_id", "p")
     spanRebuild(base, spanIslands(hits, n))
@@ -1586,10 +1686,14 @@ object Dedup {
         graft.functions.VectorFunctions.ngram_hashes_chars(lower(col("text")), n))
         .as(Seq("p", "g")))
       .cacheTracked
-    val batchG = pos.select("g").distinct()
     StagedRewrite.recover(s, indexTable)
+    val p = spanIndexPb(s, indexTable)
+    // same probe-key shape as the remove-all form: pb domain guard
+    // doubles as the DPP selectivity signal (see spanDedupIncrementalCore)
+    val batchG = withPb(pos.select("g").distinct(), p)
+      .filter(col("pb").between(lit(0), lit(p - 1)))
     val idxHot = s.table(indexTable)
-      .join(broadcast(batchG), Seq("g"))
+      .join(broadcast(batchG), Seq("pb", "g"))
       .cacheTracked
     val candIdx = pos.join(broadcast(idxHot.select("g").distinct()), Seq("g"), "left_semi")
     val repB = pos.groupBy("g").agg(count(lit(1)).as("bdf"))
@@ -1598,18 +1702,19 @@ object Dedup {
     val candPos = candIdx.select("doc_id", "p")
       .union(candB.select("doc_id", "p")).distinct()
     val subs = subsAt(base, candPos, n)
-    // per raw window: corpus occurrence total + the corpus-side
+      .withColumn("sh", unhex(md5(col("sub"))))
+    // per raw-window digest: corpus occurrence total + the corpus-side
     // argmin candidate (envelope-guarded like the batch side)
     val cstat = idxHot
       .withColumn("cpacked", packedGuarded(col("doc_id"), col("mp")))
-      .groupBy("sub")
+      .groupBy("sh")
       .agg(sum(col("df")).as("cdf"), min(col("cpacked")).as("cminPacked"))
     val wSub = Window.partitionBy("sub")
     val hits = subs
       .withColumn("packed", packedGuarded(col("doc_id"), col("p")))
       .withColumn("bcnt", count(lit(1)).over(wSub))
       .withColumn("bminPacked", min(col("packed")).over(wSub))
-      .join(broadcast(cstat), Seq("sub"), "left")
+      .join(broadcast(cstat), Seq("sh"), "left")
       .filter(col("bcnt") + coalesce(col("cdf"), lit(0L)) >= 2)
       .withColumn("keeper", col("packed") ===
         least(col("bminPacked"), coalesce(col("cminPacked"), lit(Long.MaxValue))))

@@ -47,6 +47,16 @@ import org.apache.spark.sql.functions._
   * Compliance: [[Dedup.spanGramIndexForget]] drops a document's
   * window rows crash-safely; this loop's probe recovers a
   * half-swapped index before reading.
+  *
+  * INVARIANT — outDir and checkpoint live and die TOGETHER: the
+  * replay branch trusts a `batch_id=N/_SUCCESS` under outDir as "this
+  * run's batch N already committed". A stale partition left from a
+  * PREVIOUS run paired with a fresh checkpoint reuses batch ids from
+  * 0, so a genuinely new batch N would be routed into the replay
+  * branch — its arrivals silently dropped and the old manifest's
+  * windows re-driven into the index. Create both directories
+  * together, retire both together; never point a fresh checkpoint at
+  * a populated outDir (same contract as [[StreamingIngest]]).
   */
 object SpanIngest {
 
@@ -64,51 +74,60 @@ object SpanIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
-        val partDir = s"$outDir/batch_id=$batchId"
-        val hPath = new org.apache.hadoop.fs.Path(partDir, "_SUCCESS")
-        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(hPath)) {
-          // sink already committed: the partition IS the accepted set —
-          // re-drive the idempotent index append from the retained
-          // text instead of re-cutting against mutated state. Explicit
-          // schema: an all-redelivered batch commits zero rows and
-          // schema inference over an empty partition throws (the
-          // StreamingIngest poison-pill lesson).
-          val manifestSchema = org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("doc_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("is_ascii",
-              org.apache.spark.sql.types.BooleanType),
-            org.apache.spark.sql.types.StructField("n_spans_cut",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("n_chars_cut",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("cut_ranges",
-              org.apache.spark.sql.types.StringType),
-            org.apache.spark.sql.types.StructField("clean_text",
-              org.apache.spark.sql.types.StringType)))
-          Dedup.spanGramIndexAppend(spark, indexTable,
-            spark.read.schema(manifestSchema).parquet(partDir)
-              .select(col("doc_id"), col("clean_text").as("text")), n)
-        } else {
-          // deterministic within-batch collapse, then drop documents
-          // the index already holds (later-batch redeliveries)
-          val arrivals = batch.select(col("doc_id"), col("text"))
-            .groupBy("doc_id").agg(min("text").as("text"))
-          val indexed = Dedup.probeCorpusKeys(spark, indexTable,
-            arrivals.select("doc_id"), Seq("doc_id"))
-          val fresh = arrivals.join(broadcast(indexed), Seq("doc_id"), "left_anti")
-          val cut = Dedup.spanDedupIncrementalCore(spark, indexTable, fresh, n)
-            .select(col("doc_id"), col("is_ascii"), col("n_spans_cut"),
-              col("n_chars_cut"), col("cut_ranges"), col("clean_text"))
-            .cache()
-          try {
-            cut.write.mode("overwrite").parquet(partDir)
-            // index the text as RETAINED — the corpus this loop keeps
+        // per-batch cache scope: spanDedupIncrementalCore tracks its
+        // pos/idxHot persists in CacheRegistry; a resident loop must
+        // drop THIS batch's frames once its actions complete or
+        // MEMORY_AND_DISK blocks accumulate without bound across
+        // batches (releaseSince, not releaseAll — co-resident
+        // operators' caches stay untouched)
+        val cacheMark = graft.CacheRegistry.mark()
+        try {
+          val partDir = s"$outDir/batch_id=$batchId"
+          val hPath = new org.apache.hadoop.fs.Path(partDir, "_SUCCESS")
+          val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(hPath)) {
+            // sink already committed: the partition IS the accepted set —
+            // re-drive the idempotent index append from the retained
+            // text instead of re-cutting against mutated state. Explicit
+            // schema: an all-redelivered batch commits zero rows and
+            // schema inference over an empty partition throws (the
+            // StreamingIngest poison-pill lesson).
+            val manifestSchema = org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("doc_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("is_ascii",
+                org.apache.spark.sql.types.BooleanType),
+              org.apache.spark.sql.types.StructField("n_spans_cut",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("n_chars_cut",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("cut_ranges",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("clean_text",
+                org.apache.spark.sql.types.StringType)))
             Dedup.spanGramIndexAppend(spark, indexTable,
-              cut.select(col("doc_id"), col("clean_text").as("text")), n)
-          } finally cut.unpersist()
-        }
+              spark.read.schema(manifestSchema).parquet(partDir)
+                .select(col("doc_id"), col("clean_text").as("text")), n)
+          } else {
+            // deterministic within-batch collapse, then drop documents
+            // the index already holds (later-batch redeliveries)
+            val arrivals = batch.select(col("doc_id"), col("text"))
+              .groupBy("doc_id").agg(min("text").as("text"))
+            val indexed = Dedup.probeCorpusKeys(spark, indexTable,
+              arrivals.select("doc_id"), Seq("doc_id"))
+            val fresh = arrivals.join(broadcast(indexed), Seq("doc_id"), "left_anti")
+            val cut = Dedup.spanDedupIncrementalCore(spark, indexTable, fresh, n)
+              .select(col("doc_id"), col("is_ascii"), col("n_spans_cut"),
+                col("n_chars_cut"), col("cut_ranges"), col("clean_text"))
+              .cache()
+            try {
+              cut.write.mode("overwrite").parquet(partDir)
+              // index the text as RETAINED — the corpus this loop keeps
+              Dedup.spanGramIndexAppend(spark, indexTable,
+                cut.select(col("doc_id"), col("clean_text").as("text")), n)
+            } finally cut.unpersist()
+          }
+        } finally graft.CacheRegistry.releaseSince(cacheMark, blocking = true)
         afterBatch(batchId)
       }
       .start()

@@ -35,6 +35,15 @@ import org.apache.spark.sql.functions._
   * per-batch-directory write of the accepted rows, and one O(batch)
   * state append. Nothing global, no growing streaming state — the
   * corpus tables ARE the state.
+  *
+  * INVARIANT — outDir and checkpoint live and die TOGETHER: the
+  * replay branch trusts `batch_id=N/_SUCCESS` under outDir as "this
+  * run's batch N committed". A fresh checkpoint restarts batch ids at
+  * 0, so pointing one at a POPULATED outDir from a previous run
+  * routes genuinely new batches into the replay branch — arrivals
+  * silently dropped, the stale manifest re-appended. Create both
+  * directories together, retire both together (same contract as
+  * [[SpanIngest]]).
   */
 object StreamingIngest {
 

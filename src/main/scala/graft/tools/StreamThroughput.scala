@@ -213,12 +213,15 @@ object StreamThroughput {
     val docs = Tables.documents(spark, sfDir)
     val shard = docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
     val nRows = shard.count()
-    val idxT = "graft_span_gram_throughput_probe_n50_v2"
-    spark.sql(s"DROP TABLE IF EXISTS $idxT")
-    graft.sources.Sources.clearOrphanedLocation(spark, idxT)
+    val nDocs = docs.count()
+    val idxT = "graft_span_gram_throughput_probe_n50_v4"
+    // tool-local EMPTY index from the canonical DDL — the old
+    // schema-copy-via-limit(0) trick materialized the whole registry
+    // index inside the timed build window just to steal its schema
+    // (doubling index_build_sec and leaving a registry artifact behind)
     val t0b = System.nanoTime()
-    spark.table(graft.operators.Dedup.spanGramIndexFor(spark, sfDir)).limit(0)
-      .write.format("parquet").saveAsTable(idxT)
+    graft.operators.Dedup.spanGramIndexCreateEmpty(spark, idxT,
+      graft.operators.Dedup.spanIndexPartitionsFor(nDocs))
     graft.operators.Dedup.spanGramIndexAppend(spark, idxT,
       docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text"))
     val buildSec = (System.nanoTime() - t0b) / 1e9

@@ -1864,11 +1864,8 @@ class DedupSimilaritySpec extends SparkSpec {
     // must probe identically (partial df rows summed at probe time)
     val corpusDocs = Tables.documents(spark, Sf)
       .filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
-    val t2 = "graft_span_gram_spec_parts_v1"
-    spark.sql(s"DROP TABLE IF EXISTS $t2")
-    graft.sources.Sources.clearOrphanedLocation(spark, t2)
-    spark.table(Dedup.spanGramIndexFor(spark, Sf, n)).limit(0)
-      .write.format("parquet").saveAsTable(t2)
+    val t2 = "graft_span_gram_spec_parts_v4"
+    Dedup.spanGramIndexCreateEmpty(spark, t2, 8)
     Dedup.spanGramIndexAppend(spark, t2, corpusDocs.filter(col("doc_id") % 2 === 0), n)
     Dedup.spanGramIndexAppend(spark, t2, corpusDocs.filter(col("doc_id") % 2 =!= 0), n)
     val shardDocs = Tables.documents(spark, Sf)

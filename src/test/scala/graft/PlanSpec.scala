@@ -340,4 +340,81 @@ class PlanSpec extends SparkSpec {
     // same private builders — certify-then-drift is impossible
     CacheRegistry.releaseAll()
   }
+
+  test("span gram index probe is PARTITION-PRUNED: DPP on pb, partitions read < P") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Dedup
+    // the v4 layout claim made physical: a micro-batch whose gram set
+    // is smaller than P must scan ONLY the partitions its grams hash
+    // into — dynamicpruningexpression on the partition column pb in
+    // the plan, and the scan's partitions-read metric strictly below
+    // the table's P. AQE off so the executed plan is directly
+    // traversable for the scan node's metrics.
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevDisabled = CacheRegistry.disabled
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // cache-cold so the index scan (and its metrics) sit in THIS
+      // plan, not inside a tracked InMemoryRelation's cached plan —
+      // the pruning itself fires identically in both modes
+      CacheRegistry.disabled = true
+      val P = 64
+      val t = "graft_span_gram_dpp_spec_v4"
+      Dedup.spanGramIndexCreateEmpty(spark, t, P)
+      Dedup.spanGramIndexAppend(spark, t,
+        Tables.documents(spark, Sf).filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"), col("text")))
+      // tiny arrival: one 60-char prefix → 11 grams → at most 11 of
+      // the 64 partitions can match
+      val tiny = Tables.documents(spark, Sf).filter(col("doc_id") % 10 === 0)
+        .orderBy("doc_id").limit(1)
+        .select(col("doc_id"), substring(col("text"), 1, 60).as("text"))
+      val probe = Dedup.spanDedupIncrementalCore(spark, t, tiny, 50)
+      probe.collect()
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("dynamicpruningexpression"),
+        s"index probe scan carries no DPP filter on pb:\n$plan")
+      val scans = probe.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.tableIdentifier.exists(_.table == t) => s
+      }
+      assert(scans.nonEmpty, s"no FileSourceScan of $t in:\n$plan")
+      val partsRead = scans.map(_.metrics("numPartitions").value).max
+      assert(partsRead > 0 && partsRead < P,
+        s"probe read $partsRead of $P partitions — pruning did not engage")
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      CacheRegistry.disabled = prevDisabled
+    }
+    CacheRegistry.releaseAll(blocking = true)
+  }
+
+  test("spanRebuild cut-list join degrades to a doc_id shuffle join past the broadcast threshold, identical cuts") {
+    import org.apache.spark.sql.functions._
+    // crawl-duplication regime: when cut-docs ≈ corpus, the per-doc
+    // cut-list build side is corpus-sized and must NOT broadcast —
+    // force the threshold down and assert the fallback is a doc_id
+    // sort-merge join with bit-identical output (the two-shape
+    // treatment forceGramShuffle already has)
+    CacheRegistry.releaseAll()
+    val docs = Tables.documents(spark, Sf).select(col("doc_id"), col("text"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars_cut"), r.getAs[String]("cut_ranges"))
+    val default = graft.operators.Dedup.spanDedupCore(docs, 50).collect()
+    CacheRegistry.releaseAll()
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val degraded = graft.operators.Dedup.spanDedupCore(docs, 50)
+      val degradedRows = degraded.collect()
+      val plan = degraded.queryExecution.executedPlan.toString
+      assert("SortMergeJoin.*doc_id#".r.findFirstIn(plan).isDefined,
+        s"cut-list join did not degrade to a doc_id shuffle join:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
+      assert(degradedRows.map(key).toSet == default.map(key).toSet,
+        "degraded-join shape cuts differently from the broadcast shape")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    CacheRegistry.releaseAll()
+  }
 }

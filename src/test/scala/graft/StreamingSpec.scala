@@ -583,20 +583,9 @@ class StreamingSpec extends SparkSpec {
     val d3 = (102L, "lead-in three+" + s2 + "~tail three also distinct and long")
     val d4 = (103L, "arrival four<" + s2 + ">then|" + t1 + "|end four") // s2 NOT cut (gone from retained corpus), t1 cut
     import spark.implicits._
-    val specT = "graft_span_gram_stream_spec_n50_v2"
-    val refT = "graft_span_gram_stream_ref_n50_v2"
-    Seq(specT, refT).foreach { t =>
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      graft.sources.Sources.clearOrphanedLocation(spark, t)
-    }
-    val emptyIdx = spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("sub", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("df", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("mp", org.apache.spark.sql.types.LongType))))
-    Seq(specT, refT).foreach(t => emptyIdx.write.format("parquet").saveAsTable(t))
+    val specT = "graft_span_gram_stream_spec_n50_v4"
+    val refT = "graft_span_gram_stream_ref_n50_v4"
+    Seq(specT, refT).foreach(t => Dedup.spanGramIndexCreateEmpty(spark, t, 8))
     val corpusDf = Seq(corpusDoc).toDF("doc_id", "text")
     Dedup.spanGramIndexAppend(spark, specT, corpusDf, n)
     Dedup.spanGramIndexAppend(spark, refT, corpusDf, n)
@@ -656,7 +645,8 @@ class StreamingSpec extends SparkSpec {
       .select(col("doc_id"), col("clean_text").as("text")), n)
     Dedup.spanGramIndexAppend(spark, refT, spark.read.parquet(s"$outDir/batch_id=1")
       .select(col("doc_id"), col("clean_text").as("text")), n)
-    def indexSum(t: String) = spark.table(t).groupBy("doc_id", "g", "sub")
+    def indexSum(t: String) = spark.table(t)
+      .groupBy(col("doc_id"), col("g"), hex(col("sh")).as("shx"))
       .agg(sum("df").as("df")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)) -> r.getAs[Long]("df")).toMap
     assert(indexSum(specT) == indexSum(refT),
