@@ -525,7 +525,8 @@ object SparkEntry {
                              fromRel: String = "documents"): String =
     s"""d AS (
       |  SELECT doc_id, $textExpr AS text, length($textExpr) AS len,
-      |         length($textExpr) = strlen($textExpr) AS is_ascii
+      |         length($textExpr) = strlen($textExpr) AS is_ascii,
+      |         length(lower($textExpr)) = length($textExpr) AS lc_stable
       |  FROM $fromRel),
       |pos AS (
       |  SELECT doc_id, unnest(range(0, len - 49)) AS p
@@ -571,7 +572,7 @@ object SparkEntry {
       |    string_agg(s || '-' || e, ';' ORDER BY s) AS cut_ranges
       |  FROM spans GROUP BY doc_id),
       |cleandocs AS (
-      |  SELECT d.doc_id, d.is_ascii,
+      |  SELECT d.doc_id, d.is_ascii, d.lc_stable,
       |    coalesce(sa.n_spans_cut, 0) AS n_spans_cut,
       |    coalesce(sa.n_chars_cut, 0) AS n_chars_cut,
       |    coalesce(r.cut_ranges, '') AS cut_ranges,
@@ -591,7 +592,8 @@ object SparkEntry {
                                      whereSql: String = "TRUE"): String =
     s"""WITH d AS (
       |  SELECT doc_id, $textExpr AS text, length($textExpr) AS len,
-      |         length($textExpr) = strlen($textExpr) AS is_ascii
+      |         length($textExpr) = strlen($textExpr) AS is_ascii,
+      |         length(lower($textExpr)) = length($textExpr) AS lc_stable
       |  FROM documents),
       |pos AS (
       |  SELECT doc_id, unnest(range(0, len - 49)) AS p
@@ -642,7 +644,7 @@ object SparkEntry {
       |      ORDER BY k.c) AS ct
       |  FROM keptc k JOIN d USING (doc_id)
       |  GROUP BY k.doc_id)
-      |SELECT d.doc_id, d.is_ascii,
+      |SELECT d.doc_id, d.is_ascii, d.lc_stable,
       |  coalesce(sa.n_spans_cut, 0) AS n_spans_cut,
       |  coalesce(sa.n_chars_cut, 0) AS n_chars_cut,
       |  coalesce(r.cut_ranges, '') AS cut_ranges,
@@ -2868,7 +2870,7 @@ object SparkEntry {
     // fine oracle-side), certify by md5
     "pipe_span_dedup" ->
       s"""WITH ${spanCutCtesSql()}
-        |SELECT doc_id, is_ascii, n_spans_cut, n_chars_cut, cut_ranges,
+        |SELECT doc_id, is_ascii, lc_stable, n_spans_cut, n_chars_cut, cut_ranges,
         |  CAST(length(text) AS BIGINT) AS clean_len, clean_md5
         |FROM cleandocs
         |ORDER BY doc_id""".stripMargin,
@@ -2879,7 +2881,7 @@ object SparkEntry {
     // hash gate on code-point-exact cutting of non-ASCII text
     "pipe_span_dedup_multibyte" ->
       s"""WITH ${spanCutCtesSql(multibyteTextSql)}
-        |SELECT doc_id, is_ascii, n_spans_cut, n_chars_cut, cut_ranges,
+        |SELECT doc_id, is_ascii, lc_stable, n_spans_cut, n_chars_cut, cut_ranges,
         |  CAST(length(text) AS BIGINT) AS clean_len, clean_md5
         |FROM cleandocs
         |ORDER BY doc_id""".stripMargin,
@@ -2888,7 +2890,7 @@ object SparkEntry {
     // restricted to the arriving shard rows — same CTEs, one filter
     "pipe_span_incremental" ->
       s"""WITH ${spanCutCtesSql()}
-        |SELECT doc_id, is_ascii, n_spans_cut, n_chars_cut, cut_ranges,
+        |SELECT doc_id, is_ascii, lc_stable, n_spans_cut, n_chars_cut, cut_ranges,
         |  CAST(length(text) AS BIGINT) AS clean_len, clean_md5
         |FROM cleandocs
         |WHERE doc_id % 10 = 0

@@ -1014,10 +1014,15 @@ object Dedup {
     * and an unconfirmed collision would irreversibly delete
     * non-duplicated text. Documents shorter than `n` (code points)
     * cannot contain a repeated span and pass through with zero cuts;
-    * the vanishingly rare document whose code-point count CHANGES
-    * under lowercasing (e.g. U+0130 İ) also passes through uncut —
-    * gram offsets are computed on lower(text) and applied to text,
-    * which is only sound when the two align position-for-position.
+    * the rare document whose code-point count CHANGES under
+    * lowercasing (e.g. U+0130 İ — a Turkish crawl shard, not an
+    * exotic corner) also passes through uncut — gram offsets are
+    * computed on lower(text) and applied to text, which is only
+    * sound when the two align position-for-position — and is FLAGGED
+    * with `lc_stable = false` in the output (the is_ascii
+    * never-silent convention: a caller can count and route the
+    * skipped documents instead of discovering them by absence of
+    * cuts; the DuckDB oracle replays the same predicate).
     *
     * Scale shape: map-only codegen scans emit fixed-width
     * (doc_id, p, g) rows; the occurrence count shuffles a
@@ -1049,7 +1054,7 @@ object Dedup {
     spanDedupCore(Tables.documents(s, dir).select(col("doc_id"), col("text")), n,
         cacheGrams = Tables.rowCount(s, dir, "documents") <= 20000,
         forceGramShuffle = Tables.rowCount(s, dir, "documents") > SpanBroadcastDocLimit)
-      .select(col("doc_id"), col("is_ascii"), col("n_spans_cut"),
+      .select(col("doc_id"), col("is_ascii"), col("lc_stable"), col("n_spans_cut"),
         col("n_chars_cut"), col("cut_ranges"),
         length(col("clean_text")).cast("long").as("clean_len"),
         md5(col("clean_text")).as("clean_md5"))
@@ -1164,6 +1169,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val base = docs
       .withColumn("is_ascii", length(col("text")) === octet_length(col("text")))
+      .withColumn("lc_stable", length(lower(col("text"))) === length(col("text")))
     val subs = spanCandidateSubs(base, n, cacheGrams, forceGramShuffle)
     // convict on the raw window: ≥ 2 occurrences of the SUBSTRING
     // (one hit-sized window shuffle on sub — collision candidates
@@ -1200,7 +1206,7 @@ object Dedup {
             acc => concat(acc.getField("t"),
               col("text").substr(acc.getField("q").cast("int") + 1,
                 length(col("text")))))))
-      .select(col("doc_id"), col("is_ascii"),
+      .select(col("doc_id"), col("is_ascii"), col("lc_stable"),
         coalesce(col("n_spans_cut"), lit(0L)).as("n_spans_cut"),
         coalesce(col("n_chars_cut"), lit(0L)).as("n_chars_cut"),
         // the ranges themselves, canonical "s-e;s-e" form (sorted,
@@ -1236,7 +1242,7 @@ object Dedup {
         Tables.documents(s, dir).select(col("doc_id"), col("text")), n,
         cacheGrams = Tables.rowCount(s, dir, "documents") <= 20000,
         forceGramShuffle = Tables.rowCount(s, dir, "documents") > SpanBroadcastDocLimit)
-      .select(col("doc_id"), col("is_ascii"), col("n_spans_cut"),
+      .select(col("doc_id"), col("is_ascii"), col("lc_stable"), col("n_spans_cut"),
         col("n_chars_cut"), col("cut_ranges"),
         length(col("clean_text")).cast("long").as("clean_len"),
         md5(col("clean_text")).as("clean_md5"))
@@ -1249,6 +1255,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val base = docs
       .withColumn("is_ascii", length(col("text")) === octet_length(col("text")))
+      .withColumn("lc_stable", length(lower(col("text"))) === length(col("text")))
     val subs = spanCandidateSubs(base, n, cacheGrams, forceGramShuffle)
     // keeper = lexicographic (doc_id, p) argmin among the CONFIRMED
     // raw-window occurrences, PACKED into one long (doc_id << 24 | p)
@@ -1343,7 +1350,7 @@ object Dedup {
   def pipeSpanDedupMultibyte(s: SparkSession, dir: String, n: Int = 50): DataFrame =
     spanDedupCore(multibyteDocs(s, dir), n,
         cacheGrams = Tables.rowCount(s, dir, "documents") <= 20000)
-      .select(col("doc_id"), col("is_ascii"), col("n_spans_cut"),
+      .select(col("doc_id"), col("is_ascii"), col("lc_stable"), col("n_spans_cut"),
         col("n_chars_cut"), col("cut_ranges"),
         length(col("clean_text")).cast("long").as("clean_len"),
         md5(col("clean_text")).as("clean_md5"))
@@ -1354,7 +1361,7 @@ object Dedup {
   def pipeSpanKeepFirstMultibyte(s: SparkSession, dir: String, n: Int = 50): DataFrame =
     spanDedupKeepFirstCore(multibyteDocs(s, dir), n,
         cacheGrams = Tables.rowCount(s, dir, "documents") <= 20000)
-      .select(col("doc_id"), col("is_ascii"), col("n_spans_cut"),
+      .select(col("doc_id"), col("is_ascii"), col("lc_stable"), col("n_spans_cut"),
         col("n_chars_cut"), col("cut_ranges"),
         length(col("clean_text")).cast("long").as("clean_len"),
         md5(col("clean_text")).as("clean_md5"))
@@ -1598,6 +1605,7 @@ object Dedup {
     import graft.CacheRegistry.Cacheable
     val base = batch
       .withColumn("is_ascii", length(col("text")) === octet_length(col("text")))
+      .withColumn("lc_stable", length(lower(col("text"))) === length(col("text")))
     val pos = base
       .filter(length(col("text")) >= n &&
         length(lower(col("text"))) === length(col("text")))
@@ -1652,7 +1660,7 @@ object Dedup {
     spanDedupIncrementalCore(s, spanGramIndexFor(s, dir, n),
         Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
           .select(col("doc_id"), col("text")), n)
-      .select(col("doc_id"), col("is_ascii"), col("n_spans_cut"),
+      .select(col("doc_id"), col("is_ascii"), col("lc_stable"), col("n_spans_cut"),
         col("n_chars_cut"), col("cut_ranges"),
         length(col("clean_text")).cast("long").as("clean_len"),
         md5(col("clean_text")).as("clean_md5"))
@@ -1679,6 +1687,7 @@ object Dedup {
     import graft.CacheRegistry.Cacheable
     val base = batch
       .withColumn("is_ascii", length(col("text")) === octet_length(col("text")))
+      .withColumn("lc_stable", length(lower(col("text"))) === length(col("text")))
     val pos = base
       .filter(length(col("text")) >= n &&
         length(lower(col("text"))) === length(col("text")))
@@ -1729,7 +1738,7 @@ object Dedup {
     spanDedupKeepFirstIncrementalCore(s, spanGramIndexFor(s, dir, n),
         Tables.documents(s, dir).filter(col("doc_id") % 10 === 0)
           .select(col("doc_id"), col("text")), n)
-      .select(col("doc_id"), col("is_ascii"), col("n_spans_cut"),
+      .select(col("doc_id"), col("is_ascii"), col("lc_stable"), col("n_spans_cut"),
         col("n_chars_cut"), col("cut_ranges"),
         length(col("clean_text")).cast("long").as("clean_len"),
         md5(col("clean_text")).as("clean_md5"))

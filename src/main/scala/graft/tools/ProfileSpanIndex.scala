@@ -76,6 +76,23 @@ object ProfileSpanIndex {
       .agg(sum("df")).collect()(0).getLong(0)
     val (b3, b4) = (tableBytes(t3), tableBytes(t4))
     println(f"""{"metric":"span_index_bytes_per_position","v3_raw_window":${b3.toDouble / positions}%.1f,"v4_digest":${b4.toDouble / positions}%.1f,"positions":$positions,"v3_bytes":$b3,"v4_bytes":$b4,"ratio":${b3.toDouble / b4}%.2f,"sf":"$sfBig"}""")
+    // compression-independence check: the v3 on-disk number leans on
+    // snappy+dictionary finding structure in overlapping window text
+    // (high-entropy corpora compress worse); rewrite both UNCOMPRESSED
+    // to report the guaranteed widths
+    spark.conf.set("spark.sql.parquet.compression.codec", "uncompressed")
+    val t3u = "graft_span_profile_v3_unc"
+    val t4u = "graft_span_profile_v4_unc"
+    Seq(t3u, t4u).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.sources.Sources.clearOrphanedLocation(spark, t)
+    }
+    spark.table(t3).repartition(col("g")).write.format("parquet").saveAsTable(t3u)
+    spark.table(t4).write.format("parquet").saveAsTable(t4u)
+    val (b3u, b4u) = (tableBytes(t3u), tableBytes(t4u))
+    println(f"""{"metric":"span_index_bytes_per_position_uncompressed","v3_raw_window":${b3u.toDouble / positions}%.1f,"v4_digest":${b4u.toDouble / positions}%.1f,"ratio":${b3u.toDouble / b4u}%.2f,"sf":"$sfBig"}""")
+    spark.conf.set("spark.sql.parquet.compression.codec", "snappy")
+    Seq(t3u, t4u).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     spark.sql(s"DROP TABLE IF EXISTS $t3")
     spark.sql(s"DROP TABLE IF EXISTS $t4")
 
@@ -97,7 +114,7 @@ object ProfileSpanIndex {
       def once(): (Double, Long, Long, Long) = {
         val probe = Dedup.spanDedupIncrementalCore(spark, t, tiny, n)
         val t0 = System.nanoTime()
-        probe.agg(count(lit(1)), sum("n_chars_cut")).collect()
+        probe.collect() // materialize THIS plan so its scan metrics fill
         val dt = (System.nanoTime() - t0) / 1e9
         val scans = probe.queryExecution.executedPlan.collect {
           case sc: org.apache.spark.sql.execution.FileSourceScanExec

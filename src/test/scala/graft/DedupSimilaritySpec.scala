@@ -2020,6 +2020,43 @@ class DedupSimilaritySpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("lowercase-unstable documents (U+0130 class) pass through uncut and FLAGGED lc_stable=false") {
+    import spark.implicits._
+    val n = 50
+    // U+0130 İ lowercases to TWO code points ('i' + combining dot) in
+    // Java/Spark full case mapping, so gram offsets computed on
+    // lower(text) no longer align with text — these docs must be
+    // excluded from cutting, and since round 17 the exclusion is
+    // VISIBLE: lc_stable = false rides the output next to is_ascii
+    // (a Turkish crawl shard skipping the intervention silently was
+    // the r16 verdict's residual #3)
+    val unstableSpan = "İstanbul boilerplate repeated across both docs!!!!" * 2
+    assert(unstableSpan.length >= n && unstableSpan.contains('İ'))
+    assert(unstableSpan.toLowerCase.codePointCount(0, unstableSpan.toLowerCase.length) >
+      unstableSpan.codePointCount(0, unstableSpan.length),
+      "test premise: lowercasing must change the code-point count")
+    val stableSpan = "perfectly ordinary shared footer text for the pair....."
+    assert(stableSpan.length >= n)
+    val docs = Seq(
+      (1L, "unique lead-in one/" + unstableSpan + "_tail one"),
+      (2L, "other lead-in two=" + unstableSpan + "-tail two"),
+      (3L, "stable doc three+" + stableSpan + "~tail three"),
+      (4L, "stable doc four<" + stableSpan + ">tail four")).toDF("doc_id", "text")
+    for (out <- Seq(Dedup.spanDedupCore(docs, n), Dedup.spanDedupKeepFirstCore(docs, n))) {
+      val rows = out.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      for (id <- Seq(1L, 2L)) {
+        assert(!rows(id).getAs[Boolean]("lc_stable"), s"doc $id must flag lc_stable=false")
+        assert(rows(id).getAs[Long]("n_spans_cut") == 0L,
+          s"lc-unstable doc $id must pass through uncut (offsets would misalign)")
+      }
+      // the stable pair in the SAME corpus still gets the intervention
+      assert(rows(3L).getAs[Boolean]("lc_stable") && rows(4L).getAs[Boolean]("lc_stable"))
+      assert(rows(3L).getAs[Long]("n_chars_cut") > 0L || rows(4L).getAs[Long]("n_chars_cut") > 0L,
+        "stable pair lost the intervention — exclusion leaked past the unstable docs")
+    }
+    CacheRegistry.releaseAll()
+  }
+
   test("64-bit gram-hash collisions never cut: raw-window confirmation rejects colliding singletons") {
     import spark.implicits._
     val n = 50
