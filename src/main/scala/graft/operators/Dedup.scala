@@ -1009,10 +1009,11 @@ object Dedup {
     * equality only nominates CANDIDATE positions; before any cut,
     * each candidate's RAW lowercased n-char window is re-extracted
     * and must itself occur ≥ 2 times (a bounded confirmation pass ∝
-    * duplicated text) — at the 100 TB target (~1e14 grams) 64-bit
-    * collisions are a statistical certainty (~1e8 expected pairs),
-    * and an unconfirmed collision would irreversibly delete
-    * non-duplicated text. Documents shorter than `n` (code points)
+    * duplicated text; the persisted-index form counts occurrences by
+    * the window's 128-bit md5 — conviction at 2⁻¹²⁸) — at the 100 TB
+    * target (~1e14 grams) 64-bit collisions are a statistical
+    * certainty (~1e8 expected pairs), and an unconfirmed collision
+    * would irreversibly delete non-duplicated text. Documents shorter than `n` (code points)
     * cannot contain a repeated span and pass through with zero cuts;
     * the rare document whose code-point count CHANGES under
     * lowercasing (e.g. U+0130 İ — a Turkish crawl shard, not an
@@ -1081,9 +1082,12 @@ object Dedup {
     * re-extracted from the document and kept only when the RAW window
     * itself occurs ≥ 2 times — hash equality nominates, substring
     * equality convicts, so a 64-bit collision can never delete
-    * non-duplicated text. Output: (doc_id, p, sub), one row per
-    * confirmed repeated-window occurrence, `cdf`/`firstPacked`
-    * available to callers via the shared sub-keyed window.
+    * non-duplicated text. Output: (doc_id, p, sub) candidate rows,
+    * one per candidate occurrence; the batch cores count the raw
+    * window directly (`cdf`/`firstPacked` via the shared sub-keyed
+    * window — measured faster than digest keys at local scale, see
+    * spanDedupCore), the persisted-index cores project it to its
+    * 128-bit md5 to meet the digest-only index.
     *
     * Cost shape: the confirmation joins the per-doc hit-position list
     * back to the text ONCE per hit document (collect_list is bounded
@@ -1173,7 +1177,13 @@ object Dedup {
     val subs = spanCandidateSubs(base, n, cacheGrams, forceGramShuffle)
     // convict on the raw window: ≥ 2 occurrences of the SUBSTRING
     // (one hit-sized window shuffle on sub — collision candidates
-    // whose raw windows are unique fall out here)
+    // whose raw windows are unique fall out here). Measured choice:
+    // digest-keying this window (md5 per candidate, 16-byte shuffle
+    // keys) was tried in round 17 and lost 15-20% on the 10×-replica
+    // worst case at local[32] — the per-candidate md5 CPU exceeds
+    // the shuffle-width saving when the exchange never crosses a
+    // network; the persisted-index probe (which MUST digest for the
+    // corpus join) keeps the digest form.
     val wSub = Window.partitionBy("sub")
     val hits = subs
       .withColumn("cdf", count(lit(1)).over(wSub))
@@ -1258,10 +1268,11 @@ object Dedup {
       .withColumn("lc_stable", length(lower(col("text"))) === length(col("text")))
     val subs = spanCandidateSubs(base, n, cacheGrams, forceGramShuffle)
     // keeper = lexicographic (doc_id, p) argmin among the CONFIRMED
-    // raw-window occurrences, PACKED into one long (doc_id << 24 | p)
-    // so the sub-keyed window stays a fixed-width aggregate — min
-    // over a struct falls back to OBJECT aggregation (the
-    // dedup_substring GC lesson).
+    // raw-window occurrences (raw-sub window key — see the measured
+    // digest-vs-raw note in spanDedupCore), PACKED into one long
+    // (doc_id << 24 | p) so the sub-keyed window stays a fixed-width
+    // aggregate — min over a struct falls back to OBJECT aggregation
+    // (the dedup_substring GC lesson).
     val wSub = Window.partitionBy("sub")
     val hits = subs
       .withColumn("packed", packedGuarded(col("doc_id"), col("p")))
@@ -1639,14 +1650,16 @@ object Dedup {
     val candB = pos.join(repB, Seq("g"), "left_semi")
     val candPos = candIdx.select("doc_id", "p")
       .union(candB.select("doc_id", "p")).distinct()
-    // batch-side confirmation keys: the raw window (within-batch
-    // occurrences) and its md5 (corpus-side occurrences — the index
-    // stores digests, which separate 64-bit hash collisions at 2⁻¹²⁸)
+    // batch-side confirmation key: the raw window's md5, for both the
+    // within-batch count and the corpus lookup (the index stores
+    // digests, which separate 64-bit hash collisions at 2⁻¹²⁸; the
+    // raw window is projected away before the shuffle so the
+    // hit-sized exchange carries 16-byte keys)
     val subs = subsAt(base, candPos, n)
-      .withColumn("sh", unhex(md5(col("sub"))))
+      .select(col("doc_id"), col("p"), unhex(md5(col("sub"))).as("sh"))
     val cdf = idxHot.groupBy("sh").agg(sum(col("df")).as("cdf"))
     val hits = subs
-      .withColumn("bcnt", count(lit(1)).over(Window.partitionBy("sub")))
+      .withColumn("bcnt", count(lit(1)).over(Window.partitionBy("sh")))
       .join(broadcast(cdf), Seq("sh"), "left")
       .filter(col("bcnt") + coalesce(col("cdf"), lit(0L)) >= 2)
       .select("doc_id", "p")
@@ -1711,14 +1724,14 @@ object Dedup {
     val candPos = candIdx.select("doc_id", "p")
       .union(candB.select("doc_id", "p")).distinct()
     val subs = subsAt(base, candPos, n)
-      .withColumn("sh", unhex(md5(col("sub"))))
+      .select(col("doc_id"), col("p"), unhex(md5(col("sub"))).as("sh"))
     // per raw-window digest: corpus occurrence total + the corpus-side
     // argmin candidate (envelope-guarded like the batch side)
     val cstat = idxHot
       .withColumn("cpacked", packedGuarded(col("doc_id"), col("mp")))
       .groupBy("sh")
       .agg(sum(col("df")).as("cdf"), min(col("cpacked")).as("cminPacked"))
-    val wSub = Window.partitionBy("sub")
+    val wSub = Window.partitionBy("sh")
     val hits = subs
       .withColumn("packed", packedGuarded(col("doc_id"), col("p")))
       .withColumn("bcnt", count(lit(1)).over(wSub))
