@@ -1509,6 +1509,18 @@ object Dedup {
     val existing = s.catalog.listTables().collect().map(_.name)
       .filter(t => t.startsWith(s"${prefix}_p") && t.endsWith("_v4"))
       .sorted.headOption
+    // a table that exists but lacks the layout property is a build
+    // that crashed between saveAsTable and the ALTER — without this
+    // heal it would be returned as "built" and every probe would
+    // throw until someone dropped it by hand; the p is in the name,
+    // so re-stamping the property is exact, not a guess
+    existing.foreach { table =>
+      if (s.sql(s"SHOW TBLPROPERTIES $table").collect()
+            .forall(_.getString(0) != SpanIndexPbProp)) {
+        val p = "_p(\\d+)_v4$".r.findFirstMatchIn(table).get.group(1)
+        s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$SpanIndexPbProp' = '$p')")
+      }
+    }
     existing match {
       case Some(table) =>
         StagedRewrite.recover(s, table)

@@ -1899,6 +1899,15 @@ class DedupSimilaritySpec extends SparkSpec {
         s"doc ${r._1}: keep-first incremental cut more than remove-all")
     }
     spark.sql(s"DROP TABLE IF EXISTS $t2")
+    // layout-property heal: a build that crashed between saveAsTable
+    // and the ALTER leaves the table without graft.span.pb — the
+    // lookup must re-stamp it from the name (where P is baked in)
+    // instead of returning a table every probe would throw on
+    val healT = Dedup.spanGramIndexFor(spark, Sf, n)
+    spark.sql(s"ALTER TABLE $healT UNSET TBLPROPERTIES ('graft.span.pb')")
+    assert(Dedup.spanGramIndexFor(spark, Sf, n) == healT)
+    assert(Dedup.spanIndexPb(spark, healT) > 0,
+      "property-less index table was not healed by the lookup")
     CacheRegistry.releaseAll()
   }
 
