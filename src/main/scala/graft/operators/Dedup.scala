@@ -1464,11 +1464,24 @@ object Dedup {
 
   /** The partition-count property of a span gram index table; every
     * creation path ([[spanGramIndexFor]], [[spanGramIndexCreateEmpty]])
-    * records it, so absence means the table is not a v4 span index. */
+    * records it. Self-healing for registry-named tables: a build that
+    * crashed between saveAsTable and the ALTER leaves the table
+    * without the property, but P is baked into a `_p<P>_v4` name, so
+    * the accessor re-stamps it exactly — here in the one place every
+    * reader (probes, appends, forget, the SpanIngest loop's direct
+    * indexTable argument) already consults, not at a single call
+    * site. Tables whose names don't carry P (the DDL-created
+    * tool/spec tables, which get the property atomically at CREATE)
+    * fall through to the descriptive error. */
   private[graft] def spanIndexPb(s: SparkSession, table: String): Int =
     s.sql(s"SHOW TBLPROPERTIES $table").collect()
       .collectFirst { case r if r.getString(0) == SpanIndexPbProp =>
         r.getString(1).toInt }
+      .orElse("_p(\\d+)_v4$".r.findFirstMatchIn(table).map { m =>
+        s.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+          s"('$SpanIndexPbProp' = '${m.group(1)}')")
+        m.group(1).toInt
+      })
       .getOrElse(throw new IllegalStateException(
         s"table $table lacks $SpanIndexPbProp — span gram indexes must be " +
           "created via spanGramIndexFor or spanGramIndexCreateEmpty"))
@@ -1509,18 +1522,6 @@ object Dedup {
     val existing = s.catalog.listTables().collect().map(_.name)
       .filter(t => t.startsWith(s"${prefix}_p") && t.endsWith("_v4"))
       .sorted.headOption
-    // a table that exists but lacks the layout property is a build
-    // that crashed between saveAsTable and the ALTER — without this
-    // heal it would be returned as "built" and every probe would
-    // throw until someone dropped it by hand; the p is in the name,
-    // so re-stamping the property is exact, not a guess
-    existing.foreach { table =>
-      if (s.sql(s"SHOW TBLPROPERTIES $table").collect()
-            .forall(_.getString(0) != SpanIndexPbProp)) {
-        val p = "_p(\\d+)_v4$".r.findFirstMatchIn(table).get.group(1)
-        s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$SpanIndexPbProp' = '$p')")
-      }
-    }
     existing match {
       case Some(table) =>
         StagedRewrite.recover(s, table)

@@ -1901,13 +1901,15 @@ class DedupSimilaritySpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $t2")
     // layout-property heal: a build that crashed between saveAsTable
     // and the ALTER leaves the table without graft.span.pb — the
-    // lookup must re-stamp it from the name (where P is baked in)
-    // instead of returning a table every probe would throw on
+    // accessor must re-stamp EXACTLY the P baked into the name
+    // instead of throwing on a table every probe consults
     val healT = Dedup.spanGramIndexFor(spark, Sf, n)
-    spark.sql(s"ALTER TABLE $healT UNSET TBLPROPERTIES ('graft.span.pb')")
-    assert(Dedup.spanGramIndexFor(spark, Sf, n) == healT)
-    assert(Dedup.spanIndexPb(spark, healT) > 0,
-      "property-less index table was not healed by the lookup")
+    val pb0 = Dedup.spanIndexPb(spark, healT)
+    spark.sql(s"ALTER TABLE $healT UNSET TBLPROPERTIES ('${Dedup.SpanIndexPbProp}')")
+    assert(Dedup.spanGramIndexFor(spark, Sf, n) == healT,
+      "property-less registry index must resolve, not rebuild")
+    assert(Dedup.spanIndexPb(spark, healT) == pb0,
+      "healed partition count diverges from the build-time value")
     CacheRegistry.releaseAll()
   }
 
