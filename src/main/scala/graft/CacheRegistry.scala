@@ -36,22 +36,28 @@ object CacheRegistry {
   /** Number of frames currently tracked (bench cache-state probe). */
   def trackedCount: Int = synchronized { tracked.size }
 
-  /** High-water mark for [[releaseSince]] — a resident loop (e.g. the
-    * streaming span-cut ingest) brackets each micro-batch with
-    * mark()/releaseSince() so the frames IT tracked are dropped per
-    * batch without touching caches owned by a co-resident operator
-    * (releaseAll would). */
-  def mark(): Int = synchronized { tracked.size }
+  /** IDENTITY snapshot of the currently tracked frames — a resident
+    * loop (e.g. the streaming span-cut ingest) brackets each
+    * micro-batch with snapshot()/releaseSince() so frames tracked
+    * BEFORE the scope opened are never touched (a positional
+    * high-water mark would alias across a concurrent releaseAll or
+    * interleaved tracking — reference identity cannot). Frames a
+    * co-resident operator tracks WHILE the scope is open are still
+    * swept by the release: scoped brackets assume one resident loop
+    * at a time, the same single-session contract StagedRewrite
+    * documents for the warehouse. */
+  def snapshot(): Set[DataFrame] = synchronized { tracked.toSet }
 
-  /** Unpersist and forget every frame tracked after the given mark.
-    * The registry holds strong references, so a long-running loop
-    * that never releases accumulates MEMORY_AND_DISK blocks without
-    * bound — this is the per-batch release point. */
-  def releaseSince(mark: Int, blocking: Boolean = false): Unit = synchronized {
-    val m = math.max(0, math.min(mark, tracked.size))
-    tracked.view.slice(m, tracked.size)
-      .foreach(df => try df.unpersist(blocking) catch { case _: Throwable => () })
-    tracked.remove(m, tracked.size - m)
+  /** Unpersist and forget every frame tracked since the given
+    * snapshot (by reference identity). The registry holds strong
+    * references, so a long-running loop that never releases
+    * accumulates MEMORY_AND_DISK blocks without bound — this is the
+    * per-batch release point. */
+  def releaseSince(snap: Set[DataFrame], blocking: Boolean = false): Unit = synchronized {
+    val (keep, drop) = tracked.partition(snap.contains)
+    drop.foreach(df => try df.unpersist(blocking) catch { case _: Throwable => () })
+    tracked.clear()
+    tracked ++= keep
   }
 
   /** Unpersist everything cached since the last release. Double

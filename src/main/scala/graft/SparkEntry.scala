@@ -519,18 +519,20 @@ object SparkEntry {
     * text). */
   /** DuckDB-side twin of `Dedup.multibyteDocs`' injection. */
   private val multibyteTextSql: String =
-    "CASE WHEN doc_id % 3 = 0 THEN replace(replace(text, 'e', 'é'), 'o', 'ø') ELSE text END"
+    "CASE WHEN doc_id % 7 = 1 THEN 'İ ' ELSE '' END || " +
+      "CASE WHEN doc_id % 3 = 0 THEN replace(replace(text, 'e', 'é'), 'o', 'ø') ELSE text END"
 
   private def spanCutCtesSql(textExpr: String = "text",
                              fromRel: String = "documents"): String =
     s"""d AS (
       |  SELECT doc_id, $textExpr AS text, length($textExpr) AS len,
       |         length($textExpr) = strlen($textExpr) AS is_ascii,
-      |         length(lower($textExpr)) = length($textExpr) AS lc_stable
+      |         length(lower($textExpr)) = length($textExpr)
+      |           AND NOT contains($textExpr, 'İ') AS lc_stable
       |  FROM $fromRel),
       |pos AS (
       |  SELECT doc_id, unnest(range(0, len - 49)) AS p
-      |  FROM d WHERE len >= 50 AND length(lower(text)) = len),
+      |  FROM d WHERE len >= 50 AND lc_stable),
       |pg AS (
       |  SELECT pos.doc_id, pos.p,
       |         substr(lower(d.text), CAST(pos.p + 1 AS INT), 50) AS g
@@ -593,11 +595,12 @@ object SparkEntry {
     s"""WITH d AS (
       |  SELECT doc_id, $textExpr AS text, length($textExpr) AS len,
       |         length($textExpr) = strlen($textExpr) AS is_ascii,
-      |         length(lower($textExpr)) = length($textExpr) AS lc_stable
+      |         length(lower($textExpr)) = length($textExpr)
+      |           AND NOT contains($textExpr, 'İ') AS lc_stable
       |  FROM documents),
       |pos AS (
       |  SELECT doc_id, unnest(range(0, len - 49)) AS p
-      |  FROM d WHERE len >= 50 AND length(lower(text)) = len),
+      |  FROM d WHERE len >= 50 AND lc_stable),
       |pg AS (
       |  SELECT pos.doc_id, pos.p,
       |         substr(lower(d.text), CAST(pos.p + 1 AS INT), 50) AS g

@@ -1349,11 +1349,21 @@ object Dedup {
     * uncut as non-ASCII. Lowercase target characters keep `lower()`
     * a code-point-count-preserving no-op on the injected material in
     * both engines. */
-  private def multibyteDocs(s: SparkSession, dir: String): DataFrame =
+  private def multibyteDocs(s: SparkSession, dir: String): DataFrame = {
+    // every doc_id % 7 == 1 additionally gets a U+0130 İ prepended —
+    // the LC-UNSTABLE class (Java's full lowercase mapping expands İ
+    // to two code points): injecting it here makes the
+    // excluded-and-flagged behavior ORACLE-VERIFIED, not just spec'd
+    // — the DuckDB twin replays the same injection and eligibility
+    // predicate, including the knock-on effect that a span shared
+    // between an İ doc and ONE stable doc stops counting as repeated
+    val injected = when(col("doc_id") % 3 === 0,
+        expr("replace(replace(text, 'e', 'é'), 'o', 'ø')"))
+      .otherwise(col("text"))
     Tables.documents(s, dir).select(col("doc_id"),
-      when(col("doc_id") % 3 === 0,
-          expr("replace(replace(text, 'e', 'é'), 'o', 'ø')"))
-        .otherwise(col("text")).as("text"))
+      when(col("doc_id") % 7 === 1, concat(lit("İ "), injected))
+        .otherwise(injected).as("text"))
+  }
 
   /** [[pipeSpanDedup]] over the multi-byte-injected corpus
     * (`pipe_span_dedup_multibyte`) — the hash-verified evidence that
@@ -1424,11 +1434,16 @@ object Dedup {
     // sentinel rows keep EVERY ingested document's id in the index —
     // without them a short / lc-unstable / fully-cut document never
     // enters, and the doc_id-idempotence probe would re-admit its
-    // redeliveries forever. Inert at probe time: no real n-char
-    // window digests to md5("") (2⁻¹²⁸), so the digest-confirmed
-    // criterion can never count a sentinel.
+    // redeliveries forever. Inert at probe time even on a gram-hash
+    // match: df = 0 adds nothing to any occurrence sum and no real
+    // n-char window digests to md5("") (2⁻¹²⁸), so a sentinel can
+    // never confirm a cut. g = doc_id (not a constant) so sentinels
+    // SPREAD across the pb layout partitions — a constant g would
+    // pile one row per ineligible document into partition pmod(0, P),
+    // breaking the bounded-rows-per-partition sizing rule on corpora
+    // where short/unstable docs are a large fraction.
     val sentinels = docs.join(eligible.select("doc_id"), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), lit(0L).as("g"), unhex(md5(lit(""))).as("sh"),
+      .select(col("doc_id"), col("doc_id").as("g"), unhex(md5(lit(""))).as("sh"),
         lit(0L).as("df"), lit(0L).as("mp"))
     real.union(sentinels)
   }
@@ -1493,6 +1508,12 @@ object Dedup {
     * index just to steal its schema and lost the partitioning). */
   def spanGramIndexCreateEmpty(s: SparkSession, table: String, p: Int): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $table")
+    // a forget() that crashed in its marker-present window leaves
+    // <t>_rstage/<t>_rcommit behind; recreating t without clearing
+    // them would let the NEXT recover() resurrect the pre-drop rows
+    // into the brand-new empty index
+    s.sql(s"DROP TABLE IF EXISTS ${StagedRewrite.markerTable(table)}")
+    s.sql(s"DROP TABLE IF EXISTS ${StagedRewrite.stageTable(table)}")
     graft.sources.Sources.clearOrphanedLocation(s, table)
     s.sql(s"CREATE TABLE $table (doc_id BIGINT, g BIGINT, sh BINARY, " +
       s"df BIGINT, mp BIGINT) USING parquet PARTITIONED BY (pb INT) " +
@@ -1528,9 +1549,15 @@ object Dedup {
         table
       case None =>
         // retire stale schema generations of this dir's index (the
-        // lshSeedTable sweep discipline; inside the build branch only)
+        // lshSeedTable sweep discipline; inside the build branch
+        // only). The prefix must be anchored at the generation
+        // segment ("_p<P>_v4" or the legacy "_v<k>") — a bare
+        // startsWith(prefix) would also match a DIFFERENT n whose
+        // decimal happens to extend this one (building n=5 would
+        // have dropped the live n=50 index).
         s.catalog.listTables().collect().map(_.name)
-          .filter(t => t.startsWith(prefix) && t.matches(".*_v\\d+$"))
+          .filter(t => (t.startsWith(s"${prefix}_p") || t.startsWith(s"${prefix}_v")) &&
+            t.matches(".*_v\\d+$"))
           .foreach(t => s.sql(s"DROP TABLE $t"))
         val p = spanIndexPartitionsFor(Tables.rowCount(s, dir, "documents"))
         val table = s"${prefix}_p${p}_v4"
@@ -1539,7 +1566,7 @@ object Dedup {
         // task) + sort by g within files for tight row-group stats
         withPb(gramWindowCounts(Tables.documents(s, dir)
             .filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text")), n), p)
-          .repartition(col("pb")).sortWithinPartitions("g")
+          .repartition(col("pb")).sortWithinPartitions("pb", "g")
           .write.partitionBy("pb").format("parquet").saveAsTable(table)
         s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$SpanIndexPbProp' = '$p')")
         table
@@ -1566,7 +1593,7 @@ object Dedup {
     // column order (doc_id, g, sh, df, mp, pb) matches the table read
     // order — insertInto is positional, partition column last
     withPb(gramWindowCounts(fresh, n), p)
-      .repartition(col("pb")).sortWithinPartitions("g")
+      .repartition(col("pb")).sortWithinPartitions("pb", "g")
       .write.mode("append").insertInto(table)
   }
 

@@ -78,9 +78,9 @@ object SpanIngest {
         // pos/idxHot persists in CacheRegistry; a resident loop must
         // drop THIS batch's frames once its actions complete or
         // MEMORY_AND_DISK blocks accumulate without bound across
-        // batches (releaseSince, not releaseAll — co-resident
-        // operators' caches stay untouched)
-        val cacheMark = graft.CacheRegistry.mark()
+        // batches (identity snapshot, not releaseAll — frames tracked
+        // before the batch stay untouched)
+        val cacheMark = graft.CacheRegistry.snapshot()
         try {
           val partDir = s"$outDir/batch_id=$batchId"
           val hPath = new org.apache.hadoop.fs.Path(partDir, "_SUCCESS")
@@ -96,6 +96,8 @@ object SpanIngest {
               org.apache.spark.sql.types.StructField("doc_id",
                 org.apache.spark.sql.types.LongType),
               org.apache.spark.sql.types.StructField("is_ascii",
+                org.apache.spark.sql.types.BooleanType),
+              org.apache.spark.sql.types.StructField("lc_stable",
                 org.apache.spark.sql.types.BooleanType),
               org.apache.spark.sql.types.StructField("n_spans_cut",
                 org.apache.spark.sql.types.LongType),
@@ -116,8 +118,11 @@ object SpanIngest {
             val indexed = Dedup.probeCorpusKeys(spark, indexTable,
               arrivals.select("doc_id"), Seq("doc_id"))
             val fresh = arrivals.join(broadcast(indexed), Seq("doc_id"), "left_anti")
+            // lc_stable rides the sink: the production consumer surface
+            // must see WHICH docs skipped the intervention (U+0130
+            // class), not discover them by absence of cuts
             val cut = Dedup.spanDedupIncrementalCore(spark, indexTable, fresh, n)
-              .select(col("doc_id"), col("is_ascii"), col("n_spans_cut"),
+              .select(col("doc_id"), col("is_ascii"), col("lc_stable"), col("n_spans_cut"),
                 col("n_chars_cut"), col("cut_ranges"), col("clean_text"))
               .cache()
             try {

@@ -32,8 +32,17 @@ object Dashboard {
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.Similarity
     val lang = "en"
-    def oneRowJson(df: org.apache.spark.sql.DataFrame): String =
-      df.toJSON.collect()(0)
+    def oneRowJson(df: org.apache.spark.sql.DataFrame): String = {
+      val rows = df.toJSON.collect()
+      require(rows.length == 1,
+        s"dashboard row builder returned ${rows.length} rows (expected 1) — " +
+          s"is '$sfDir' missing the '$lang' segment?")
+      rows(0)
+    }
+    // sfDir is interpolated into the artifact — escape rather than
+    // trust the argument (a quote would poison the committed JSON)
+    def jstr(v: String): String =
+      "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     // per-segment serving recall vs the exact in-segment brute force
     val recall = oneRowJson(Similarity.segmentServeRecallRow(spark, sfDir, lang))
     graft.CacheRegistry.releaseAll(blocking = true)
@@ -50,7 +59,7 @@ object Dashboard {
       graft.Tables.embeddings(spark, sfDir)))
     graft.CacheRegistry.releaseAll(blocking = true)
     val json =
-      s"""{"metric":"serving_dashboard","sf":"$sfDir","segment":"$lang",
+      s"""{"metric":"serving_dashboard","sf":${jstr(sfDir)},"segment":${jstr(lang)},
          |"segment_serve_recall":$recall,
          |"graph_artifact_health":$health,
          |"seed_artifact_health":$seed}""".stripMargin.replace("\n", "")

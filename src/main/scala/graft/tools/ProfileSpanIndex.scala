@@ -120,10 +120,16 @@ object ProfileSpanIndex {
           case sc: org.apache.spark.sql.execution.FileSourceScanExec
             if sc.tableIdentifier.exists(_.table == t) => sc
         }
-        val parts = scans.map(_.metrics("numPartitions").value).max
-        val bytes = scans.map(_.metrics("filesSize").value).max
-        val stat = scans.map(_.metrics("staticFilesSize").value).max
-        (dt, parts, bytes, stat)
+        // the tool exists to EVIDENCE the pruning — if the scan shape
+        // regresses (no scan node found, or DPP gone so the static
+        // metrics are absent), report that as the measurement rather
+        // than dying on empty.max/missing-key
+        require(scans.nonEmpty,
+          s"no FileSourceScan of $t in the probe plan — index read shape changed:\n" +
+            probe.queryExecution.executedPlan.toString.take(4000))
+        def metric(name: String): Long =
+          scans.map(_.metrics.get(name).map(_.value).getOrElse(-1L)).max
+        (dt, metric("numPartitions"), metric("filesSize"), metric("staticFilesSize"))
       }
       once() // JIT/footer warmup
       val (dt, parts, bytes, stat) = once()

@@ -1913,6 +1913,45 @@ class DedupSimilaritySpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("span index lifecycle hardening: cross-n sweep anchoring; stale forget stage cannot resurrect") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 1. the generation sweep is anchored at the _p/_v segment —
+    // building an index for an n that is a DECIMAL PREFIX of another
+    // n (5 vs 50) must not drop the other n's live index (the
+    // unanchored startsWith would have)
+    val t50 = Dedup.spanGramIndexFor(spark, Sf, 50)
+    val t5 = Dedup.spanGramIndexFor(spark, Sf, 5)
+    assert(t5 != t50)
+    assert(spark.catalog.tableExists(t50),
+      "building the n=5 index swept away the live n=50 index")
+    assert(spark.catalog.tableExists(t5))
+    spark.sql(s"DROP TABLE IF EXISTS $t5")
+    // 2. a forget() crash in its marker-present window leaves
+    // <t>_rstage/<t>_rcommit; recreating the table afresh must clear
+    // them, or the next recover() resurrects the pre-drop rows into
+    // the brand-new empty index
+    val tz = "graft_span_gram_stale_stage_spec_v4"
+    Dedup.spanGramIndexCreateEmpty(spark, tz, 8)
+    Dedup.spanGramIndexAppend(spark, tz,
+      Seq((1L, "a document long enough to index: " + ("x" * 60)))
+        .toDF("doc_id", "text"))
+    assert(spark.table(tz).count() > 0)
+    // simulate the crash window: stage = current rows, marker present
+    Seq(s"${tz}_rstage", s"${tz}_rcommit").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      graft.sources.Sources.clearOrphanedLocation(spark, t)
+    }
+    spark.table(tz).write.format("parquet").saveAsTable(s"${tz}_rstage")
+    Seq(true).toDF("committed").write.format("parquet").saveAsTable(s"${tz}_rcommit")
+    Dedup.spanGramIndexCreateEmpty(spark, tz, 8) // retire + recreate
+    graft.operators.StagedRewrite.recover(spark, tz)
+    assert(spark.table(tz).count() == 0,
+      "stale forget stage resurrected pre-drop rows into the recreated index")
+    spark.sql(s"DROP TABLE IF EXISTS $tz")
+    CacheRegistry.releaseAll()
+  }
+
   test("pipe_span_dedup_keep_first: keeper occurrences survive verbatim; cuts are a subset of remove-all") {
     import org.apache.spark.sql.functions._
     val n = 50

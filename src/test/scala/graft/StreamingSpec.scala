@@ -625,6 +625,9 @@ class StreamingSpec extends SparkSpec {
         col("cut_ranges"), col("clean_text")).collect())
     assert(got0 == expected0,
       s"streamed batch 0 diverges from the batch operator: got $got0")
+    // the never-silent exclusion flag must reach the production sink
+    assert(spark.read.parquet(s"$outDir/batch_id=0").columns.contains("lc_stable"),
+      "committed batch partition lost the lc_stable flag")
     assert(got0.forall(_._2 > 0), "every batch-0 doc carried a planted repeated span")
     // batch 1: the redelivered d1 is dropped; d4 loses t1 (retained in
     // d1's cleaned text and indexed) but KEEPS s2 (cut from every
