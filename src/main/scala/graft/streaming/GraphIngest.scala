@@ -90,49 +90,61 @@ object GraphIngest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val s = batch.sparkSession
-        // deterministic within-batch collapse, then idempotent append.
-        // Probe-then-anti, not a direct anti-join against the corpus:
-        // left-anti with the corpus on the right would SHUFFLE the
-        // corpus keys; probing the corpus with the BROADCAST batch key
-        // set is a map-only scan, and the returned hot set (≤ batch
-        // size) broadcasts into the anti-join — the
-        // [[graft.operators.Dedup.probeCorpusKeys]] discipline.
-        val arrivals = batch.select(col("vec_id"), col("embedding"))
-          .groupBy("vec_id").agg(min("embedding").as("embedding"))
-        val hot = s.table(corpusTable).select("vec_id")
-          .join(broadcast(arrivals.select("vec_id")), Seq("vec_id"), "left_semi")
-        val fresh = arrivals.join(broadcast(hot), Seq("vec_id"), "left_anti")
-        // Suppression covers BOTH persisted artifacts the loop
-        // maintains: without this anti-join, a forgotten
-        // (suppress = true) vector redelivered after corpus-side
-        // deletion would be re-INSERTED into the corpus table —
-        // re-persisting the embedding even though knnGraphAppend
-        // keeps it out of the graph. O(tombstones) broadcast.
-        // knnGraphAppend recovers this table again later in the batch;
-        // the duplicate is deliberate — THIS read happens first, and a
-        // crash mid-reinstate must never present a half-swapped
-        // suppression list to the corpus admit decision. One metadata
-        // probe per micro-batch is noise next to the descent.
-        val supT = s"${graphTable}_sup"
-        val admitted =
-          if (s.catalog.tableExists(supT)) {
-            graft.operators.StagedRewrite.recover(s, supT)
-            fresh.join(broadcast(s.table(supT).distinct()), Seq("vec_id"), "left_anti")
-          } else fresh
-        admitted.write.mode("append").insertInto(corpusTable)
-        // bring the graph up to date with the grown corpus — the
-        // identity when a replayed batch is already integrated
-        Similarity.knnGraphAppend(s, graphTable, s.table(corpusTable),
-          k = k, maxIters = maxIters, delta = delta)
-        // keep the informed-serving entry points fresh too: stateless
-        // buckets make this exactly the rebuild, batch-bounded.
-        // Suppressed ids MAY land here (seed rows are inert pointers —
-        // a deleted vector is absent from the corpus, so a stale seed
-        // drops at the walk's scoring join; see lshSeedTable's
-        // compliance note), but since `admitted` is already
-        // suppression-filtered, they don't.
-        seedTable.foreach(t =>
-          Similarity.lshSeedAppend(s, t, s.table(corpusTable)))
+        // per-batch cache scope: knnGraphAppend cacheTracks the grown
+        // corpus frame inside each batch — a resident loop that never
+        // releases accumulates one corpus-sized MEMORY_AND_DISK frame
+        // PER BATCH (the SpanIngest lesson, identity snapshot so
+        // frames tracked before the batch stay untouched)
+        val cacheMark = graft.CacheRegistry.snapshot()
+        try {
+          // deterministic within-batch collapse, then idempotent append
+          // via [[graft.operators.Dedup.probeCorpusKeys]] (map-only
+          // corpus scan probed by the broadcast batch key set; the hot
+          // set, ≤ batch size, broadcasts into the anti-join — one
+          // shared helper, not a re-implementation, so the probe-shape
+          // discipline BucketingSpec asserts covers this site too)
+          val arrivals = batch.select(col("vec_id"), col("embedding"))
+            .groupBy("vec_id").agg(min("embedding").as("embedding"))
+          val hot = graft.operators.Dedup.probeCorpusKeys(s, corpusTable,
+            arrivals.select("vec_id"), Seq("vec_id"))
+          val fresh = arrivals.join(broadcast(hot), Seq("vec_id"), "left_anti")
+          // Suppression covers BOTH persisted artifacts the loop
+          // maintains: without this anti-join, a forgotten
+          // (suppress = true) vector redelivered after corpus-side
+          // deletion would be re-INSERTED into the corpus table —
+          // re-persisting the embedding even though knnGraphAppend
+          // keeps it out of the graph. O(tombstones) broadcast.
+          // knnGraphAppend recovers this table again later in the batch;
+          // the duplicate is deliberate — THIS read happens first, and a
+          // crash mid-reinstate must never present a half-swapped
+          // suppression list to the corpus admit decision. One metadata
+          // probe per micro-batch is noise next to the descent.
+          val supT = s"${graphTable}_sup"
+          val admitted =
+            if (s.catalog.tableExists(supT)) {
+              graft.operators.StagedRewrite.recover(s, supT)
+              // deletion requests arrive from another session — drop
+              // this session's cached file listing or a mid-stream
+              // forget stays invisible (the StreamingIngest tombstone
+              // staleness class)
+              s.catalog.refreshTable(supT)
+              fresh.join(broadcast(s.table(supT).distinct()), Seq("vec_id"), "left_anti")
+            } else fresh
+          admitted.write.mode("append").insertInto(corpusTable)
+          // bring the graph up to date with the grown corpus — the
+          // identity when a replayed batch is already integrated
+          Similarity.knnGraphAppend(s, graphTable, s.table(corpusTable),
+            k = k, maxIters = maxIters, delta = delta)
+          // keep the informed-serving entry points fresh too: stateless
+          // buckets make this exactly the rebuild, batch-bounded.
+          // Suppressed ids MAY land here (seed rows are inert pointers —
+          // a deleted vector is absent from the corpus, so a stale seed
+          // drops at the walk's scoring join; see lshSeedTable's
+          // compliance note), but since `admitted` is already
+          // suppression-filtered, they don't.
+          seedTable.foreach(t =>
+            Similarity.lshSeedAppend(s, t, s.table(corpusTable)))
+        } finally graft.CacheRegistry.releaseSince(cacheMark, blocking = true)
         afterBatch(batchId)
       }
       .start()

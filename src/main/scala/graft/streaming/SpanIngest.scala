@@ -69,7 +69,14 @@ object SpanIngest {
     *   worst crash window (all effects applied, nothing committed). */
   def spanCutIngest(docBatches: DataFrame, indexTable: String,
                     outDir: String, checkpoint: String, n: Int = 50,
-                    afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery =
+                    afterBatch: Long => Unit = _ => ()): org.apache.spark.sql.streaming.StreamingQuery = {
+    // the replay branch keys on job-commit _SUCCESS markers (see
+    // StreamingIngest): fail fast on a committer that disables them
+    require(docBatches.sparkSession.sparkContext.hadoopConfiguration.getBoolean(
+      "mapreduce.fileoutputcommitter.marksuccessfuljobs", true),
+      "spanCutIngest requires _SUCCESS job markers " +
+        "(mapreduce.fileoutputcommitter.marksuccessfuljobs=true): " +
+        "the crash-replay manifest branch keys on them")
     docBatches.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -82,6 +89,13 @@ object SpanIngest {
         // before the batch stay untouched)
         val cacheMark = graft.CacheRegistry.snapshot()
         try {
+          // compliance forgets (spanGramIndexForget) may run from
+          // another session — drop this session's cached file listing
+          // so the probe sees them (the StreamingIngest tombstone
+          // staleness class); cheap relist, the appends this loop
+          // itself issues already invalidate in-session
+          if (spark.catalog.tableExists(indexTable))
+            spark.catalog.refreshTable(indexTable)
           val partDir = s"$outDir/batch_id=$batchId"
           val hPath = new org.apache.hadoop.fs.Path(partDir, "_SUCCESS")
           val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -92,9 +106,13 @@ object SpanIngest {
             // schema: an all-redelivered batch commits zero rows and
             // schema inference over an empty partition throws (the
             // StreamingIngest poison-pill lesson).
+            // doc_id's type comes from the BATCH (an int-keyed stream
+            // writes int32 parquet on the fresh path — a hardcoded
+            // Long here would fail the read only in the crash-replay
+            // window the manifest exists to heal)
             val manifestSchema = org.apache.spark.sql.types.StructType(Seq(
               org.apache.spark.sql.types.StructField("doc_id",
-                org.apache.spark.sql.types.LongType),
+                batch.schema("doc_id").dataType),
               org.apache.spark.sql.types.StructField("is_ascii",
                 org.apache.spark.sql.types.BooleanType),
               org.apache.spark.sql.types.StructField("lc_stable",
@@ -136,4 +154,5 @@ object SpanIngest {
         afterBatch(batchId)
       }
       .start()
+  }
 }

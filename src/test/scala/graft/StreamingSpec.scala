@@ -337,11 +337,17 @@ class StreamingSpec extends SparkSpec {
     // duplicates they are.
     val corpusDups = corpusDocs.take(2).map { case (_, t) => (7000000L, t) }
       .zipWithIndex.map { case ((id, t), i) => (id + i, t) }
+    // batch 2 ALSO redelivers an accepted doc_id under MUTATED text
+    // (an upstream re-scrape that changed) — the id-level gate must
+    // drop it: the old hash-only gate emitted it to the sink while
+    // appendShardDocs silently dropped its signature (sink/state
+    // divergence), which out.distinct below would catch as a dup id
+    val mutated = shard.head match { case (id, t) => (id, t + " MUTATED RESCRAPE") }
     val batches = Seq(
       shard.zipWithIndex.filter(_._2 % 3 == 0).map(_._1) ++ corpusDups,
       shard.zipWithIndex.filter(_._2 % 3 == 1).map(_._1),
       shard.zipWithIndex.filter(_._2 % 3 == 2).map(_._1) ++
-        shard.zipWithIndex.filter(_._2 % 3 == 0).map(_._1).take(2))
+        shard.zipWithIndex.filter(_._2 % 3 == 0).map(_._1).take(2) :+ mutated)
     // no exact-dup texts exist inside the corpus table at this SF, so
     // every real shard doc is accepted exactly once; the rejections
     // are the corpus-dup arrivals and the re-deliveries
@@ -374,21 +380,34 @@ class StreamingSpec extends SparkSpec {
     q2.processAllAvailable() // replays batch 1
     writeSrc(batches(2))
     q2.processAllAvailable()
+    // batch 3: a corpus doc is TOMBSTONED (compliance deletion pending
+    // purge) and a NEW id arrives carrying exactly its text — the
+    // tombstone-aware gate must ACCEPT it (the never-ingested
+    // contract); the physically-present signature used to suppress it
+    val (tombId, tombText) = corpusDocs(2)
+    Dedup.forgetFromCorpus(spark, Sf,
+      { import spark.implicits._; Seq(tombId).toDF("doc_id") },
+      shardMod = shardMod)
+    writeSrc(Seq((7200000L, tombText)))
+    q2.processAllAvailable()
     q2.stop()
+    val expectedFinal = expected + 7200000L
 
     val outRows = spark.read.parquet(outDir).select("doc_id", "batch_id")
       .collect().map(r => (r.getLong(0), r.getAs[Number]("batch_id").longValue))
     val out = outRows.map(_._1).toSeq
     assert(out.distinct.size == out.size, s"sink has duplicates: $out")
-    assert(out.toSet == expected,
-      s"missing ${expected -- out.toSet}, extra ${out.toSet -- expected}")
+    assert(out.toSet == expectedFinal,
+      s"missing ${expectedFinal -- out.toSet}, extra ${out.toSet -- expectedFinal}")
     // re-delivered docs stayed under their FIRST batch's partition
     val redelivered = shard.zipWithIndex.filter(_._2 % 3 == 0).map(_._1._1).take(2)
     redelivered.foreach { id =>
       assert(outRows.find(_._1 == id).get._2 == 0L, s"doc $id rewritten by a later batch")
     }
     // corpus-dup arrivals never made it in
-    assert(!out.exists(_ >= 7000000L))
+    assert(!out.contains(7000000L) && !out.contains(7000001L))
+    // ...while the tombstone-freed text DID land under its new id
+    assert(out.contains(7200000L), "tombstoned text still suppresses a fresh arrival")
     // the corpus state holds each accepted doc's signature exactly once
     val (_, hashesT) = Dedup.corpusStateTables(spark, Sf, shardMod = shardMod)
     val appended = spark.table(hashesT)
@@ -723,12 +742,18 @@ class StreamingSpec extends SparkSpec {
     // two REDELIVERED batch-0 vectors (at-least-once upstream) — the
     // corpus anti-join drops them, the graph frontier is empty for them
     val redelivered = b0.orderBy("vec_id").limit(2)
+    val trackedBefore = CacheRegistry.trackedCount
     val q2 = GraphIngest.knnGraphIngest(src, corpusT, graphT, ckpt, k = k,
       seedTable = Some(seedT))
     q2.processAllAvailable()
     writeSrc(b1.union(redelivered))
     q2.processAllAvailable()
     q2.stop()
+    // the resident loop must not accrete one tracked corpus-sized
+    // cache per micro-batch (knnGraphAppend cacheTracks internally;
+    // the per-batch identity-snapshot bracket releases them)
+    assert(CacheRegistry.trackedCount == trackedBefore,
+      s"graph ingest leaked ${CacheRegistry.trackedCount - trackedBefore} tracked caches across batches")
 
     // corpus: every vector exactly once, nothing extra
     val corpusIds = spark.table(corpusT).select("vec_id")
