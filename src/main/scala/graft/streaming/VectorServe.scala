@@ -38,6 +38,13 @@ object VectorServe {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         val table = Similarity.ivfIndexTable(spark, dir, codebook)
+        // the index is mutated out-of-band (ivfIndexAppend/Forget from
+        // an ingest or compliance session) — drop this session's
+        // cached file listing per batch, or a mid-serve forget keeps
+        // SERVING the deleted vectors from the stale listing (and a
+        // compacted rewrite crashes the scan on vanished files): the
+        // StreamingIngest tombstone staleness class, on the read path
+        spark.catalog.refreshTable(table)
         Similarity.serveQueryFrame(spark, table,
             batch.select(col("vec_id"), col("v")), k, nprobe, codebook)
           .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
@@ -80,14 +87,21 @@ object VectorServe {
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val spark = batch.sparkSession
         val table = Similarity.knnGraphTable(spark, dir, graphK, graphIters)
+        // same cross-session staleness discipline as the IVF tier: a
+        // knnGraphForget/Append from another session must be visible
+        // to the NEXT micro-batch, not whenever this session happens
+        // to re-resolve the table
+        spark.catalog.refreshTable(table)
         val graph = spark.table(table)
           .select(col("vec_id").as("ga"), col("nbr_id").as("gb"))
         val corpus = graft.Tables.embeddings(spark, dir)
           .select(col("vec_id"),
             expr("transform(embedding, x -> cast(x as double))").as("v"))
         val queries = batch.select(col("vec_id").as("qid"), col("v").as("qv"))
-        val mates = if (informedFromTable)
-          Some(Similarity.informedSeedMates(spark, dir, queries)) else None
+        val mates = if (informedFromTable) {
+          spark.catalog.refreshTable(Similarity.lshSeedTable(spark, dir))
+          Some(Similarity.informedSeedMates(spark, dir, queries))
+        } else None
         val sample = if (informedFromTable)
           Some(Similarity.informedSeedSample(spark, dir, beam)) else None
         Similarity.graphSearchCore(graph, corpus, queries, k, beam, hops,

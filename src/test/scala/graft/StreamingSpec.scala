@@ -296,6 +296,62 @@ class StreamingSpec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS $seedT")
   }
 
+  test("graph serving sees a mid-stream compliance forget on the NEXT batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Similarity
+    val base = java.nio.file.Files.createTempDirectory("graft-gserve-forget").toString
+    val outDir = s"$base/out"; val ckpt = s"$base/ckpt"
+    val qvecs = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .filter(col("vec_id") < 3)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.VectorServe.graphServeStream(Sf,
+      input.toDF().toDF("vec_id", "v"), outDir, ckpt)
+    input.addData(qvecs.toSeq)
+    q.processAllAvailable()
+    def served(b: Int) = spark.read.parquet(s"$outDir/batch_id=$b")
+      .select("qid", "rank", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val served0 = served(0)
+    // compliance job runs from the OUTER session mid-stream: forget a
+    // vector batch 0 actually served — without the per-batch
+    // refreshTable, the serving session's cached file listing either
+    // keeps serving the pre-forget graph or crashes on the files the
+    // StagedRewrite swap deleted
+    val victim = served0.map(_._3).find(id => !qvecs.map(_._1).contains(id)).get
+    val table = Similarity.knnGraphTable(spark, Sf)
+    Similarity.knnGraphForget(spark, table, Seq(victim).toDF("vec_id"))
+    input.addData(qvecs.toSeq) // same queries again → batch 1
+    q.processAllAvailable()
+    q.stop()
+    val served1 = served(1)
+    // contract: each batch serves the graph AS CURRENTLY PERSISTED —
+    // batch 1 must equal the batch walk over the post-forget table
+    // (seeds still come from the immutable corpus, so set equality
+    // with the fresh walk is the exact claim, not victim-absence)
+    val corpus = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+    val queriesDf = qvecs.toSeq.toDF("vec_id", "v")
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val expected1 = Similarity.graphSearchCore(
+        spark.table(table).select(col("vec_id").as("ga"), col("nbr_id").as("gb")),
+        corpus, queriesDf, 10, 20, 3).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank"), r.getAs[Long]("vec_id"))).toSet
+    assert(served1 == expected1,
+      s"post-forget batch serves a stale graph: extra=${(served1 -- expected1).take(3)} " +
+        s"missing=${(expected1 -- served1).take(3)}")
+    assert(served1 != served0, "forget changed nothing — the staleness check is vacuous")
+    // the test mutated the shared registry graph artifact — retire it
+    // so the next consumer rebuilds deterministically from the corpus
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"DROP TABLE IF EXISTS ${table}_sup")
+    graft.sources.Sources.clearOrphanedLocation(spark, table)
+    CacheRegistry.releaseAll()
+  }
+
   test("stream-static incremental dedup flags arrivals against the corpus table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
