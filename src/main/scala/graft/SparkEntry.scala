@@ -152,6 +152,7 @@ object SparkEntry {
     "pipe_corpus_shuffle" -> ((s, d) => TextAnalysis.pipeCorpusShuffle(s, d)),
     "pipe_shuffle_pack" -> ((s, d) => TextAnalysis.pipeShufflePack(s, d)),
     "pipe_lm_score" -> (TextAnalysis.pipeLmScore(_, _)),
+    "pipe_lm_bigram" -> (TextAnalysis.pipeLmBigram(_, _)),
     "pipe_decontaminate" -> ((s, d) => TextAnalysis.pipeDecontaminate(s, d)),
     "pipe_decontaminate_bloom" -> ((s, d) => TextAnalysis.pipeDecontaminateBloom(s, d)),
     "text_top_bigrams" -> ((s, d) => TextAnalysis.textTopBigrams(s, d)),
@@ -2026,6 +2027,33 @@ object SparkEntry {
         |  round(sum(log10(tf)) / count(*) - log10(total), 4) AS lm_score
         |FROM toks JOIN freqs USING (t), tot
         |GROUP BY doc_id, total ORDER BY doc_id""".stripMargin,
+    // Interpolated bigram LM: parallel unnests of the token array and
+    // its tail zip element-wise in DuckDB, mirroring the Spark side's
+    // zip_with pair stream; both engines collapse to per-(doc,p,t)
+    // integer counts first so every probability is a ratio of the
+    // SAME integers, and the λ weights are the literal doubles
+    // 0.7/0.3 on both sides (1−λ at runtime is a different double).
+    "pipe_lm_bigram" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS l
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id,
+        |    unnest(l[1:len(l)-1]) AS p,
+        |    unnest(l[2:len(l)]) AS t
+        |  FROM docs WHERE len(l) >= 2),
+        |db AS (SELECT doc_id, p, t, count(*) AS c FROM big GROUP BY doc_id, p, t),
+        |bf AS (SELECT p, t, sum(c) AS cb FROM db GROUP BY p, t),
+        |pt AS (SELECT p, sum(cb) AS cp FROM bf GROUP BY p),
+        |uf AS (SELECT t, count(*) AS tf
+        |  FROM (SELECT unnest(l) AS t FROM docs) GROUP BY t),
+        |tot AS (SELECT sum(tf) AS total FROM uf)
+        |SELECT doc_id, sum(c)::BIGINT AS n_big,
+        |  round(sum(c * log10(0.7e0 * (cb::DOUBLE / cp::DOUBLE)
+        |    + 0.3e0 * (tf::DOUBLE / total::DOUBLE))) / sum(c), 4) AS lmb_score
+        |FROM db JOIN bf USING (p, t) JOIN pt USING (p) JOIN uf USING (t), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Same md5-derived hash threshold as TextAnalysis.pipeTrainMix;
     // Frame over floor-second epochs — the largest timestamp precision
     // both engines agree on exactly (parquet is TIMESTAMP(NANOS);

@@ -1477,6 +1477,42 @@ object Dedup {
   private[graft] def spanIndexPartitionsFor(nDocs: Long): Int =
     math.min(65536L, math.max(8L, nDocs / 2000L)).toInt
 
+  /** Sizing target behind [[spanIndexPartitionsFor]], shared by the
+    * growth-drift guard below. */
+  private[graft] val SpanIndexDocsPerPartition = 2000L
+
+  /** Indexed-document count property — P is frozen into the layout
+    * at build time, so a long-lived streaming index that keeps
+    * absorbing appends silently grows its per-partition row count and
+    * erodes the bounded-rows-per-partition rule the probe-I/O claims
+    * rest on. Every creation path stamps this (build: the corpus
+    * rowCount P was sized from — an upper bound on what the %10
+    * filter actually indexed, which is all the 4× guard needs;
+    * create-empty: 0) and [[spanGramIndexAppend]] advances it under
+    * the family's existing single-writer contract. Legacy tables
+    * without the property read as 0 — the guard goes quiet rather
+    * than wrong, and the next rebuild stamps it. */
+  private[graft] val SpanIndexDocsProp = "graft.span.docs"
+
+  /** Appends have grown the index past [[SpanIndexDriftFactor]]× the
+    * per-partition sizing target — partition files are ~4× the size
+    * the probe-cost story assumes, so a probe reading k partitions
+    * pays 4× the documented bytes. The remedy is a rebuild (drop +
+    * [[spanGramIndexFor]]), which re-derives P from the grown corpus;
+    * content is unaffected either way (the guard watches economics,
+    * not correctness). */
+  private[graft] val SpanIndexDriftFactor = 4L
+
+  private[graft] def spanIndexDocs(s: SparkSession, table: String): Long =
+    s.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .collectFirst { case r if r.getString(0) == SpanIndexDocsProp =>
+        r.getString(1).toLong }
+      .getOrElse(0L)
+
+  private[graft] def spanIndexOversized(s: SparkSession, table: String): Boolean =
+    spanIndexDocs(s, table) >
+      SpanIndexDriftFactor * spanIndexPb(s, table).toLong * SpanIndexDocsPerPartition
+
   /** The partition-count property of a span gram index table; every
     * creation path ([[spanGramIndexFor]], [[spanGramIndexCreateEmpty]])
     * records it. Self-healing for registry-named tables: a build that
@@ -1517,7 +1553,7 @@ object Dedup {
     graft.sources.Sources.clearOrphanedLocation(s, table)
     s.sql(s"CREATE TABLE $table (doc_id BIGINT, g BIGINT, sh BINARY, " +
       s"df BIGINT, mp BIGINT) USING parquet PARTITIONED BY (pb INT) " +
-      s"TBLPROPERTIES ('$SpanIndexPbProp' = '$p')")
+      s"TBLPROPERTIES ('$SpanIndexPbProp' = '$p', '$SpanIndexDocsProp' = '0')")
   }
 
   /** The index partition key of a gram hash under partition count
@@ -1559,8 +1595,18 @@ object Dedup {
           .filter(t => (t.startsWith(s"${prefix}_p") || t.startsWith(s"${prefix}_v")) &&
             t.matches(".*_v\\d+$"))
           .foreach(t => s.sql(s"DROP TABLE $t"))
-        val p = spanIndexPartitionsFor(Tables.rowCount(s, dir, "documents"))
+        val nDocs = Tables.rowCount(s, dir, "documents")
+        val p = spanIndexPartitionsFor(nDocs)
         val table = s"${prefix}_p${p}_v4"
+        // same corpus → same P → same deterministic name: a forget()
+        // that crashed in its marker-present window before the index
+        // table was dropped/retired leaves <t>_rstage/<t>_rcommit
+        // behind, and the first recover() on the REBUILT table would
+        // TRUNCATE it and resurrect the pre-forget rows (the exact
+        // hazard spanGramIndexCreateEmpty guards against — the guard
+        // must be symmetric across both creation paths)
+        s.sql(s"DROP TABLE IF EXISTS ${StagedRewrite.markerTable(table)}")
+        s.sql(s"DROP TABLE IF EXISTS ${StagedRewrite.stageTable(table)}")
         graft.sources.Sources.clearOrphanedLocation(s, table)
         // repartition on pb (each layout partition written by one
         // task) + sort by g within files for tight row-group stats
@@ -1568,7 +1614,8 @@ object Dedup {
             .filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text")), n), p)
           .repartition(col("pb")).sortWithinPartitions("pb", "g")
           .write.partitionBy("pb").format("parquet").saveAsTable(table)
-        s.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$SpanIndexPbProp' = '$p')")
+        s.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+          s"('$SpanIndexPbProp' = '$p', '$SpanIndexDocsProp' = '$nDocs')")
         table
     }
   }
@@ -1589,12 +1636,42 @@ object Dedup {
     val p = spanIndexPb(s, table)
     val ids = docs.select("doc_id").distinct()
     val indexed = probeCorpusKeys(s, table, ids, Seq("doc_id"))
-    val fresh = docs.join(broadcast(indexed), Seq("doc_id"), "left_anti")
-    // column order (doc_id, g, sh, df, mp, pb) matches the table read
-    // order — insertInto is positional, partition column last
-    withPb(gramWindowCounts(fresh, n), p)
-      .repartition(col("pb")).sortWithinPartitions("pb", "g")
-      .write.mode("append").insertInto(table)
+    // cached: feeds the insert (twice internally — gramWindowCounts'
+    // real/sentinel union branches) and the post-insert drift count,
+    // so the doc_id index probe runs once per append instead of per
+    // consumer; batch-scale rows, released before return
+    val fresh = docs.join(broadcast(indexed), Seq("doc_id"), "left_anti").cache()
+    try {
+      // counted BEFORE the insert: fresh's plan reads the target table
+      // (the idempotence probe), so the insert makes Spark recache the
+      // dependent InMemoryRelation against the POST-insert state —
+      // counting afterwards would self-anti-join every just-inserted
+      // doc back out and read 0. Counting first also materializes the
+      // cache, so the insert's scan of fresh is a cache read.
+      val appended = fresh.select("doc_id").distinct().count()
+      // column order (doc_id, g, sh, df, mp, pb) matches the table read
+      // order — insertInto is positional, partition column last
+      withPb(gramWindowCounts(fresh, n), p)
+        .repartition(col("pb")).sortWithinPartitions("pb", "g")
+        .write.mode("append").insertInto(table)
+      // growth-drift bookkeeping (single-writer contract, same as
+      // forgetFromCorpus): advance the indexed-doc count and warn when
+      // appends have outgrown the frozen P past the sizing target — a
+      // crash between insert and ALTER undercounts, which only delays
+      // the warning, never corrupts content
+      if (appended > 0L) {
+        val total = spanIndexDocs(s, table) + appended
+        s.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+          s"('$SpanIndexDocsProp' = '$total')")
+        if (spanIndexOversized(s, table))
+          System.err.println(s"[graft] span index $table holds $total docs " +
+            s"over $p partitions — >${SpanIndexDriftFactor}x the " +
+            s"${SpanIndexDocsPerPartition}-docs/partition sizing target, so " +
+            "probe I/O per pruned partition is proportionally inflated; " +
+            "rebuild (DROP TABLE + spanGramIndexFor) to re-derive P from " +
+            "the grown corpus")
+      }
+    } finally fresh.unpersist()
   }
 
   /** Compliance deletion for the span gram index: drop every window

@@ -621,6 +621,68 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Interpolated BIGRAM-LM quality score (`pipe_lm_bigram`) — the
+    * CCNet-class signal the unigram form above approximates: per-doc
+    * mean log10 of λ·P(w|prev) + (1−λ)·P(w) under the corpus's own
+    * counts, where P(w|prev) = C(prev,w) / Σᵥ C(prev,v) (the proper
+    * conditional — the denominator is derived from the bigram table,
+    * not the unigram count, so final-token occurrences never inflate
+    * it) and P(w) = C(w)/T. Low score = token sequences the corpus
+    * never produces (scrambled/boilerplate/degenerate text); the
+    * unigram interpolation floor keeps unseen bigrams finite, the
+    * standard Jelinek-Mercer smoothing shape.
+    *
+    * Plan shape at 100 TB: bigram extraction is MAP-ONLY — the pair
+    * stream comes from zipping each document's in-row token array
+    * with its own tail (no positional self-join, no explode-then-lag
+    * window), then collapses straight to per-(doc, prev, w) counts
+    * (map-side-combined wordcount shuffle, rows ∝ distinct pairs per
+    * doc). Model tables are all vocabulary-sized aggregates of that
+    * compact stream: C(prev,w), its per-prev rollup, and the unigram
+    * table from a second corpus scan (same deliberate two-scan choice
+    * as [[pipeLmScore]] — profiled there, the doc-level string-keyed
+    * cache costs more than the rebuild). Spark broadcasts the model
+    * tables while they fit and falls back to shuffle joins on the
+    * token keys beyond — nothing in the plan grows with corpus size
+    * except the two scans and the pair-count shuffle.
+    *
+    * λ weights are written as the literal doubles 0.7/0.3 on BOTH
+    * engines (computing 1−λ at runtime yields a DIFFERENT double
+    * than the 0.3 literal the oracle parses — a round(4) boundary
+    * hazard, not a cosmetic one). Docs with < 2 tokens have no
+    * bigram positions and are absent from the output on both sides. */
+  def lmBigramCore(docs: DataFrame): DataFrame = {
+    import graft.CacheRegistry.Cacheable
+    val words = docs
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("w"))
+    val docBig = words.filter(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("w"), lit(1), size(col("w")) - 1),
+        slice(col("w"), lit(2), size(col("w")) - 1),
+        (a, b) => struct(a.as("p"), b.as("t")))).as("b"))
+      .select(col("doc_id"), col("b.p").as("p"), col("b.t").as("t"))
+      .groupBy("doc_id", "p", "t").agg(count(lit(1)).as("c"))
+    val bigFreqs = docBig.groupBy("p", "t").agg(sum("c").as("cb")).cacheTracked
+    val prevTot = bigFreqs.groupBy("p").agg(sum("cb").as("cp"))
+    val uniFreqs = words.select(explode(col("w")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("tf")).cacheTracked
+    val total = uniFreqs.agg(sum("tf").as("total"))
+    docBig.join(bigFreqs, Seq("p", "t")).join(prevTot, Seq("p"))
+      .join(uniFreqs, Seq("t")).crossJoin(total)
+      .groupBy("doc_id", "total")
+      .agg(sum("c").as("n_big"),
+        sum(col("c") * log10(lit(0.7) * (col("cb") / col("cp")) +
+          lit(0.3) * (col("tf") / col("total")))).as("slp"))
+      .select(col("doc_id"), col("n_big"),
+        round(col("slp") / col("n_big"), 4).as("lmb_score"))
+      .orderBy("doc_id")
+  }
+
+  /** Registry face of [[lmBigramCore]] over `dir`'s documents. */
+  def pipeLmBigram(s: SparkSession, dir: String): DataFrame =
+    lmBigramCore(Tables.documents(s, dir))
+
   /** Per-document repetition signals — the Gopher/C4-style repetition
     * filter inputs: duplicate-word fraction and the fraction of word
     * bigrams taken by the single most frequent bigram (boilerplate and

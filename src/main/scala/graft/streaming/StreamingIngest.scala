@@ -37,8 +37,12 @@ import org.apache.spark.sql.functions._
   * pending compliance deletion does not suppress a fresh arrival
   * (the dedupIncrementalForget never-ingested contract).
   *
-  * At 100 TB: per batch this costs one map-only bucketed corpus scan
-  * (broadcast-probed by the batch's signature set), one
+  * At 100 TB: per batch this costs ONE map-only scan of the corpus
+  * signature table computing both identity levels at once (two
+  * broadcast-hash membership marks — doc_id and (h64,h128) — over a
+  * single (doc_id, h64, h128) projection; neither key alone covers
+  * the bucket layout, so one unpruned scan beats the earlier
+  * two-scan form), one O(tombstones) broadcast, one
   * per-batch-directory write of the accepted rows, and one O(batch)
   * state append. Nothing global, no growing streaming state — the
   * corpus tables ARE the state.
@@ -117,35 +121,66 @@ object StreamingIngest {
             .agg(min("doc_id").as("doc_id"), min("text").as("text"))
             .cache()
           try {
-            // id-level redelivery drop — the SAME key appendShardDocs
-            // dedups state on, so sink and state cannot diverge when a
-            // doc_id returns in a later batch carrying different text
-            // (the gate's hash check alone would emit it to the sink
-            // while the state append silently dropped its signature).
-            // A tombstoned doc_id physically still in state stays
-            // suppressed until purge — its id is not servable anyway.
-            val indexedIds = Dedup.probeCorpusKeys(spark, hashesT,
-              sigs.select("doc_id"), Seq("doc_id"))
-            // content-level gate, TOMBSTONE-AWARE like the batch
-            // operator's forget probe (dedupIncrementalForget): a text
-            // whose only corpus copies are pending deletion must not
-            // suppress a fresh arrival — the never-ingested contract.
-            // O(tombstones) broadcast on a bucketed map-only scan.
-            // REFRESH first: deletion requests arrive from ANOTHER
-            // session (a compliance job), and the micro-batch
-            // session's table-relation cache would otherwise serve
-            // the file listing from when the stream first resolved
-            // the table — a tombstone written mid-stream would stay
-            // invisible to every later batch (found by the spec's
-            // mid-stream forget)
+            // BOTH identity levels in ONE pass over the state table:
+            // a single scan of hashesT projecting (doc_id, h64, h128)
+            // with two broadcast-hash membership marks, instead of
+            // the earlier two-scan form (a bucketed hash probe plus a
+            // separate unbucketed doc_id probe) — at corpus scale the
+            // scan dominates, so this halves the per-batch state I/O.
+            // Neither key alone covers the scan's bucket layout for
+            // pruning, but both joins stay map-only broadcasts.
+            //
+            // id level — the SAME key appendShardDocs dedups state
+            // on, so sink and state cannot diverge when a doc_id
+            // returns in a later batch carrying different text (the
+            // hash check alone would emit it to the sink while the
+            // state append silently dropped its signature). The id
+            // mark is deliberately NOT tombstone-aware: a tombstoned
+            // doc_id physically still in state stays suppressed until
+            // purge — its id is not servable anyway (spec-pinned in
+            // StreamingIngestSpec so an edit cannot silently flip it).
+            //
+            // content level — TOMBSTONE-AWARE like the batch
+            // operator's forget probe (dedupIncrementalForget): a
+            // text whose only corpus copies are pending deletion must
+            // not suppress a fresh arrival (never-ingested contract).
+            // REFRESH the tombstones first: deletion requests arrive
+            // from ANOTHER session (a compliance job), and the
+            // micro-batch session's table-relation cache would
+            // otherwise serve the file listing from when the stream
+            // first resolved the table — a tombstone written
+            // mid-stream would stay invisible to every later batch
+            // (found by the spec's mid-stream forget)
             val tombsT = Dedup.corpusTombstonesTable(spark, dir,
               shardMod = shardMod, numBuckets = numBuckets)
             spark.catalog.refreshTable(tombsT)
             val tombs = spark.table(tombsT)
-            val hot = spark.table(hashesT)
+            // hashesT too: this loop's own appends invalidate the
+            // relation cache in-session, but a cross-session PURGE
+            // (purgeCorpusTombstones physically rewrites the state
+            // tables) would otherwise leave a stale file listing —
+            // the FileNotFoundException class the serving tiers
+            // already guard against
+            spark.catalog.refreshTable(hashesT)
+            // rows ∝ batch-key matches in state, so the cache is
+            // batch-scale (id hits ≤ batch ids; hash hits ∝ corpus
+            // copies of batch texts — the same bound the old hash
+            // probe's distinct() carried)
+            val touched = spark.table(hashesT)
+              .select("doc_id", "h64", "h128")
+              .join(broadcast(sigs.select("doc_id").withColumn("idhit", lit(true))),
+                Seq("doc_id"), "left")
+              .join(broadcast(sigs.select("h64", "h128").withColumn("hhit", lit(true))),
+                Seq("h64", "h128"), "left")
+              .filter(coalesce(col("idhit"), lit(false)) ||
+                coalesce(col("hhit"), lit(false)))
+              .cache()
+            try {
+            val indexedIds = touched.filter(col("idhit"))
+              .select("doc_id").distinct()
+            val hot = touched.filter(col("hhit"))
               .join(broadcast(tombs.select("doc_id").distinct()), Seq("doc_id"), "left_anti")
               .select("h64", "h128")
-              .join(broadcast(sigs.select("h64", "h128")), Seq("h64", "h128"), "left_semi")
               .distinct()
             val accepted = sigs
               .join(broadcast(indexedIds), Seq("doc_id"), "left_anti")
@@ -160,6 +195,7 @@ object StreamingIngest {
               Dedup.appendShardDocs(spark, dir, accepted,
                 shardMod = shardMod, numBuckets = numBuckets)
             } finally accepted.unpersist()
+            } finally touched.unpersist()
           } finally sigs.unpersist()
         }
         afterBatch(batchId)

@@ -1952,6 +1952,63 @@ class DedupSimilaritySpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("span index REBUILD branch clears stale forget markers (no resurrection)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // same corpus → same P → same deterministic registry name: a
+    // forget() crash in its marker-present window followed by a
+    // drop/retire of the index table must not let the REBUILT table's
+    // first recover() truncate it and resurrect the pre-forget rows —
+    // the symmetric twin of the create-empty guard above
+    val t = Dedup.spanGramIndexFor(spark, Sf, 50)
+    val realCount = spark.table(t).count()
+    assert(realCount > 0)
+    // simulate the crash: stage = one distinguishable poison row
+    // (schema-exact copy of a live row), marker present
+    Seq(s"${t}_rstage", s"${t}_rcommit").foreach { st =>
+      spark.sql(s"DROP TABLE IF EXISTS $st")
+      graft.sources.Sources.clearOrphanedLocation(spark, st)
+    }
+    spark.table(t).limit(1).withColumn("doc_id", lit(-999L))
+      .write.format("parquet").saveAsTable(s"${t}_rstage")
+    Seq(true).toDF("committed").write.format("parquet").saveAsTable(s"${t}_rcommit")
+    spark.sql(s"DROP TABLE $t")
+    val t2 = Dedup.spanGramIndexFor(spark, Sf, 50) // rebuild branch
+    assert(t2 == t, "rebuild must land on the same deterministic name")
+    graft.operators.StagedRewrite.recover(spark, t2) // what every probe/append runs first
+    assert(spark.table(t2).filter(col("doc_id") === -999L).head(1).isEmpty,
+      "stale forget stage resurrected rows into the rebuilt index")
+    assert(spark.table(t2).count() == realCount,
+      "rebuilt index content diverged after recover()")
+    CacheRegistry.releaseAll()
+  }
+
+  test("span index growth-drift guard: docs property advances idempotently; oversize predicate") {
+    import spark.implicits._
+    val tz = "graft_span_gram_drift_guard_spec_v4"
+    Dedup.spanGramIndexCreateEmpty(spark, tz, 8)
+    assert(Dedup.spanIndexDocs(spark, tz) == 0L)
+    assert(!Dedup.spanIndexOversized(spark, tz))
+    val batch = (1L to 3L).map(i => (i, s"doc $i body: " + ("x" * 60))).toDF("doc_id", "text")
+    Dedup.spanGramIndexAppend(spark, tz, batch)
+    assert(Dedup.spanIndexDocs(spark, tz) == 3L)
+    // an at-least-once redelivery no-ops the insert AND the counter
+    Dedup.spanGramIndexAppend(spark, tz, batch)
+    assert(Dedup.spanIndexDocs(spark, tz) == 3L,
+      "redelivered append advanced the indexed-docs counter")
+    Dedup.spanGramIndexAppend(spark, tz,
+      Seq((4L, "fresh doc: " + ("y" * 60))).toDF("doc_id", "text"))
+    assert(Dedup.spanIndexDocs(spark, tz) == 4L)
+    assert(!Dedup.spanIndexOversized(spark, tz))
+    // P=8 → target 8×2000 docs; the guard trips past the 4× factor
+    spark.sql(s"ALTER TABLE $tz SET TBLPROPERTIES " +
+      s"('${Dedup.SpanIndexDocsProp}' = '${4L * 8 * 2000 + 1}')")
+    assert(Dedup.spanIndexOversized(spark, tz),
+      "oversize predicate must trip past driftFactor × P × sizing target")
+    spark.sql(s"DROP TABLE IF EXISTS $tz")
+    CacheRegistry.releaseAll()
+  }
+
   test("pipe_span_dedup_keep_first: keeper occurrences survive verbatim; cuts are a subset of remove-all") {
     import org.apache.spark.sql.functions._
     val n = 50

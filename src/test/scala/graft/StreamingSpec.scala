@@ -446,8 +446,27 @@ class StreamingSpec extends SparkSpec {
       shardMod = shardMod)
     writeSrc(Seq((7200000L, tombText)))
     q2.processAllAvailable()
+    // batch 5: the TOMBSTONED id itself re-arrives carrying brand-new
+    // text. The id-level gate is deliberately NOT tombstone-aware (its
+    // signature row is physically still in state, and the id is not
+    // servable while a deletion on it is pending), so the arrival
+    // stays suppressed until the physical purge...
+    writeSrc(Seq((tombId, tombText + " REWRITTEN BEFORE PURGE")))
+    q2.processAllAvailable()
+    // ...and AFTER purgeCorpusTombstones removes the id's rows from
+    // state, the same id with new text is a fresh document and lands —
+    // the documented remedy path. This pins the asymmetry with the
+    // hash gate so an edit cannot silently flip it.
+    Dedup.purgeCorpusTombstones(spark, Sf, shardMod = shardMod)
+    writeSrc(Seq((tombId, tombText + " REWRITTEN AFTER PURGE")))
+    q2.processAllAvailable()
     q2.stop()
-    val expectedFinal = expected + 7200000L
+    val tombSunk = spark.read.parquet(outDir)
+      .filter(col("doc_id") === tombId).select("text")
+      .collect().map(_.getString(0)).toSeq
+    assert(tombSunk == Seq(tombText + " REWRITTEN AFTER PURGE"),
+      s"tombstoned id must stay suppressed until purge, then be accepted: $tombSunk")
+    val expectedFinal = expected + 7200000L + tombId
 
     val outRows = spark.read.parquet(outDir).select("doc_id", "batch_id")
       .collect().map(r => (r.getLong(0), r.getAs[Number]("batch_id").longValue))

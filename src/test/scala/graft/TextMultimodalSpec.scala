@@ -466,6 +466,32 @@ class TextMultimodalSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("pipe_lm_bigram: fluent order outscores scrambled; unseen bigrams stay finite; <2-token docs absent") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val fluent = "the quick brown fox jumps over the lazy dog"
+    // scrambled shares every WORD with the fluent corpus (identical
+    // unigram distribution) but no bigram — exactly the degenerate
+    // class the unigram form cannot separate and the bigram form must
+    val scrambled = "dog the over fox quick lazy jumps brown the"
+    val filler = (1L to 20L).map(i => (i, fluent))
+    val docs = (filler :+ (100L, fluent) :+ (101L, scrambled)).toDF("doc_id", "text")
+    val out = TextAnalysis.lmBigramCore(docs).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_big"), r.getAs[Double]("lmb_score")))).toMap
+    assert(out(100L)._2 > out(101L)._2,
+      s"fluent must outscore the scrambled twin: $out")
+    assert(!out(101L)._2.isNaN && !out(101L)._2.isInfinite,
+      "interpolation floor must keep fully-unseen bigrams finite")
+    assert(out(100L)._1 == 8L && out(101L)._1 == 8L) // 9 tokens → 8 positions
+    // a doc with < 2 tokens has no bigram positions on either engine
+    val ids = TextAnalysis.lmBigramCore(
+        (filler :+ (200L, "solo")).toDF("doc_id", "text"))
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(200L), "a 1-token doc must be absent, not scored")
+    CacheRegistry.releaseAll()
+  }
+
   test("corpus invariant backing the mm_decode*/raw byte-sum oracles: non-empty ASCII text") {
     // the mm_decode / mm_decode_wav 'raw' oracles sum unicode() code
     // points per character and unnest over range(1, length+1) — both
