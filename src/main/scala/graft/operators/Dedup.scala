@@ -1298,6 +1298,17 @@ object Dedup {
         s"(need position < 2^$PackShift and doc_id < 2^${63 - PackShift})")).isNull,
     shiftleft(docId, PackShift) + p)
 
+  /** Guarded narrowing to INT — raises instead of silently wrapping
+    * if the value ever leaves [0, 2³¹), the same raise-don't-wrap
+    * discipline as [[packedGuarded]]. Used where the envelope is
+    * structural today (per-document counts/positions, bounded by the
+    * JVM's 2³¹−1 string length) so a future change of the aggregation
+    * grain fails loudly rather than corrupting stored rows. */
+  private def intGuarded(c: Column, what: String): Column = when(
+    assert_true(c >= lit(0L) && c <= lit(Int.MaxValue.toLong),
+      lit(s"$what: INT envelope exceeded (need 0 <= value < 2^31)")).isNull,
+    c.cast("int"))
+
   /** The keep-first BOUNDARY SWEEP: (doc_id, p, keeper) hit
     * occurrences → per-doc (s, e) cut spans. ±1 events on the
     * cut/keep counters at each hit's [p, p+n) endpoints, one per-doc
@@ -1412,9 +1423,10 @@ object Dedup {
     * — row count is the same order either way (distinct windows per
     * doc ≈ positions). Derived in one scan: the window extraction
     * rides the same stage as the kernel posexplode (text never
-    * shuffles per position; the aggregate shuffles ~40 bytes per
-    * corpus position — the build-time price, toward the reference
-    * tool's suffix-array class). */
+    * shuffles per position; the aggregate shuffles ~36 bytes per
+    * corpus position, v5's INT df/mp trimming the row — the
+    * build-time price, toward the reference tool's suffix-array
+    * class). */
   private def gramWindowCounts(docs: DataFrame, n: Int): DataFrame = {
     val eligible = docs
       .filter(length(col("text")) >= n &&
@@ -1429,8 +1441,15 @@ object Dedup {
       // `mp` = the window's FIRST position within the doc — enough to
       // reconstruct the global lexicographic (doc_id, p) argmin
       // (each doc's best candidate is its min position), which the
-      // keep-first incremental form needs for keeper election
-      .agg(count(lit(1)).as("df"), min(col("p")).cast("long").as("mp"))
+      // keep-first incremental form needs for keeper election.
+      // Both stored as INT (v5): each is bounded by ONE document's
+      // char count (JVM strings cap at 2³¹−1), so the envelope is
+      // structural; df still narrows through the raise-on-overflow
+      // guard (the packed-argmin discipline) so a future multi-doc
+      // aggregation cannot silently wrap. Probe-side sums (Σ df)
+      // auto-widen to LONG, so corpus-wide totals are unaffected.
+      .agg(intGuarded(count(lit(1)), "span index df").as("df"),
+        min(col("p")).as("mp"))
     // sentinel rows keep EVERY ingested document's id in the index —
     // without them a short / lc-unstable / fully-cut document never
     // enters, and the doc_id-idempotence probe would re-admit its
@@ -1444,7 +1463,7 @@ object Dedup {
     // where short/unstable docs are a large fraction.
     val sentinels = docs.join(eligible.select("doc_id"), Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("g"), unhex(md5(lit(""))).as("sh"),
-        lit(0L).as("df"), lit(0L).as("mp"))
+        lit(0).as("df"), lit(0).as("mp"))
     real.union(sentinels)
   }
 
@@ -1517,7 +1536,7 @@ object Dedup {
     * creation path ([[spanGramIndexFor]], [[spanGramIndexCreateEmpty]])
     * records it. Self-healing for registry-named tables: a build that
     * crashed between saveAsTable and the ALTER leaves the table
-    * without the property, but P is baked into a `_p<P>_v4` name, so
+    * without the property, but P is baked into a `_p<P>_v5` name, so
     * the accessor re-stamps it exactly — here in the one place every
     * reader (probes, appends, forget, the SpanIngest loop's direct
     * indexTable argument) already consults, not at a single call
@@ -1528,7 +1547,7 @@ object Dedup {
     s.sql(s"SHOW TBLPROPERTIES $table").collect()
       .collectFirst { case r if r.getString(0) == SpanIndexPbProp =>
         r.getString(1).toInt }
-      .orElse("_p(\\d+)_v4$".r.findFirstMatchIn(table).map { m =>
+      .orElse("_p(\\d+)_v5$".r.findFirstMatchIn(table).map { m =>
         s.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
           s"('$SpanIndexPbProp' = '${m.group(1)}')")
         m.group(1).toInt
@@ -1552,7 +1571,7 @@ object Dedup {
     s.sql(s"DROP TABLE IF EXISTS ${StagedRewrite.stageTable(table)}")
     graft.sources.Sources.clearOrphanedLocation(s, table)
     s.sql(s"CREATE TABLE $table (doc_id BIGINT, g BIGINT, sh BINARY, " +
-      s"df BIGINT, mp BIGINT) USING parquet PARTITIONED BY (pb INT) " +
+      s"df INT, mp INT) USING parquet PARTITIONED BY (pb INT) " +
       s"TBLPROPERTIES ('$SpanIndexPbProp' = '$p', '$SpanIndexDocsProp' = '0')")
   }
 
@@ -1577,7 +1596,7 @@ object Dedup {
     // the partition count is baked into the name (and the table
     // property) at build time, so "exists" is a prefix+generation scan
     val existing = s.catalog.listTables().collect().map(_.name)
-      .filter(t => t.startsWith(s"${prefix}_p") && t.endsWith("_v4"))
+      .filter(t => t.startsWith(s"${prefix}_p") && t.endsWith("_v5"))
       .sorted.headOption
     existing match {
       case Some(table) =>
@@ -1587,7 +1606,7 @@ object Dedup {
         // retire stale schema generations of this dir's index (the
         // lshSeedTable sweep discipline; inside the build branch
         // only). The prefix must be anchored at the generation
-        // segment ("_p<P>_v4" or the legacy "_v<k>") — a bare
+        // segment ("_p<P>_v5" or a prior generation like "_p<P>_v4") — a bare
         // startsWith(prefix) would also match a DIFFERENT n whose
         // decimal happens to extend this one (building n=5 would
         // have dropped the live n=50 index).
@@ -1597,7 +1616,7 @@ object Dedup {
           .foreach(t => s.sql(s"DROP TABLE $t"))
         val nDocs = Tables.rowCount(s, dir, "documents")
         val p = spanIndexPartitionsFor(nDocs)
-        val table = s"${prefix}_p${p}_v4"
+        val table = s"${prefix}_p${p}_v5"
         // same corpus → same P → same deterministic name: a forget()
         // that crashed in its marker-present window before the index
         // table was dropped/retired leaves <t>_rstage/<t>_rcommit

@@ -214,7 +214,7 @@ object StreamThroughput {
     val shard = docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
     val nRows = shard.count()
     val nDocs = docs.count()
-    val idxT = "graft_span_gram_throughput_probe_n50_v4"
+    val idxT = "graft_span_gram_throughput_probe_n50_v5"
     // tool-local EMPTY index from the canonical DDL — the old
     // schema-copy-via-limit(0) trick materialized the whole registry
     // index inside the timed build window just to steal its schema

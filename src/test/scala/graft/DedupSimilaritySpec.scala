@@ -1864,7 +1864,7 @@ class DedupSimilaritySpec extends SparkSpec {
     // must probe identically (partial df rows summed at probe time)
     val corpusDocs = Tables.documents(spark, Sf)
       .filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
-    val t2 = "graft_span_gram_spec_parts_v4"
+    val t2 = "graft_span_gram_spec_parts_v5"
     Dedup.spanGramIndexCreateEmpty(spark, t2, 8)
     Dedup.spanGramIndexAppend(spark, t2, corpusDocs.filter(col("doc_id") % 2 === 0), n)
     Dedup.spanGramIndexAppend(spark, t2, corpusDocs.filter(col("doc_id") % 2 =!= 0), n)
@@ -1931,7 +1931,7 @@ class DedupSimilaritySpec extends SparkSpec {
     // <t>_rstage/<t>_rcommit; recreating the table afresh must clear
     // them, or the next recover() resurrects the pre-drop rows into
     // the brand-new empty index
-    val tz = "graft_span_gram_stale_stage_spec_v4"
+    val tz = "graft_span_gram_stale_stage_spec_v5"
     Dedup.spanGramIndexCreateEmpty(spark, tz, 8)
     Dedup.spanGramIndexAppend(spark, tz,
       Seq((1L, "a document long enough to index: " + ("x" * 60)))
@@ -1985,7 +1985,7 @@ class DedupSimilaritySpec extends SparkSpec {
 
   test("span index growth-drift guard: docs property advances idempotently; oversize predicate") {
     import spark.implicits._
-    val tz = "graft_span_gram_drift_guard_spec_v4"
+    val tz = "graft_span_gram_drift_guard_spec_v5"
     Dedup.spanGramIndexCreateEmpty(spark, tz, 8)
     assert(Dedup.spanIndexDocs(spark, tz) == 0L)
     assert(!Dedup.spanIndexOversized(spark, tz))

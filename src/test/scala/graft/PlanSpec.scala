@@ -359,7 +359,7 @@ class PlanSpec extends SparkSpec {
       // the pruning itself fires identically in both modes
       CacheRegistry.disabled = true
       val P = 64
-      val t = "graft_span_gram_dpp_spec_v4"
+      val t = "graft_span_gram_dpp_spec_v5"
       Dedup.spanGramIndexCreateEmpty(spark, t, P)
       Dedup.spanGramIndexAppend(spark, t,
         Tables.documents(spark, Sf).filter(col("doc_id") % 10 =!= 0)

@@ -677,8 +677,8 @@ class StreamingSpec extends SparkSpec {
     val d3 = (102L, "lead-in three+" + s2 + "~tail three also distinct and long")
     val d4 = (103L, "arrival four<" + s2 + ">then|" + t1 + "|end four") // s2 NOT cut (gone from retained corpus), t1 cut
     import spark.implicits._
-    val specT = "graft_span_gram_stream_spec_n50_v4"
-    val refT = "graft_span_gram_stream_ref_n50_v4"
+    val specT = "graft_span_gram_stream_spec_n50_v5"
+    val refT = "graft_span_gram_stream_ref_n50_v5"
     Seq(specT, refT).foreach(t => Dedup.spanGramIndexCreateEmpty(spark, t, 8))
     val corpusDf = Seq(corpusDoc).toDF("doc_id", "text")
     Dedup.spanGramIndexAppend(spark, specT, corpusDf, n)
