@@ -1834,6 +1834,25 @@ object Similarity {
     * side is O(queries × segment) — the per-segment analog of
     * [[graphServeRecallRow]]'s sampled-truth methodology; run on a
     * sample cadence at scale. */
+  /** Size-aware beam for serving a SEGMENT graph of `n` members —
+    * the round-18 dashboard finding: the fixed beam=20 default that
+    * measures 0.98 recall on the 218-member sf0.01 en-segment decays
+    * to 0.72–0.76 on the 808-member sf0.1 segment over the same
+    * NN-Descent (k=10, 3-iter) graph family; the measured recovery
+    * frontier (ProbeSegmentRecall, 200 query-neighbor pairs) is
+    * beam 48 → 0.945, beam 64 → 0.98 at n=808, i.e. ~linear in n at
+    * THIS graph density — so the rule is n/12 with the old default as
+    * the floor (218 → 20 unchanged, 808 → 68). Linear beam growth is
+    * not a 100 TB answer (visited set ≈ beam·hops·(graphK+1) would
+    * approach brute force): the measured production escape is graph
+    * DENSITY — the same sweep shows graphK=20 reaches 0.99 at beam 32
+    * and 1.0 at beam 48 — plus informed entry points; this helper
+    * exists so a serving tier watching a GROWN segment widens its
+    * walk instead of silently under-recalling, and its scaladoc is
+    * where the rebuild-the-graph threshold is documented. */
+  def beamForSegment(n: Long, floor: Int = 20): Int =
+    math.max(floor, math.ceil(n / 12.0).toInt)
+
   def segmentServeRecallRow(s: SparkSession, dir: String, lang: String = "en",
                             nQueries: Int = 5, k: Int = 10, beam: Int = 20,
                             hops: Int = 3, graphK: Int = 10,

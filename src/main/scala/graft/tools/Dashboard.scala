@@ -3,23 +3,37 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Per-round SERVING-HEALTH dashboard — materializes the segment
-  * serving rows ([[graft.operators.Similarity.segmentServeRecallRow]],
-  * [[graft.operators.Similarity.graphArtifactHealthRow]],
-  * [[graft.operators.Similarity.seedArtifactHealthRow]]) into one
-  * committed JSON artifact (`dashboard_out.json`, the
-  * README-throughput-table discipline): the rows existed and were
-  * spec-driven since round 16, but nothing RECORDED them per round,
-  * so a staleness/recall drift between rounds would only surface if
-  * a spec happened to cross it. Run at the oracle SF per round and
-  * commit; a diff in `recall`, `stale`, or `filter_leak` between two
-  * rounds' artifacts is the drift alarm.
+/** Per-round SERVING-HEALTH + STREAMING-THROUGHPUT dashboard — one
+  * committed JSON artifact (`dashboard_out.json`) carrying, per
+  * round:
   *
-  * Usage: `runMain graft.tools.Dashboard [sfDir] [outFile]`. */
+  *   - the segment serving rows
+  *     ([[graft.operators.Similarity.segmentServeRecallRow]],
+  *     [[graft.operators.Similarity.graphArtifactHealthRow]],
+  *     [[graft.operators.Similarity.seedArtifactHealthRow]]) at BOTH
+  *     the oracle SF (sf0.01) and the bench SF (sf0.1), so the
+  *     health numbers watch the same corpus the bench does;
+  *   - the streaming throughput rows at the bench SF: the span-cut
+  *     ingest loop's batch-size amortization curve
+  *     ([[StreamThroughput.spanCutRow]] at 2/4/8/16 files per
+  *     trigger — the shard stages as 16 files, so that is four batch
+  *     sizes up to single-batch) and the two serving tiers
+  *     ([[StreamThroughput.serveRow]] / [[StreamThroughput
+  *     .graphServeRow]]).
+  *
+  * The rows existed and were spec-driven before; recording them per
+  * round turns recall/staleness drift AND streaming-perf drift into
+  * an artifact diff between rounds instead of README prose (the
+  * bench_out.json discipline applied to serving and streaming).
+  * Throughput rows are wall-clock and share the bench host's noise
+  * floor — read them like bench lines (direction and shape, not
+  * third digits).
+  *
+  * Usage: `runMain graft.tools.Dashboard [outFile] [--serving-only]`. */
 object Dashboard {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val outFile = args.lift(1).getOrElse("dashboard_out.json")
+    val outFile = args.find(!_.startsWith("--")).getOrElse("dashboard_out.json")
+    val servingOnly = args.contains("--serving-only")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -32,37 +46,71 @@ object Dashboard {
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.Similarity
     val lang = "en"
-    def oneRowJson(df: org.apache.spark.sql.DataFrame): String = {
-      val rows = df.toJSON.collect()
-      require(rows.length == 1,
-        s"dashboard row builder returned ${rows.length} rows (expected 1) — " +
-          s"is '$sfDir' missing the '$lang' segment?")
-      rows(0)
-    }
-    // sfDir is interpolated into the artifact — escape rather than
-    // trust the argument (a quote would poison the committed JSON)
+    // sfDir values are interpolated into the artifact — escape rather
+    // than trust them (a quote would poison the committed JSON)
     def jstr(v: String): String =
       "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    // per-segment serving recall vs the exact in-segment brute force
-    val recall = oneRowJson(Similarity.segmentServeRecallRow(spark, sfDir, lang))
-    graft.CacheRegistry.releaseAll(blocking = true)
-    // coverage health of the SAME segment graph the recall row served
-    val members = Similarity.segmentMembers(spark, sfDir, lang)
-    val segTable = Similarity.knnGraphSegmentTableFor(spark, sfDir, lang, members)
-    val health = oneRowJson(Similarity.graphArtifactHealthRow(spark, segTable,
-      members.select("vec_id")))
-    graft.CacheRegistry.releaseAll(blocking = true)
-    // seed-artifact health for the corpus seed table (plane pinning,
-    // occupancy, sample size — the pre-recall-cliff alarms)
-    val seedTable = Similarity.lshSeedTable(spark, sfDir)
-    val seed = oneRowJson(Similarity.seedArtifactHealthRow(spark, seedTable,
-      graft.Tables.embeddings(spark, sfDir)))
-    graft.CacheRegistry.releaseAll(blocking = true)
-    val json =
-      s"""{"metric":"serving_dashboard","sf":${jstr(sfDir)},"segment":${jstr(lang)},
+    def servingBlock(sfDir: String): String = {
+      def oneRowJson(df: org.apache.spark.sql.DataFrame): String = {
+        val rows = df.toJSON.collect()
+        require(rows.length == 1,
+          s"dashboard row builder returned ${rows.length} rows (expected 1) — " +
+            s"is '$sfDir' missing the '$lang' segment?")
+        rows(0)
+      }
+      // per-segment serving recall vs the exact in-segment brute
+      // force — TWO rows: the fixed historical walk (beam=20,
+      // round-over-round comparable, and the canary that caught the
+      // sf0.1 decay in the first place) and the size-aware walk
+      // (beamForSegment — what a serving rollout should run)
+      val recall = oneRowJson(Similarity.segmentServeRecallRow(spark, sfDir, lang))
+      graft.CacheRegistry.releaseAll(blocking = true)
+      val members = Similarity.segmentMembers(spark, sfDir, lang)
+      val nMembers = members.count()
+      val scaledBeam = Similarity.beamForSegment(nMembers)
+      val recallScaled = oneRowJson(Similarity.segmentServeRecallRow(spark, sfDir,
+        lang, beam = scaledBeam))
+      graft.CacheRegistry.releaseAll(blocking = true)
+      // coverage health of the SAME segment graph the recall rows served
+      val segTable = Similarity.knnGraphSegmentTableFor(spark, sfDir, lang, members)
+      val health = oneRowJson(Similarity.graphArtifactHealthRow(spark, segTable,
+        members.select("vec_id")))
+      graft.CacheRegistry.releaseAll(blocking = true)
+      // seed-artifact health for the corpus seed table (plane pinning,
+      // occupancy, sample size — the pre-recall-cliff alarms)
+      val seedTable = Similarity.lshSeedTable(spark, sfDir)
+      val seed = oneRowJson(Similarity.seedArtifactHealthRow(spark, seedTable,
+        graft.Tables.embeddings(spark, sfDir)))
+      graft.CacheRegistry.releaseAll(blocking = true)
+      s"""{"sf":${jstr(sfDir)},"segment":${jstr(lang)},
          |"segment_serve_recall":$recall,
+         |"segment_serve_recall_scaled_beam":{"beam":$scaledBeam,"row":$recallScaled},
          |"graph_artifact_health":$health,
          |"seed_artifact_health":$seed}""".stripMargin.replace("\n", "")
+    }
+    val serving = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .map(servingBlock).mkString("[", ",", "]")
+    val throughput = if (servingOnly) "null" else {
+      val benchSf = "/root/testdata/sf0.1"
+      // the span-cut loop stages its shard as 16 files, so files-per-
+      // trigger 2/4/8/16 is the four-point batch-size amortization
+      // curve up to single-batch (each run rebuilds its tool-local
+      // index — the loop mutates it)
+      val curve = Seq(2, 4, 8, 16).map { f =>
+        val row = StreamThroughput.spanCutRow(spark, benchSf, f)
+        graft.CacheRegistry.releaseAll(blocking = true)
+        row
+      }
+      val serve = StreamThroughput.serveRow(spark, benchSf, 2)
+      graft.CacheRegistry.releaseAll(blocking = true)
+      val gserve = StreamThroughput.graphServeRow(spark, benchSf, 2)
+      graft.CacheRegistry.releaseAll(blocking = true)
+      s"""{"spancut_curve":${curve.mkString("[", ",", "]")},
+         |"serve":$serve,"graphserve":$gserve}""".stripMargin.replace("\n", "")
+    }
+    val json =
+      s"""{"metric":"serving_dashboard","serving":$serving,
+         |"throughput":$throughput}""".stripMargin.replace("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes("UTF-8"))
     println(json)

@@ -72,10 +72,15 @@ object StreamThroughput {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    val fpt = sys.env.getOrElse("SPARK_GRAFT_FILES_PER_TRIGGER", "2").toInt
+    // the composed-loop modes return their metric line so the
+    // Dashboard tool can embed the same rows in its committed
+    // artifact; the CLI path prints it after a clean session stop
+    def finish(line: String): Unit = { spark.stop(); println(line) }
     if (mode == "ingest") { runIngest(spark, sfDir); return }
-    if (mode == "spancut") { runSpanCut(spark, sfDir); return }
-    if (mode == "serve") { runServe(spark, sfDir); return }
-    if (mode == "graphserve") { runGraphServe(spark, sfDir); return }
+    if (mode == "spancut") { finish(spanCutRow(spark, sfDir, fpt)); return }
+    if (mode == "serve") { finish(serveRow(spark, sfDir, fpt)); return }
+    if (mode == "graphserve") { finish(graphServeRow(spark, sfDir, fpt)); return }
 
     val events = Tables.events(spark, sfDir)
     val nRows = events.count()
@@ -86,7 +91,7 @@ object StreamThroughput {
 
     val stream = spark.readStream
       .schema(staged.schema)
-      .option("maxFilesPerTrigger", sys.env.getOrElse("SPARK_GRAFT_FILES_PER_TRIGGER", "2"))
+      .option("maxFilesPerTrigger", fpt.toString)
       .parquet(src)
     val typed = stream
       .select(col("user_id"), col("ts"), col("event_type"), col("value"))
@@ -127,7 +132,8 @@ object StreamThroughput {
     * partition-pruned cell scan, exact top-k) and landing in its own
     * idempotent batch_id partition. Reports queries/sec; the one-time
     * index build is offline cost, before the clock. */
-  private def runServe(spark: SparkSession, sfDir: String): Unit = {
+  private[tools] def serveRow(spark: SparkSession, sfDir: String,
+                              filesPerTrigger: Int): String = {
     import org.apache.spark.sql.functions._
     val t0b = System.nanoTime()
     val table = graft.operators.Similarity.ivfIndexTable(spark, sfDir)
@@ -142,7 +148,7 @@ object StreamThroughput {
     val staged = spark.read.parquet(src)
     val stream = spark.readStream
       .schema(staged.schema)
-      .option("maxFilesPerTrigger", sys.env.getOrElse("SPARK_GRAFT_FILES_PER_TRIGGER", "2"))
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
       .parquet(src)
     val t0 = System.nanoTime()
     val query = graft.streaming.VectorServe.serveStream(sfDir, stream, out, ckpt)
@@ -156,9 +162,8 @@ object StreamThroughput {
     val results = spark.read.parquet(out)
     val servedQ = results.select("qid").distinct().count()
     val nRes = results.count()
-    spark.stop()
     require(servedQ == nQ, s"served $servedQ of $nQ query vectors")
-    println(f"""{"metric":"stream_serve_queries_per_sec","value":${nQ / dt}%.0f,"queries":$nQ,"result_rows":$nRes,"batches":$nBatches,"index_build_sec":$buildSec%.2f,"index_table":"$table%s","sec":$dt%.2f,"sf":"$sfDir"}""")
+    f"""{"metric":"stream_serve_queries_per_sec","value":${nQ / dt}%.0f,"queries":$nQ,"result_rows":$nRes,"batches":$nBatches,"index_build_sec":$buildSec%.2f,"index_table":"$table%s","sec":$dt%.2f,"sf":"$sfDir"}"""
   }
 
   /** `graphserve` mode: [[graft.streaming.VectorServe
@@ -167,7 +172,8 @@ object StreamThroughput {
     * micro-batch running the batched beam walk over the persisted
     * k-NN graph into its own idempotent batch_id partition. Reports
     * queries/sec; the one-time graph build is offline cost. */
-  private def runGraphServe(spark: SparkSession, sfDir: String): Unit = {
+  private[tools] def graphServeRow(spark: SparkSession, sfDir: String,
+                                   filesPerTrigger: Int): String = {
     import org.apache.spark.sql.functions._
     val k = 10
     val t0b = System.nanoTime()
@@ -183,7 +189,7 @@ object StreamThroughput {
     val staged = spark.read.parquet(src)
     val stream = spark.readStream
       .schema(staged.schema)
-      .option("maxFilesPerTrigger", sys.env.getOrElse("SPARK_GRAFT_FILES_PER_TRIGGER", "2"))
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
       .parquet(src)
     val t0 = System.nanoTime()
     val query = graft.streaming.VectorServe.graphServeStream(sfDir, stream, out, ckpt, k = k)
@@ -196,10 +202,9 @@ object StreamThroughput {
     val results = spark.read.parquet(out)
     val servedQ = results.select("qid").distinct().count()
     val nRes = results.count()
-    spark.stop()
     require(servedQ == nQ, s"served $servedQ of $nQ query vectors")
     require(nRes == nQ * k, s"expected ${nQ * k} result rows, got $nRes")
-    println(f"""{"metric":"stream_graphserve_queries_per_sec","value":${nQ / dt}%.0f,"queries":$nQ,"result_rows":$nRes,"batches":$nBatches,"graph_build_sec":$buildSec%.2f,"graph_table":"$table%s","sec":$dt%.2f,"sf":"$sfDir"}""")
+    f"""{"metric":"stream_graphserve_queries_per_sec","value":${nQ / dt}%.0f,"queries":$nQ,"result_rows":$nRes,"batches":$nBatches,"graph_build_sec":$buildSec%.2f,"graph_table":"$table%s","sec":$dt%.2f,"sf":"$sfDir"}"""
   }
 
   /** `spancut` mode: the streaming span-cut loop at volume — the
@@ -208,7 +213,8 @@ object StreamThroughput {
     * windows appended back. The index build is offline cost (before
     * the clock), into a TOOL-LOCAL table because the loop mutates its
     * index. */
-  private def runSpanCut(spark: SparkSession, sfDir: String): Unit = {
+  private[tools] def spanCutRow(spark: SparkSession, sfDir: String,
+                                filesPerTrigger: Int): String = {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sfDir)
     val shard = docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
@@ -232,7 +238,7 @@ object StreamThroughput {
     val staged = spark.read.parquet(src)
     val stream = spark.readStream
       .schema(staged.schema)
-      .option("maxFilesPerTrigger", sys.env.getOrElse("SPARK_GRAFT_FILES_PER_TRIGGER", "2"))
+      .option("maxFilesPerTrigger", filesPerTrigger.toString)
       .parquet(src)
     val t0 = System.nanoTime()
     val query = graft.streaming.SpanIngest.spanCutIngest(stream, idxT, out, ckpt)
@@ -244,8 +250,7 @@ object StreamThroughput {
         sum((col("n_spans_cut") > 0).cast("long")).as("docs_cut"),
         sum(col("n_chars_cut")).as("chars_cut")).collect()(0)
     spark.sql(s"DROP TABLE IF EXISTS $idxT")
-    spark.stop()
-    println(f"""{"metric":"stream_spancut_docs_per_sec","value":${nRows / dt}%.0f,"docs":$nRows,"emitted":${res.getLong(0)},"docs_cut":${res.getLong(1)},"chars_cut":${res.getLong(2)},"sec":$dt%.2f,"index_build_sec":$buildSec%.2f,"sf":"$sfDir"}""")
+    f"""{"metric":"stream_spancut_docs_per_sec","value":${nRows / dt}%.0f,"docs":$nRows,"emitted":${res.getLong(0)},"docs_cut":${res.getLong(1)},"chars_cut":${res.getLong(2)},"files_per_trigger":$filesPerTrigger,"sec":$dt%.2f,"index_build_sec":$buildSec%.2f,"sf":"$sfDir"}"""
   }
 
   private def runIngest(spark: SparkSession, sfDir: String): Unit = {

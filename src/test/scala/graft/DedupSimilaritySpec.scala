@@ -2462,6 +2462,16 @@ class DedupSimilaritySpec extends SparkSpec {
       s"segment serving returned short answers: $row")
     assert(row.getAs[Double]("recall") >= 0.9,
       s"per-segment serve recall below floor: $row")
+    // size-aware walk budget (the r18 dashboard finding: fixed
+    // beam=20 measured 0.72-0.76 on the 808-member sf0.1 segment;
+    // recovery measured at beam 64 → 0.98) — floor preserved at the
+    // historical sizes, the measured recovery point covered at the
+    // size that decayed, monotone so growth can only widen the walk
+    assert(Similarity.beamForSegment(218) == 20, "historic floor moved")
+    assert(Similarity.beamForSegment(808) >= 64,
+      "sizing rule undershoots the measured 0.98-recovery beam")
+    assert((1L to 5000L by 97).sliding(2).forall { w =>
+      Similarity.beamForSegment(w.head) <= Similarity.beamForSegment(w.last) })
     // graph health on a synthetic segment: fresh build is clean
     val members = Tables.embeddings(spark, Sf)
       .filter(col("vec_id") % 2 === 0).select("vec_id", "embedding").cache()
