@@ -1580,6 +1580,44 @@ object Dedup {
   private def withPb(df: DataFrame, p: Int): DataFrame =
     df.withColumn("pb", pmod(col("g"), lit(p.toLong)).cast("int"))
 
+  /** Micro-probe ROW-GROUP pushdown budget: when an arrival's
+    * distinct gram set fits this bound, the probe inlines it as a
+    * literal `g IN (...)` filter on the index scan — semantically
+    * redundant with the (pb, g) join, but it reaches the parquet
+    * reader as a pushed predicate, and the index files are SORTED by
+    * g within each pb partition, so row-group min/max stats skip
+    * every row group whose g-range misses the probe set. DPP prunes
+    * whole partitions (directories); this prunes WITHIN the surviving
+    * partitions — at production partition sizes (GBs, dozens of row
+    * groups) a 51-gram single-document probe reads ~51 row groups
+    * instead of 51 full partitions. Driver cost is bounded: ≤ 1024
+    * longs collected (a daily-shard arrival overshoots the bound and
+    * skips the inline filter — its gram set covers every row group
+    * anyway, the measured saturation regime). Spark's parquet
+    * translation turns a large IN into a bare min/max range unless
+    * `spark.sql.parquet.pushdown.inFilterThreshold` ≥ the set size —
+    * the library's own session builders (Bench/Verify/specs/tools)
+    * raise it to 1024; an embedding application should too (the
+    * filter is correct either way, it just stops pruning). Measured
+    * in ProfileSpanIndex's row-group leg: the same probe against a
+    * many-row-group build with the threshold raised vs defaulted. */
+  private[graft] val SpanProbeInlineGramMax = 1024
+
+  /** The index scan for a probe whose distinct gram set is `pos`'s
+    * `g` column: inlines the set as a pushed filter under the
+    * [[SpanProbeInlineGramMax]] budget, else the bare table. The
+    * limit(max+1) collect stands in for a separate count — if more
+    * than max rows come back the set is incomplete and unusable. */
+  private def probeIndexScan(s: SparkSession, indexTable: String,
+                             pos: DataFrame): DataFrame = {
+    val t = s.table(indexTable)
+    val gs = pos.select("g").distinct().limit(SpanProbeInlineGramMax + 1)
+      .collect()
+    if (gs.length <= SpanProbeInlineGramMax)
+      t.filter(col("g").isInCollection(gs.map(_.getLong(0)).toSeq))
+    else t
+  }
+
   /** Persisted corpus gram-window index for INCREMENTAL span cutting
     * — the artifact the capstone's scaladoc points at: a streaming
     * ingest cuts each arriving batch against the EXISTING corpus
@@ -1775,8 +1813,10 @@ object Dedup {
     val batchG = withPb(pos.select("g").distinct(), p)
       .filter(col("pb").between(lit(0), lit(p - 1)))
     // the ONE index touch: batch hash keys broadcast, matching index
-    // rows come back (∝ duplicated batch text + collisions)
-    val idxHot = s.table(indexTable)
+    // rows come back (∝ duplicated batch text + collisions); micro
+    // probes additionally inline the gram set as a pushed filter so
+    // row-group stats skip inside the DPP-surviving partitions
+    val idxHot = probeIndexScan(s, indexTable, pos)
       .join(broadcast(batchG), Seq("pb", "g"))
       .select(col("g"), col("sh"), col("df")) // doc_id pruned at the scan
       .cacheTracked
@@ -1850,7 +1890,7 @@ object Dedup {
     // doubles as the DPP selectivity signal (see spanDedupIncrementalCore)
     val batchG = withPb(pos.select("g").distinct(), p)
       .filter(col("pb").between(lit(0), lit(p - 1)))
-    val idxHot = s.table(indexTable)
+    val idxHot = probeIndexScan(s, indexTable, pos)
       .join(broadcast(batchG), Seq("pb", "g"))
       .cacheTracked
     val candIdx = pos.join(broadcast(idxHot.select("g").distinct()), Seq("g"), "left_semi")

@@ -38,6 +38,15 @@ import org.apache.spark.sql.functions._
   *     row group's range intersects any corpus-covering probe set).
   *     The curve turns that sentence into scan-metric numbers at two
   *     index scales.
+  *
+  * The micro-probe inline `g IN (...)` row-group pushdown
+  * ([[graft.operators.Dedup.SpanProbeInlineGramMax]]) is measured in
+  * the dedicated [[ProbeRowGroupSkip]] harness instead of here: at
+  * sf-scale the span index's partitions are single-row-group (KBs)
+  * and the probe's surrounding plan drowns the signal, and local
+  * parquet data-page reads bypass both task inputMetrics and Hadoop
+  * FS statistics, so the isolated decode-bound harness (wall-clock
+  * over hundreds of 128 KiB row groups) is the honest instrument.
   */
 object ProfileSpanIndex {
   def main(args: Array[String]): Unit = {
@@ -48,6 +57,11 @@ object ProfileSpanIndex {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // span-index micro probes inline their gram set as a g IN (...)
+      // filter; parquet only row-group-skips on it when the IN
+      // pushdown survives past this threshold (default 10 turns a
+      // 51-gram probe into a useless full-range predicate)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.Dedup
@@ -187,6 +201,7 @@ object ProfileSpanIndex {
     }
     scaleRows("/root/testdata/sf0.01", 256)
     scaleRows("/root/testdata/sf0.1", 2560)
+
     spark.stop()
   }
 }

@@ -382,6 +382,15 @@ class PlanSpec extends SparkSpec {
       val partsRead = scans.map(_.metrics("numPartitions").value).max
       assert(partsRead > 0 && partsRead < P,
         s"probe read $partsRead of $P partitions — pruning did not engage")
+      // micro-probe row-group pushdown: the 11-gram set is inlined as
+      // a pushed IN(g, ...) on the scan, which the (pb, g) file sort
+      // turns into row-group min/max skipping inside the surviving
+      // partitions (bytes measured in ProfileSpanIndex's leg 4; here
+      // the plan contract — the filter must reach PushedFilters, not
+      // just the post-scan Filter node)
+      val pushed = scans.map(_.metadata.getOrElse("PushedFilters", "")).mkString
+      assert(pushed.contains("In(g,"),
+        s"inline gram set not pushed to the parquet scan: $pushed")
       spark.sql(s"DROP TABLE IF EXISTS $t")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
