@@ -72,6 +72,19 @@ object ProfileSpan {
           graft.Tables.documents(spark, sfDir)
             .filter(col("doc_id") % 10 === 0)
             .select(col("doc_id"), col("text")), 50))
+      // the regime the incremental operator EXISTS for: a daily-sized
+      // arrival (50 docs) against the persisted index — the 10%-shard
+      // row above deliberately measures the saturation edge instead
+      // (at natural 10x it comes out SLOWER than the batch cut: a
+      // corpus-fraction arrival should take the batch operator, per
+      // the operator's documented regime bound)
+      run(s"incremental-daily50/$pass",
+        graft.operators.Dedup.spanDedupIncrementalCore(spark,
+          graft.operators.Dedup.spanGramIndexFor(spark, sfDir),
+          graft.Tables.documents(spark, sfDir)
+            .filter(col("doc_id") % 10 === 0)
+            .orderBy("doc_id").limit(50)
+            .select(col("doc_id"), col("text")), 50))
     }
     spark.stop()
   }
