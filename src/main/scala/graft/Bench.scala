@@ -24,11 +24,6 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // span-index micro probes inline their gram set as a g IN (...)
-      // filter; parquet only row-group-skips on it when the IN
-      // pushdown survives past this threshold (default 10 turns a
-      // 51-gram probe into a useless full-range predicate)
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The warm/timed pair below re-persists structurally identical

@@ -17,11 +17,6 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // span-index micro probes inline their gram set as a g IN (...)
-      // filter; parquet only row-group-skips on it when the IN
-      // pushdown survives past this threshold (default 10 turns a
-      // 51-gram probe into a useless full-range predicate)
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1507,10 +1507,12 @@ object Dedup {
     * rest on. Every creation path stamps this (build: the corpus
     * rowCount P was sized from — an upper bound on what the %10
     * filter actually indexed, which is all the 4× guard needs;
-    * create-empty: 0) and [[spanGramIndexAppend]] advances it under
-    * the family's existing single-writer contract. Legacy tables
-    * without the property read as 0 — the guard goes quiet rather
-    * than wrong, and the next rebuild stamps it. */
+    * create-empty: 0), [[spanGramIndexAppend]] advances it, and
+    * [[spanGramIndexForget]] decrements it by the docs actually
+    * removed — all under the family's existing single-writer
+    * contract. Legacy tables without the property read as 0 — the
+    * guard goes quiet rather than wrong, and the next rebuild stamps
+    * it. */
   private[graft] val SpanIndexDocsProp = "graft.span.docs"
 
   /** Appends have grown the index past [[SpanIndexDriftFactor]]× the
@@ -1593,14 +1595,15 @@ object Dedup {
     * instead of 51 full partitions. Driver cost is bounded: ≤ 1024
     * longs collected (a daily-shard arrival overshoots the bound and
     * skips the inline filter — its gram set covers every row group
-    * anyway, the measured saturation regime). Spark's parquet
-    * translation turns a large IN into a bare min/max range unless
-    * `spark.sql.parquet.pushdown.inFilterThreshold` ≥ the set size —
-    * the library's own session builders (Bench/Verify/specs/tools)
-    * raise it to 1024; an embedding application should too (the
-    * filter is correct either way, it just stops pruning). Measured
-    * in ProfileSpanIndex's row-group leg: the same probe against a
-    * many-row-group build with the threshold raised vs defaulted. */
+    * anyway, the measured saturation regime). No session tuning is
+    * needed: Spark 4 translates the IN into a NATIVE parquet In
+    * predicate regardless of
+    * `spark.sql.parquet.pushdown.inFilterThreshold` (verified against
+    * the shipped 4.1.2 ParquetFilters.makeInPredicate, and measured —
+    * toggling the threshold changed nothing, only disabling
+    * `spark.sql.parquet.filterPushdown` ablates the skip). Measured
+    * in the ProbeRowGroupSkip harness: 3× wall on a decode-bound
+    * many-row-group build. */
   private[graft] val SpanProbeInlineGramMax = 1024
 
   /** The index scan for a probe whose distinct gram set is `pos`'s
@@ -1740,9 +1743,27 @@ object Dedup {
   def spanGramIndexForget(s: SparkSession, table: String,
                           docIds: DataFrame): Unit = {
     StagedRewrite.recover(s, table)
+    val ids = docIds.select("doc_id").distinct()
+    // keep the growth-drift counter honest across forget+re-append
+    // lifecycles: count the docs actually present (sentinel rows give
+    // every ingested doc ≥1 row, so distinct doc_id is exact) BEFORE
+    // the rewrite — without the decrement a compliance-heavy index
+    // would monotonically inflate graft.span.docs and trip the
+    // oversize warning while real partition sizes are fine. Counted
+    // pre-rewrite for the same recache reason spanGramIndexAppend
+    // counts pre-insert; a crash between rewrite and ALTER leaves the
+    // counter HIGH, which only warns early, never under-sizes.
+    val removed = s.table(table)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .select("doc_id").distinct().count()
     val keep = s.table(table)
-      .join(broadcast(docIds.select("doc_id").distinct()), Seq("doc_id"), "left_anti")
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
     StagedRewrite.rewrite(s, table, keep)
+    if (removed > 0L) {
+      val total = math.max(0L, spanIndexDocs(s, table) - removed)
+      s.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
+        s"('$SpanIndexDocsProp' = '$total')")
+    }
   }
 
   /** INCREMENTAL span cutting (`pipe_span_incremental`) — the

@@ -1821,19 +1821,6 @@ object Similarity {
         beam, hops)
     }
 
-  /** PER-SEGMENT serving-tier quality row — [[graphServeRecallRow]]'s
-    * sibling for the declared-hot-filter path: walk the persisted
-    * SEGMENT graph ([[knnGraphSegmentTableFor]], the table
-    * [[knnGraphAppend]]/[[knnGraphForget]] mutate in production) with
-    * the registry walk parameters and score against exact brute force
-    * over the CURRENT segment members. One row per call:
-    * (segment, n_segment, n_exact, n_ann, n_hit, recall) — the number
-    * a rollout watches per hot segment, which the full-corpus row
-    * cannot see (a stale or degraded segment graph serves every
-    * `lang = X` query while the global dashboards stay green). Exact
-    * side is O(queries × segment) — the per-segment analog of
-    * [[graphServeRecallRow]]'s sampled-truth methodology; run on a
-    * sample cadence at scale. */
   /** Size-aware beam for serving a SEGMENT graph of `n` members —
     * the round-18 dashboard finding: the fixed beam=20 default that
     * measures 0.98 recall on the 218-member sf0.01 en-segment decays
@@ -1853,6 +1840,19 @@ object Similarity {
   def beamForSegment(n: Long, floor: Int = 20): Int =
     math.max(floor, math.ceil(n / 12.0).toInt)
 
+  /** PER-SEGMENT serving-tier quality row — [[graphServeRecallRow]]'s
+    * sibling for the declared-hot-filter path: walk the persisted
+    * SEGMENT graph ([[knnGraphSegmentTableFor]], the table
+    * [[knnGraphAppend]]/[[knnGraphForget]] mutate in production) with
+    * the registry walk parameters and score against exact brute force
+    * over the CURRENT segment members. One row per call:
+    * (segment, n_segment, n_exact, n_ann, n_hit, recall) — the number
+    * a rollout watches per hot segment, which the full-corpus row
+    * cannot see (a stale or degraded segment graph serves every
+    * `lang = X` query while the global dashboards stay green). Exact
+    * side is O(queries × segment) — the per-segment analog of
+    * [[graphServeRecallRow]]'s sampled-truth methodology; run on a
+    * sample cadence at scale. */
   def segmentServeRecallRow(s: SparkSession, dir: String, lang: String = "en",
                             nQueries: Int = 5, k: Int = 10, beam: Int = 20,
                             hops: Int = 3, graphK: Int = 10,

@@ -68,8 +68,11 @@ object Dashboard {
       val members = Similarity.segmentMembers(spark, sfDir, lang)
       val nMembers = members.count()
       val scaledBeam = Similarity.beamForSegment(nMembers)
-      val recallScaled = oneRowJson(Similarity.segmentServeRecallRow(spark, sfDir,
-        lang, beam = scaledBeam))
+      // at the floor the scaled walk IS the fixed walk — reuse the
+      // row instead of re-running an identical recall measurement
+      val recallScaled = if (scaledBeam == 20) recall
+        else oneRowJson(Similarity.segmentServeRecallRow(spark, sfDir,
+          lang, beam = scaledBeam))
       graft.CacheRegistry.releaseAll(blocking = true)
       // coverage health of the SAME segment graph the recall rows served
       val segTable = Similarity.knnGraphSegmentTableFor(spark, sfDir, lang, members)

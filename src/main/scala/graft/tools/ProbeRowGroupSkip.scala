@@ -33,17 +33,8 @@ object ProbeRowGroupSkip {
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val inBytes = new java.util.concurrent.atomic.AtomicLong
-    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-      override def onTaskEnd(
-          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-        val m = t.taskMetrics
-        if (m != null) inBytes.addAndGet(m.inputMetrics.bytesRead)
-      }
-    })
     val hc = spark.sparkContext.hadoopConfiguration
     hc.setInt("parquet.block.size", 131072)
     val dir = "/tmp/graft_rowgroup_probe"

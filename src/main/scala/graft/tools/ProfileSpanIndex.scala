@@ -57,11 +57,6 @@ object ProfileSpanIndex {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // span-index micro probes inline their gram set as a g IN (...)
-      // filter; parquet only row-group-skips on it when the IN
-      // pushdown survives past this threshold (default 10 turns a
-      // 51-gram probe into a useless full-range predicate)
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.Dedup
@@ -146,8 +141,12 @@ object ProfileSpanIndex {
     graft.CacheRegistry.disabled = true // hermetic probe plans, scans visible
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     def probeOnce(t: String, batch: DataFrame): (Double, Long, Long, Long) = {
-      val probe = Dedup.spanDedupIncrementalCore(spark, t, batch, n)
+      // the clock starts BEFORE core construction: the inline-gram
+      // pushdown runs a driver-side distinct-gram collect inside the
+      // call, and a probe-cost tool that excluded the cost its own
+      // feature adds would be lying (review catch, r18)
       val t0 = System.nanoTime()
+      val probe = Dedup.spanDedupIncrementalCore(spark, t, batch, n)
       probe.collect() // materialize THIS plan so its scan metrics fill
       val dt = (System.nanoTime() - t0) / 1e9
       val scans = probe.queryExecution.executedPlan.collect {

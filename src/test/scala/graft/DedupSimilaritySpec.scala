@@ -2000,6 +2000,14 @@ class DedupSimilaritySpec extends SparkSpec {
       Seq((4L, "fresh doc: " + ("y" * 60))).toDF("doc_id", "text"))
     assert(Dedup.spanIndexDocs(spark, tz) == 4L)
     assert(!Dedup.spanIndexOversized(spark, tz))
+    // forget decrements by docs ACTUALLY removed (id 99 not indexed),
+    // so forget+re-append lifecycles cannot inflate the counter
+    Dedup.spanGramIndexForget(spark, tz, Seq(2L, 3L, 99L).toDF("doc_id"))
+    assert(Dedup.spanIndexDocs(spark, tz) == 2L,
+      "forget must decrement the indexed-docs counter by removed docs only")
+    Dedup.spanGramIndexAppend(spark, tz,
+      Seq((2L, s"doc 2 body: " + ("x" * 60))).toDF("doc_id", "text"))
+    assert(Dedup.spanIndexDocs(spark, tz) == 3L)
     // P=8 → target 8×2000 docs; the guard trips past the 4× factor
     spark.sql(s"ALTER TABLE $tz SET TBLPROPERTIES " +
       s"('${Dedup.SpanIndexDocsProp}' = '${4L * 8 * 2000 + 1}')")

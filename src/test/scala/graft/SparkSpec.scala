@@ -36,7 +36,6 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
