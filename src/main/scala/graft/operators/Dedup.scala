@@ -1319,12 +1319,22 @@ object Dedup {
     * [[spanDedupKeepFirstIncrementalCore]]. */
   private def spanKeepFirstSweep(hits: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = hits.select(col("doc_id"), col("p").as("pos"),
-        when(col("keeper"), lit(0)).otherwise(lit(1)).as("dc"),
-        when(col("keeper"), lit(1)).otherwise(lit(0)).as("dk"))
-      .union(hits.select(col("doc_id"), (col("p") + n).as("pos"),
-        when(col("keeper"), lit(0)).otherwise(lit(-1)).as("dc"),
-        when(col("keeper"), lit(-1)).otherwise(lit(0)).as("dk")))
+    // both endpoint events come from ONE pass over hits (explode of a
+    // 2-struct array), not a self-union: hits sits on top of the
+    // per-window sort exchange, and the union form re-read that
+    // exchange and re-ran the window for each branch — stage-profiled
+    // on the 10× replica (ProfileKeepFirstStages) as a 956 MB read of
+    // a 478 MB exchange, the single biggest keep-first premium over
+    // remove-all
+    val ev = hits.select(col("doc_id"), explode(array(
+        struct(col("p").as("pos"),
+          when(col("keeper"), lit(0)).otherwise(lit(1)).as("dc"),
+          when(col("keeper"), lit(1)).otherwise(lit(0)).as("dk")),
+        struct((col("p") + n).as("pos"),
+          when(col("keeper"), lit(0)).otherwise(lit(-1)).as("dc"),
+          when(col("keeper"), lit(-1)).otherwise(lit(0)).as("dk")))).as("e"))
+      .select(col("doc_id"), col("e.pos").as("pos"),
+        col("e.dc").as("dc"), col("e.dk").as("dk"))
       .groupBy("doc_id", "pos")
       .agg(sum(col("dc")).as("dc"), sum(col("dk")).as("dk"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
