@@ -1753,19 +1753,21 @@ object Dedup {
   def spanGramIndexForget(s: SparkSession, table: String,
                           docIds: DataFrame): Unit = {
     StagedRewrite.recover(s, table)
-    val ids = docIds.select("doc_id").distinct()
+    // ids pinned to ONE evaluation (localCheckpoint, within-call
+    // lifetime only): the set feeds both the removed-count and the
+    // rewrite's anti-join, and a caller passing a non-deterministic
+    // selection (a sampled/limited offender list) must not let the
+    // two jobs see different id sets — the counter would silently
+    // drift from what the rewrite actually deleted
+    val ids = docIds.select("doc_id").distinct().localCheckpoint(true)
     // keep the growth-drift counter honest across forget+re-append
     // lifecycles: count the docs actually present (sentinel rows give
-    // every ingested doc ≥1 row, so distinct doc_id is exact) BEFORE
-    // the rewrite — without the decrement a compliance-heavy index
-    // would monotonically inflate graft.span.docs and trip the
-    // oversize warning while real partition sizes are fine. Counted
-    // pre-rewrite for the same recache reason spanGramIndexAppend
-    // counts pre-insert; a crash between rewrite and ALTER leaves the
-    // counter HIGH, which only warns early, never under-sizes.
-    val removed = s.table(table)
-      .join(broadcast(ids), Seq("doc_id"), "left_semi")
-      .select("doc_id").distinct().count()
+    // every ingested doc ≥1 row, so distinct doc_id is exact — the
+    // probeCorpusKeys shape spanGramIndexAppend's idempotence probe
+    // already uses) BEFORE the rewrite; a crash between rewrite and
+    // ALTER leaves the counter HIGH, which only warns early, never
+    // under-sizes.
+    val removed = probeCorpusKeys(s, table, ids, Seq("doc_id")).count()
     val keep = s.table(table)
       .join(broadcast(ids), Seq("doc_id"), "left_anti")
     StagedRewrite.rewrite(s, table, keep)

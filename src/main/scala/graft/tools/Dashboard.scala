@@ -63,14 +63,17 @@ object Dashboard {
       // round-over-round comparable, and the canary that caught the
       // sf0.1 decay in the first place) and the size-aware walk
       // (beamForSegment — what a serving rollout should run)
-      val recall = oneRowJson(Similarity.segmentServeRecallRow(spark, sfDir, lang))
+      val fixedBeam = 20 // the historical canary walk, held fixed across rounds
+      val recall = oneRowJson(Similarity.segmentServeRecallRow(spark, sfDir, lang,
+        beam = fixedBeam))
       graft.CacheRegistry.releaseAll(blocking = true)
       val members = Similarity.segmentMembers(spark, sfDir, lang)
       val nMembers = members.count()
       val scaledBeam = Similarity.beamForSegment(nMembers)
-      // at the floor the scaled walk IS the fixed walk — reuse the
-      // row instead of re-running an identical recall measurement
-      val recallScaled = if (scaledBeam == 20) recall
+      // when the scaled walk IS the fixed walk just measured, reuse
+      // the row instead of re-running an identical measurement (the
+      // comparison is against the beam that row actually used)
+      val recallScaled = if (scaledBeam == fixedBeam) recall
         else oneRowJson(Similarity.segmentServeRecallRow(spark, sfDir,
           lang, beam = scaledBeam))
       graft.CacheRegistry.releaseAll(blocking = true)

@@ -41,10 +41,16 @@ object ProfileKeepFirstStages {
     def run(label: String, df: => org.apache.spark.sql.DataFrame): Unit = {
       df.write.mode("overwrite").format("noop").save() // warm
       graft.CacheRegistry.releaseAll(blocking = true)
+      // the listener bus is async: drain warm-run stage events before
+      // arming capture, and drain the timed run's tail before
+      // disarming — otherwise stages bleed across runs or drop from
+      // the attribution this tool exists to produce
+      Thread.sleep(800)
       rows.clear(); capture.set(true)
       val t0 = System.nanoTime()
       df.write.mode("overwrite").format("noop").save()
       val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(800)
       capture.set(false)
       graft.CacheRegistry.releaseAll(blocking = true)
       println(f"==== $label%s: $dt%.2f s wall ====")
