@@ -153,6 +153,8 @@ object SparkEntry {
     "pipe_shuffle_pack" -> ((s, d) => TextAnalysis.pipeShufflePack(s, d)),
     "pipe_lm_score" -> (TextAnalysis.pipeLmScore(_, _)),
     "pipe_lm_bigram" -> (TextAnalysis.pipeLmBigram(_, _)),
+    "pipe_classifier_quality" -> (TextAnalysis.pipeClassifierQuality(_, _)),
+    "pipe_lm_buckets" -> (TextAnalysis.pipeLmBuckets(_, _)),
     "pipe_decontaminate" -> ((s, d) => TextAnalysis.pipeDecontaminate(s, d)),
     "pipe_decontaminate_bloom" -> ((s, d) => TextAnalysis.pipeDecontaminateBloom(s, d)),
     "text_top_bigrams" -> ((s, d) => TextAnalysis.textTopBigrams(s, d)),
@@ -170,6 +172,7 @@ object SparkEntry {
     "mm_decode_wav" -> (Multimodal.mmDecodeWav(_, _)),
     "mm_audio_features" -> ((s, d) => Multimodal.mmAudioFeatures(s, d)),
     "mm_image_features" -> ((s, d) => Multimodal.mmImageFeatures(s, d)),
+    "mm_image_dedup" -> ((s, d) => Multimodal.mmImageDedup(s, d)),
     "mm_frame_sample" -> ((s, d) => Multimodal.mmFrameSampleChecked(s, d)),
     "mm_frame_sample_gif" -> ((s, d) => Multimodal.mmFrameSampleGif(s, d)),
     "text_winnow" -> (TextAnalysis.textWinnow(_, _)),
@@ -1367,6 +1370,74 @@ object SparkEntry {
        |FROM assign a LEFT JOIN drops d USING (vec_id) ORDER BY id""".stripMargin
   }
 
+  /** DuckDB replica of [[operators.TextAnalysis.pipeClassifierQuality]]:
+    * the frozen [[operators.QualityWeights]] constants are inlined as a
+    * DOUBLE[] literal (shortest-round-trip decimals — both parsers are
+    * correctly rounded, so the doubles are bit-identical), gram/bucket
+    * construction mirrors [[operators.TextAnalysis.classifierFeatureFrame]]
+    * on the identical integer counts, and the score is the same
+    * left-to-right fold over SORTED DISTINCT buckets (list_reduce with
+    * the bias prepended ≡ Spark aggregate with the bias as zero), so
+    * the logit matches bit-for-bit — keep = raw > 0 needs no rounding
+    * tolerance at all. */
+  private def classifierQualityOracleSql: String = {
+    val d = operators.QualityWeights.D
+    val bias = java.lang.Double.toString(operators.QualityWeights.Bias)
+    val ws = operators.QualityWeights.W.map(java.lang.Double.toString).mkString(", ")
+    s"""WITH wtab AS (SELECT [$ws]::DOUBLE[] AS wl),
+       |toks AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '') AS w
+       |  FROM documents),
+       |ws AS (
+       |  SELECT doc_id, w, len(w)::BIGINT AS n_words, len(list_distinct(w))::BIGINT AS n_distinct
+       |  FROM toks),
+       |meta AS (
+       |  SELECT d.doc_id,
+       |    (length(d.text) - len(regexp_extract_all(d.text, '\\s')))::DOUBLE
+       |      / greatest(ws.n_words, 1) AS mwl,
+       |    len(regexp_extract_all(d.text, '[A-Za-z]'))::DOUBLE
+       |      / greatest(length(d.text), 1) AS alpha_ratio,
+       |    len(regexp_extract_all(lower(d.text), '\\b(the|a|an|and|or|of|to|in|is|it)\\b'))::DOUBLE
+       |      / greatest(ws.n_words, 1) AS stop_ratio
+       |  FROM documents d JOIN ws USING (doc_id)),
+       |bgc AS (
+       |  SELECT doc_id, w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1] AS bigram
+       |  FROM toks, unnest(range(1, greatest(len(w), 1))) t(i)),
+       |bc AS (SELECT doc_id, bigram, count(*) AS c FROM bgc GROUP BY 1, 2),
+       |bs AS (SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c) AS max_c FROM bc GROUP BY 1),
+       |sig AS (
+       |  SELECT ws.doc_id, ws.w, ws.n_words,
+       |    CASE WHEN ws.n_words = 0 THEN 0.0
+       |         ELSE 1.0 - ws.n_distinct / ws.n_words END AS dup_word_frac,
+       |    coalesce(bs.max_c::DOUBLE / bs.n_bigrams, 0.0) AS top_bigram_frac,
+       |    m.mwl, m.alpha_ratio, m.stop_ratio
+       |  FROM ws JOIN meta m USING (doc_id) LEFT JOIN bs USING (doc_id)),
+       |grams AS (
+       |  SELECT doc_id, list_concat(list_concat(w,
+       |    CASE WHEN len(w) < 2 THEN []
+       |         ELSE list_transform(range(1, len(w)), i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1]) END), [
+       |    '__nwc' || least(n_words // 8, 16)::VARCHAR || '__',
+       |    '__nwf' || least(n_words // 2, 64)::VARCHAR || '__',
+       |    '__mwl' || floor(mwl * 10)::BIGINT::VARCHAR || '__',
+       |    '__al' || floor(alpha_ratio * 50)::BIGINT::VARCHAR || '__',
+       |    '__stc' || least(floor(stop_ratio * 50)::BIGINT, 20)::VARCHAR || '__',
+       |    '__stf' || least(floor(stop_ratio * 200)::BIGINT, 80)::VARCHAR || '__',
+       |    '__duc' || floor(dup_word_frac * 20)::BIGINT::VARCHAR || '__',
+       |    '__duf' || floor(dup_word_frac * 200)::BIGINT::VARCHAR || '__',
+       |    '__tb' || least(floor(top_bigram_frac * 50)::BIGINT, 20)::VARCHAR || '__']) AS g
+       |  FROM sig),
+       |sc AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST($bias AS DOUBLE),
+       |      list_transform(list_sort(list_distinct(list_transform(g,
+       |        x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % $d))),
+       |        b -> wl[CAST(b + 1 AS INT)])),
+       |      (a, x) -> a + x) AS raw
+       |  FROM grams, wtab)
+       |SELECT doc_id, round(raw, 4) AS score, raw > 0.0 AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB replica of [[operators.Dedup.dedupMinhashLsh]]: the
     * splitmix (a,b) permutation constants are inlined so both engines
     * run the identical permutation family over the identical
@@ -2033,6 +2104,46 @@ object SparkEntry {
     // integer counts first so every probability is a ratio of the
     // SAME integers, and the λ weights are the literal doubles
     // 0.7/0.3 on both sides (1−λ at runtime is a different double).
+    "pipe_classifier_quality" -> classifierQualityOracleSql,
+    // the pipe_lm_bigram score CTEs + per-language quantile_cont
+    // thresholds (≡ the exactPercentiles rank kernel, the q17
+    // contract); strict > on identical round(4) doubles, so the
+    // exact-threshold tie rule replays bit-for-bit
+    "pipe_lm_buckets" ->
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS l
+        |  FROM documents),
+        |big AS (
+        |  SELECT doc_id,
+        |    unnest(l[1:len(l)-1]) AS p,
+        |    unnest(l[2:len(l)]) AS t
+        |  FROM docs WHERE len(l) >= 2),
+        |db AS (SELECT doc_id, p, t, count(*) AS c FROM big GROUP BY doc_id, p, t),
+        |bf AS (SELECT p, t, sum(c) AS cb FROM db GROUP BY p, t),
+        |pt AS (SELECT p, sum(cb) AS cp FROM bf GROUP BY p),
+        |uf AS (SELECT t, count(*) AS tf
+        |  FROM (SELECT unnest(l) AS t FROM docs) GROUP BY t),
+        |tot AS (SELECT sum(tf) AS total FROM uf),
+        |sc AS (
+        |  SELECT doc_id,
+        |    round(sum(c * log10(0.7e0 * (cb::DOUBLE / cp::DOUBLE)
+        |      + 0.3e0 * (tf::DOUBLE / total::DOUBLE))) / sum(c), 4) AS lmb_score
+        |  FROM db JOIN bf USING (p, t) JOIN pt USING (p) JOIN uf USING (t), tot
+        |  GROUP BY doc_id),
+        |wl AS (
+        |  SELECT s.doc_id, d.lang, s.lmb_score
+        |  FROM sc s JOIN documents d USING (doc_id)),
+        |th AS (
+        |  SELECT lang,
+        |    round(quantile_cont(lmb_score, 0.3333333333333333), 4) AS t_lo,
+        |    round(quantile_cont(lmb_score, 0.6666666666666666), 4) AS t_hi
+        |  FROM wl GROUP BY lang)
+        |SELECT doc_id, lang, lmb_score,
+        |  CASE WHEN lmb_score > t_hi THEN 'head'
+        |       WHEN lmb_score > t_lo THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM wl JOIN th USING (lang) ORDER BY doc_id""".stripMargin,
     "pipe_lm_bigram" ->
       """WITH docs AS (
         |  SELECT doc_id,
@@ -2657,6 +2768,38 @@ object SparkEntry {
         |  sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g, sum(b)::BIGINT AS sum_b,
         |  coalesce(sum(d), 0)::BIGINT AS grad_r
         |FROM gd GROUP BY doc_id, y ORDER BY doc_id, y""".stripMargin,
+    // dHash63 replayed from the closed-form pixel formula (the
+    // mm_decode_real discipline — PNG is lossless, so the Spark side's
+    // decoded grays must equal the formula's): the 8×9 sample grid,
+    // gray = r+g+b, bit(i,j) = left > right, bit 63 kept clear (1<<63
+    // overflows DuckDB's shift). near_keeper brute-forces the
+    // DISTINCT-hash rep join the Spark side reaches via banding —
+    // equal because pigeonhole banding is lossless at hamming <= 3.
+    "mm_image_dedup" ->
+      """WITH img AS (
+        |  SELECT doc_id, 4 + doc_id % 8 AS w, 4 + doc_id % 5 AS h
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |grid AS (
+        |  SELECT doc_id, (j * w) // 9 AS xl, ((j + 1) * w) // 9 AS xr,
+        |         (i * h) // 8 AS y, i, j
+        |  FROM img CROSS JOIN range(0, 8) a(i) CROSS JOIN range(0, 8) b(j)
+        |  WHERE NOT (i = 7 AND j = 7)),
+        |bits AS (
+        |  SELECT doc_id,
+        |    CASE WHEN ((xl + doc_id) % 256 + (y + 2*doc_id) % 256 + (xl + y + 3*doc_id) % 256)
+        |           > ((xr + doc_id) % 256 + (y + 2*doc_id) % 256 + (xr + y + 3*doc_id) % 256)
+        |         THEN (1::BIGINT << CAST(i*8 + j AS INT)) ELSE 0 END AS bit
+        |  FROM grid),
+        |hashes AS (SELECT doc_id, sum(bit)::BIGINT AS dh FROM bits GROUP BY 1),
+        |keep AS (SELECT dh, min(doc_id) AS keeper FROM hashes GROUP BY 1),
+        |nk AS (
+        |  SELECT a.dh, min(b.keeper) AS near_keeper
+        |  FROM keep a JOIN keep b ON bit_count(xor(a.dh, b.dh)) <= 3
+        |  GROUP BY 1)
+        |SELECT h.doc_id, h.dh, k.keeper, n.near_keeper,
+        |  h.doc_id <> k.keeper AS is_dup
+        |FROM hashes h JOIN keep k USING (dh) JOIN nk n ON n.dh = h.dh
+        |ORDER BY h.doc_id""".stripMargin,
     // winnowing on the md5-60 family: window minima over the n-gram
     // hash sequence, then distinct — the scheme itself (not just the
     // library column) oracle-checked end to end

@@ -700,4 +700,100 @@ object Multimodal {
         col("meta.size_bytes").as("size_bytes"),
         substring(decode(col("payload"), "UTF-8"), 1, 16).as("head"))
       .orderBy("doc_id")
+
+  // --- image-modality dedup (`mm_image_dedup`) ------------------------
+
+  /** 63-bit difference hash (dHash — Krawetz's perceptual-hash family)
+    * of a decoded raster: grayscale g = r+g+b (the sum, kept integer)
+    * sampled on a fixed 8-row × 9-column nearest-neighbor grid
+    * (x_j = ⌊j·w/9⌋, y_i = ⌊i·h/8⌋ — no interpolation, so every bit is
+    * exact integer arithmetic a SQL oracle replays from the closed-form
+    * pixels), bit(i,j) = g(x_j,y_i) > g(x_{j+1},y_i). Bit 63 is kept
+    * clear (the [[graft.operators.Dedup.md5Hash60Sql]] discipline: the
+    * hash stays in the positive BIGINT range both engines share — a
+    * 1<<63 literal overflows DuckDB's shift and flips Long sign order).
+    * Gradient-based, so globally brightness-shifted copies collide —
+    * the property the spec pins. */
+  private[graft] def dHash63(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    def gray(x: Int, y: Int): Int = {
+      val p = img.getRGB(x, y)
+      ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+    }
+    var hash = 0L
+    var i = 0
+    while (i < 8) {
+      val y = i * h / 8
+      var j = 0
+      while (j < 8) {
+        if (!(i == 7 && j == 7) &&
+          gray(j * w / 9, y) > gray((j + 1) * w / 9, y))
+          hash |= 1L << (i * 8 + j)
+        j += 1
+      }
+      i += 1
+    }
+    hash
+  }
+
+  private val imageDedupSchema = StructType(Seq(
+    StructField("doc_id", LongType, nullable = false),
+    StructField("dh", LongType, nullable = false)))
+
+  /** IMAGE-MODALITY dedup (`mm_image_dedup`) — completes the dedup
+    * family across text / embedding / image payloads: per-image
+    * [[dHash63]] over the real in-JDK PNG decode, then the
+    * `dedup_simhash` Hamming machinery applied EXACT-FIRST:
+    *
+    *  1. exact level — images collapse to their hash group
+    *     (groupBy dh, keeper = min doc_id): mass duplication is
+    *     handled by one partial-aggregated shuffle, never a pair list
+    *     (this corpus's closed-form gradients collide heavily by
+    *     construction — 100 images / 6 hashes — exactly the shape a
+    *     crawl's template images have at 100 TB);
+    *  2. near level — only the DISTINCT hashes (cardinality ∝ unique
+    *     content, not corpus) go through pigeonhole banding (4 chunks
+    *     of the 63 bits; hamming ≤ 3 ⇒ some chunk equal) +
+    *     bit_count(xor) verification; `near_keeper` = min exact-keeper
+    *     over each hash's ≤ maxHamming neighborhood (including
+    *     itself).
+    *
+    * Non-image payloads are EXCLUDED by the magic-byte sniff before
+    * any decode ([[sniffFormat]] — the mmDecodeReal dispatch), and a
+    * PNG that fails the codec degrades to no row rather than a task
+    * failure. Map-only decode; two vocabulary-sized shuffles. */
+  def mmImageDedup(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(imageDedupSchema)
+    val hashes = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val payload =
+            if (id % 5 == 0) pngBytes(id)
+            else r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          sniffFormat(payload) match {
+            case "png" => decodeRaster(payload).map(img => Row(id, dHash63(img)))
+            case _ => None
+          }
+        }
+      }(enc)
+    import graft.CacheRegistry.Cacheable
+    val cached = hashes.cacheTracked
+    val keepers = cached.groupBy("dh").agg(min("doc_id").as("keeper"))
+    val chunked = keepers.select(col("dh"), col("keeper"),
+      explode(array((0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("dh"), c * 16).bitwiseAND(0xffffL).as("cv"))
+      }: _*)).as("cb"))
+      .select(col("dh"), col("keeper"), col("cb.chunk"), col("cb.cv"))
+    val nearKeeper = chunked.select(col("dh"), col("chunk"), col("cv"))
+      .join(chunked.select(col("dh").as("dh_b"), col("keeper").as("keeper_b"),
+        col("chunk"), col("cv")), Seq("chunk", "cv"))
+      .filter(bit_count(col("dh").bitwiseXOR(col("dh_b"))) <= maxHamming)
+      .groupBy("dh").agg(min("keeper_b").as("near_keeper"))
+    cached.join(keepers, "dh").join(nearKeeper, "dh")
+      .select(col("doc_id"), col("dh"), col("keeper"), col("near_keeper"),
+        (col("doc_id") =!= col("keeper")).as("is_dup"))
+      .orderBy("doc_id")
+  }
 }

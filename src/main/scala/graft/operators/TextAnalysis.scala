@@ -683,6 +683,42 @@ object TextAnalysis {
   def pipeLmBigram(s: SparkSession, dir: String): DataFrame =
     lmBigramCore(Tables.documents(s, dir))
 
+  /** CCNet head/middle/tail selection buckets (`pipe_lm_buckets`) —
+    * the intervention the LM score exists for (Wenzek et al. 2020
+    * §4.3): per-language percentile cuts of [[lmBigramCore]]'s score
+    * assign each document to `head` (top third — the well-modeled
+    * text a pretraining mix keeps at full weight), `middle`, or
+    * `tail` (downsample/drop candidates). Exact-threshold docs fall
+    * to the LOWER bucket (strict `>`), a deterministic tie rule both
+    * engines share.
+    *
+    * Scale shape: thresholds come from
+    * [[Relational.exactPercentiles]] — the q17 distributed-rank
+    * kernel (no per-group value buffering, no single-task group
+    * sort), emitting one 2-threshold row per language that broadcasts
+    * back onto the scored stream for a map-side CASE. Nothing beyond
+    * the LM model tables and one language-keyed threshold row grows
+    * with the corpus. The scored frame is cached once and feeds both
+    * the percentile pass and the final bucketing. Thresholds and
+    * scores are the same round(4) doubles on both engines
+    * (quantile_cont ≡ the rank-interpolation kernel, the q17
+    * contract), so bucket assignment replays exactly. */
+  def pipeLmBuckets(s: SparkSession, dir: String): DataFrame = {
+    import graft.CacheRegistry.Cacheable
+    val scored = lmBigramCore(Tables.documents(s, dir))
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("lmb_score"))
+      .cacheTracked
+    val th = Relational.exactPercentiles(scored, "lang", "lmb_score",
+      Seq((0.3333333333333333, "t_lo"), (0.6666666666666666, "t_hi")))
+    scored.join(broadcast(th), "lang")
+      .select(col("doc_id"), col("lang"), col("lmb_score"),
+        when(col("lmb_score") > col("t_hi"), lit("head"))
+          .when(col("lmb_score") > col("t_lo"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document repetition signals — the Gopher/C4-style repetition
     * filter inputs: duplicate-word fraction and the fraction of word
     * bigrams taken by the single most frequent bigram (boilerplate and
@@ -1611,4 +1647,89 @@ object TextAnalysis {
           col("p95_exact") < (col("p95_bin") + 1) * binW).as("ok"))
       .orderBy("lang")
   }
+
+  // --- model-based quality classifier (`pipe_classifier_quality`) ---
+
+  /** Hashed-feature dimensionality of the quality classifier. 2048
+    * buckets keeps word-identity collisions rare on this corpus's
+    * vocabulary while the inlined weight list stays a modest literal
+    * in both the Scala constant and the DuckDB oracle. */
+  val ClassifierDim = 2048
+
+  /** Per-document FEATURE BUCKETS for the model-based quality
+    * classifier — the fastText-shape feature template (Joulin et al.
+    * 2016; the CCNet/GPT-3/Llama-class quality-gate input): word
+    * unigrams + word bigrams + a small set of quantized structural
+    * metadata tokens, all hashed into one [[ClassifierDim]]-bucket
+    * space, presence-coded (distinct buckets, sorted).
+    *
+    * The structural tokens are the standard fastText trick of
+    * injecting per-document metadata as extra vocabulary items
+    * (length, ratio signals quantized at two resolutions so coarse
+    * cells generalize while fine cells resolve decision boundaries) —
+    * the linear fit still LEARNS every weight; nothing here encodes a
+    * verdict. They reuse [[gopherSignals]]' exact signal columns, so
+    * classifier features and rule-gate inputs are derived from the
+    * same integer counts.
+    *
+    * Exactness contract: tokens, quantized cells, and the md5-derived
+    * bucket ids ([[Dedup.md5Hash60Sql]]) are integer/double arithmetic
+    * both engines share; buckets are DISTINCT + SORTED so the score
+    * fold below visits them in one canonical order — the DuckDB twin
+    * replays the fold bit-for-bit. Map-only: zero shuffle. */
+  private[graft] def classifierFeatureFrame(docs: DataFrame): DataFrame = {
+    def tok(prefix: String, cell: Column): Column =
+      concat(lit("__" + prefix), cell.cast("string"), lit("__"))
+    gopherSignals(docs)
+      .withColumn("bg",
+        when(size(col("w")) < 2, array().cast("array<string>"))
+          .otherwise(zip_with(
+            slice(col("w"), lit(1), size(col("w")) - 1),
+            slice(col("w"), lit(2), size(col("w")) - 1),
+            (a, b) => concat(a, lit(" "), b))))
+      .withColumn("structural", array(
+        tok("nwc", least(expr("n_words div 8"), lit(16L))),
+        tok("nwf", least(expr("n_words div 2"), lit(64L))),
+        tok("mwl", floor(col("mwl") * 10)),
+        tok("al", floor(col("alpha_ratio") * 50)),
+        tok("stc", least(floor(col("stop_ratio") * 50), lit(20L))),
+        tok("stf", least(floor(col("stop_ratio") * 200), lit(80L))),
+        tok("duc", floor(col("dup_word_frac") * 20)),
+        tok("duf", floor(col("dup_word_frac") * 200)),
+        tok("tb", least(floor(col("top_bigram_frac") * 50), lit(20L)))))
+      .withColumn("buckets", array_sort(array_distinct(expr(
+        "transform(concat(w, bg, structural), g -> " +
+          s"${Dedup.md5Hash60Sql("g")} % $ClassifierDim)"))))
+  }
+
+  /** Frozen-weight logistic score appended to
+    * [[classifierFeatureFrame]]: `raw` = bias + Σ W(bucket) over the
+    * sorted distinct buckets (a left fold, so summation order is
+    * canonical on both engines), `keep_pred` = raw > 0 (σ is monotone,
+    * so the logit sign IS the 0.5-probability verdict — no exp in the
+    * compared output). Weights are [[QualityWeights]], fit offline by
+    * [[graft.tools.FitQualityWeights]]. Map-only scoring: the weight
+    * array rides into the plan as one literal. */
+  private[graft] def classifierScoreFrame(docs: DataFrame): DataFrame = {
+    val w = typedLit(QualityWeights.W.toSeq)
+    classifierFeatureFrame(docs)
+      .withColumn("raw", aggregate(col("buckets"), lit(QualityWeights.Bias),
+        (acc, b) => acc + element_at(w, (b + lit(1L)).cast("int"))))
+      .withColumn("score", round(col("raw"), 4))
+      .withColumn("keep_pred", col("raw") > lit(0.0))
+  }
+
+  /** Model-based quality gate (`pipe_classifier_quality`) — the
+    * production-standard classifier gate (CCNet, Wenzek et al. 2020;
+    * GPT-3, Brown et al. 2020 §A; Llama): a linear model over hashed
+    * n-gram features with frozen offline-fit weights, scoring map-only
+    * at full corpus scale. Complements the rule-based
+    * [[pipeGopherGate]]: the fit was trained against those verdicts
+    * PLUS a curated adversarial negative class
+    * ([[graft.tools.QualityAugment]] — fluent-rule-passing gibberish),
+    * so it rejects template junk every rule passes (spec-pinned). */
+  def pipeClassifierQuality(s: SparkSession, dir: String): DataFrame =
+    classifierScoreFrame(Tables.documents(s, dir))
+      .select(col("doc_id"), col("score"), col("keep_pred").as("keep"))
+      .orderBy("doc_id")
 }
