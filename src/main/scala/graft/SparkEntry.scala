@@ -108,7 +108,9 @@ object SparkEntry {
     "sim_knn_graph_incremental" -> ((s, d) => Similarity.simKnnGraphIncremental(s, d)),
     "sim_graph_search" -> ((s, d) => Similarity.simGraphSearch(s, d)),
     "sim_graph_search_filtered" -> ((s, d) => Similarity.simGraphSearchFiltered(s, d)),
-    "sim_graph_search_segment" -> ((s, d) => Similarity.simGraphSearchSegment(s, d)),
+    // beam pinned to the replayable 20-walk contract the static oracle
+    // unrolls (the direct API defaults to the size-aware AutoBeam)
+    "sim_graph_search_segment" -> ((s, d) => Similarity.simGraphSearchSegment(s, d, beam = 20)),
     "sim_hard_negatives" -> ((s, d) => Similarity.simHardNegatives(s, d)),
     "sim_hard_negatives_filtered" -> ((s, d) => Similarity.simHardNegativesFiltered(s, d)),
     "sim_graph_search_heldout" -> ((s, d) => Similarity.simGraphSearchHeldOut(s, d)),

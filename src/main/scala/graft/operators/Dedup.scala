@@ -1616,16 +1616,19 @@ object Dedup {
     * many-row-group build. */
   private[graft] val SpanProbeInlineGramMax = 1024
 
-  /** The index scan for a probe whose distinct gram set is `pos`'s
-    * `g` column: inlines the set as a pushed filter under the
+  /** The index scan for a probe with the given DISTINCT gram frame
+    * (the same frame the caller's batchG probe keys derive from —
+    * shared so each probe pays for ONE distinct aggregation, not two;
+    * ADVICE r18): inlines the set as a pushed filter under the
     * [[SpanProbeInlineGramMax]] budget, else the bare table. The
     * limit(max+1) collect stands in for a separate count — if more
-    * than max rows come back the set is incomplete and unusable. */
+    * than max rows come back the set is incomplete and unusable (the
+    * saturation regime pays only a bounded collect of the cached
+    * frame). */
   private def probeIndexScan(s: SparkSession, indexTable: String,
-                             pos: DataFrame): DataFrame = {
+                             distinctGrams: DataFrame): DataFrame = {
     val t = s.table(indexTable)
-    val gs = pos.select("g").distinct().limit(SpanProbeInlineGramMax + 1)
-      .collect()
+    val gs = distinctGrams.limit(SpanProbeInlineGramMax + 1).collect()
     if (gs.length <= SpanProbeInlineGramMax)
       t.filter(col("g").isInCollection(gs.map(_.getLong(0)).toSeq))
     else t
@@ -1666,6 +1669,14 @@ object Dedup {
             t.matches(".*_v\\d+$"))
           .foreach(t => s.sql(s"DROP TABLE $t"))
         val nDocs = Tables.rowCount(s, dir, "documents")
+        // P is sized from the FULL corpus deliberately (the registry
+        // convention leaves the 10% shard out as the arrival a
+        // streaming ingest appends — the index should not need a
+        // rebuild the day the shard lands), but the docs PROPERTY is
+        // stamped with the count actually INDEXED: append advances /
+        // forget decrements by exact indexed counts, so a full-corpus
+        // stamp would sit permanently ~10% high across
+        // forget/re-append lifecycles (ADVICE r18).
         val p = spanIndexPartitionsFor(nDocs)
         val table = s"${prefix}_p${p}_v5"
         // same corpus → same P → same deterministic name: a forget()
@@ -1678,14 +1689,16 @@ object Dedup {
         s.sql(s"DROP TABLE IF EXISTS ${StagedRewrite.markerTable(table)}")
         s.sql(s"DROP TABLE IF EXISTS ${StagedRewrite.stageTable(table)}")
         graft.sources.Sources.clearOrphanedLocation(s, table)
+        val corpus = Tables.documents(s, dir)
+          .filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text"))
+        val indexedDocs = corpus.select("doc_id").count()
         // repartition on pb (each layout partition written by one
         // task) + sort by g within files for tight row-group stats
-        withPb(gramWindowCounts(Tables.documents(s, dir)
-            .filter(col("doc_id") % 10 =!= 0).select(col("doc_id"), col("text")), n), p)
+        withPb(gramWindowCounts(corpus, n), p)
           .repartition(col("pb")).sortWithinPartitions("pb", "g")
           .write.partitionBy("pb").format("parquet").saveAsTable(table)
         s.sql(s"ALTER TABLE $table SET TBLPROPERTIES " +
-          s"('$SpanIndexPbProp' = '$p', '$SpanIndexDocsProp' = '$nDocs')")
+          s"('$SpanIndexPbProp' = '$p', '$SpanIndexDocsProp' = '$indexedDocs')")
         table
     }
   }
@@ -1753,13 +1766,15 @@ object Dedup {
   def spanGramIndexForget(s: SparkSession, table: String,
                           docIds: DataFrame): Unit = {
     StagedRewrite.recover(s, table)
-    // ids pinned to ONE evaluation (localCheckpoint, within-call
-    // lifetime only): the set feeds both the removed-count and the
-    // rewrite's anti-join, and a caller passing a non-deterministic
-    // selection (a sampled/limited offender list) must not let the
-    // two jobs see different id sets — the counter would silently
-    // drift from what the rewrite actually deleted
-    val ids = docIds.select("doc_id").distinct().localCheckpoint(true)
+    // ids pinned to ONE evaluation (within-call lifetime only): the
+    // set feeds both the removed-count and the rewrite's anti-join,
+    // and a caller passing a non-deterministic selection (a
+    // sampled/limited offender list) must not let the two jobs see
+    // different id sets — the counter would silently drift from what
+    // the rewrite actually deleted. Through Lineage.cut so the pin
+    // honors `graft.reliableCheckpointDir` (executor loss mid-forget
+    // becomes a retry on the durable tier, not a job failure)
+    val ids = Lineage.cut(docIds.select("doc_id").distinct())
     // keep the growth-drift counter honest across forget+re-append
     // lifecycles: count the docs actually present (sentinel rows give
     // every ingested doc ≥1 row, so distinct doc_id is exact — the
@@ -1843,13 +1858,17 @@ object Dedup {
     // selective filters sit behind an InMemoryRelation where DPP's
     // selectivity check cannot see them; this visible filter on the
     // key itself restores the signal (plan-asserted in PlanSpec)
-    val batchG = withPb(pos.select("g").distinct(), p)
+    // the distinct gram frame is computed ONCE (gram-sized cache) and
+    // shared between the (pb, g) probe keys and the inline-filter
+    // collect (ADVICE r18: probeIndexScan used to re-aggregate it)
+    val batchGrams = pos.select("g").distinct().cacheTracked
+    val batchG = withPb(batchGrams, p)
       .filter(col("pb").between(lit(0), lit(p - 1)))
     // the ONE index touch: batch hash keys broadcast, matching index
     // rows come back (∝ duplicated batch text + collisions); micro
     // probes additionally inline the gram set as a pushed filter so
     // row-group stats skip inside the DPP-surviving partitions
-    val idxHot = probeIndexScan(s, indexTable, pos)
+    val idxHot = probeIndexScan(s, indexTable, batchGrams)
       .join(broadcast(batchG), Seq("pb", "g"))
       .select(col("g"), col("sh"), col("df")) // doc_id pruned at the scan
       .cacheTracked
@@ -1920,10 +1939,12 @@ object Dedup {
     StagedRewrite.recover(s, indexTable)
     val p = spanIndexPb(s, indexTable)
     // same probe-key shape as the remove-all form: pb domain guard
-    // doubles as the DPP selectivity signal (see spanDedupIncrementalCore)
-    val batchG = withPb(pos.select("g").distinct(), p)
+    // doubles as the DPP selectivity signal (see spanDedupIncrementalCore);
+    // one shared distinct gram frame feeds keys + inline filter
+    val batchGrams = pos.select("g").distinct().cacheTracked
+    val batchG = withPb(batchGrams, p)
       .filter(col("pb").between(lit(0), lit(p - 1)))
-    val idxHot = probeIndexScan(s, indexTable, pos)
+    val idxHot = probeIndexScan(s, indexTable, batchGrams)
       .join(broadcast(batchG), Seq("pb", "g"))
       .cacheTracked
     val candIdx = pos.join(broadcast(idxHot.select("g").distinct()), Seq("g"), "left_semi")

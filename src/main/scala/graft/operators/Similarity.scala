@@ -356,12 +356,14 @@ object Similarity {
     if (touched.nonEmpty) {
       // materialize the survivors BEFORE the overwrite and truncate
       // lineage — the insert must not lazily re-read the very
-      // partitions it is replacing (localCheckpoint is the
-      // single-JVM stand-in for a production staging write + swap)
-      val remaining = s.table(table)
+      // partitions it is replacing. Through Lineage.cut so the pin
+      // honors `graft.reliableCheckpointDir` like every iterative
+      // loop: on a real cluster an executor loss between here and the
+      // overwrite otherwise fails the forget (recoverable — forget is
+      // idempotent — but the durable tier makes it a retry instead)
+      val remaining = Lineage.cut(s.table(table)
         .filter(col("bucket").isin(touched.toSeq: _*))
-        .join(idCol, Seq("vec_id"), "left_anti")
-        .localCheckpoint()
+        .join(idCol, Seq("vec_id"), "left_anti"))
       val nonEmpty = remaining.select("bucket").distinct().collect().map(_.getInt(0)).toSet
       // getAll holds only EXPLICITLY-set entries — getOption would
       // report the default ("static") and the restore would then pin
@@ -1756,13 +1758,14 @@ object Similarity {
     * production form for LARGE segments; no oracle (the registry
     * keeps the dense-LCG contract). */
   def simGraphSearchSegment(s: SparkSession, dir: String, lang: String = "en",
-                            nQueries: Int = 5, k: Int = 10, beam: Int = 20,
+                            nQueries: Int = 5, k: Int = 10, beam: Int = AutoBeam,
                             hops: Int = 3, graphK: Int = 10,
                             graphIters: Int = 3,
                             informedSeeds: Boolean = false): DataFrame = {
     require(lang.matches("[a-z]{2}"),
       s"lang must be a two-letter code, got '$lang'")
     val memberRows = segmentMembers(s, dir, lang)
+    val beamR = resolveSegmentBeam(beam, memberRows)
     val table = knnGraphSegmentTableFor(s, dir, lang, memberRows,
       graphK, graphIters)
     val graph = s.table(table)
@@ -1780,14 +1783,14 @@ object Similarity {
       // discipline applied to the segment path (inline ≡ table-fed
       // row identity spec'd, same planes / cap / fallback)
       val seedT = lshSeedTableSegment(s, dir, lang, memberRows)
-      graphSearchCore(graph, members, queries, k, beam, hops,
+      graphSearchCore(graph, members, queries, k, beamR, hops,
         informedSeeds = true,
         seedMates = Some(seedMatesFromTable(s, seedT, queries)),
-        seedSample = Some(seedSampleRead(s.table(seedT), beam)))
+        seedSample = Some(seedSampleRead(s.table(seedT), beamR)))
     } else {
       val seeds = denseLcgSeeds(members.select("vec_id"),
-        queries.select("qid"), "qid", beam)
-      graphSearchCore(graph, members, queries, k, beam, hops,
+        queries.select("qid"), "qid", beamR)
+      graphSearchCore(graph, members, queries, k, beamR, hops,
         seedsOverride = Some(seeds))
     }
   }
@@ -1803,12 +1806,16 @@ object Similarity {
     * shared graph. */
   def graphSearchFilteredRouted(s: SparkSession, dir: String, lang: String,
                                 declared: Set[String], nQueries: Int = 5,
-                                k: Int = 10, beam: Int = 20, hops: Int = 3,
+                                k: Int = 10, beam: Int = AutoBeam, hops: Int = 3,
                                 graphK: Int = 10, graphIters: Int = 3): DataFrame =
     if (declared.contains(lang))
       simGraphSearchSegment(s, dir, lang, nQueries, k, beam, hops,
         graphK, graphIters)
     else {
+      // the full-graph fallback keeps its own fixed default — the
+      // size-aware rule is a SEGMENT sizing law (beam ∝ members); the
+      // full corpus walk's budget is the adaptive widener's job
+      val beamF = if (beam == AutoBeam) 20 else beam
       val graph = s.table(knnGraphTable(s, dir, graphK, graphIters))
         .select(col("vec_id").as("ga"), col("nbr_id").as("gb"))
       val corpus = Tables.embeddings(s, dir)
@@ -1818,7 +1825,7 @@ object Similarity {
       val allowed = Tables.documents(s, dir)
         .filter(col("lang") === lang).select(col("doc_id").as("b"))
       graphSearchFilteredAdaptive(graph, corpus, queries, allowed, k,
-        beam, hops)
+        beamF, hops)
     }
 
   /** Size-aware beam for serving a SEGMENT graph of `n` members —
@@ -1840,6 +1847,38 @@ object Similarity {
   def beamForSegment(n: Long, floor: Int = 20): Int =
     math.max(floor, math.ceil(n / 12.0).toInt)
 
+  /** WALK-BUDGET drift alarm — the [[beamForSegment]] scaladoc's
+    * rebuild-the-graph threshold surfaced as a flag (the
+    * seed/graph-artifact health-row discipline applied to walk
+    * budget): when the size-aware beam exceeds `factor`× the fixed
+    * canary walk, linear beam growth is no longer the right answer —
+    * the segment should be REBUILT DENSER (measured r18: graphK=20
+    * reaches 0.99 recall at beam 32 on the n=808 segment where the
+    * k=10 graph needs beam 64) and/or served with informed entry
+    * points. Returns (scaledBeam, rebuildGraph). Pure arithmetic so a
+    * serving tier evaluates it from a cached member count. */
+  def walkBudgetAlarm(nMembers: Long, canaryBeam: Int = 20,
+                      factor: Double = 2.0): (Int, Boolean) = {
+    val scaled = beamForSegment(nMembers, canaryBeam)
+    (scaled, scaled > factor * canaryBeam)
+  }
+
+  /** Sentinel beam value meaning "size the walk from the segment"
+    * ([[beamForSegment]] over the member count) — the DEFAULT for the
+    * segment serving paths since round 19, so a caller serving a
+    * grown segment widens automatically instead of silently
+    * inheriting the decayed fixed-20 walk (the round-18 0.98 → 0.76
+    * recall regression). Pass an explicit beam to pin a canary walk
+    * (the dashboard's fixed-beam drift row, the registry's replayable
+    * oracle contract). */
+  val AutoBeam: Int = -1
+
+  /** Resolve [[AutoBeam]] against the member set (one count job —
+    * a serving tier caches segment sizes; the registry's per-query
+    * cost is one metadata-light aggregate). */
+  private def resolveSegmentBeam(beam: Int, members: DataFrame): Int =
+    if (beam == AutoBeam) beamForSegment(members.count()) else beam
+
   /** PER-SEGMENT serving-tier quality row — [[graphServeRecallRow]]'s
     * sibling for the declared-hot-filter path: walk the persisted
     * SEGMENT graph ([[knnGraphSegmentTableFor]], the table
@@ -1854,10 +1893,11 @@ object Similarity {
     * [[graphServeRecallRow]]'s sampled-truth methodology; run on a
     * sample cadence at scale. */
   def segmentServeRecallRow(s: SparkSession, dir: String, lang: String = "en",
-                            nQueries: Int = 5, k: Int = 10, beam: Int = 20,
+                            nQueries: Int = 5, k: Int = 10, beam: Int = AutoBeam,
                             hops: Int = 3, graphK: Int = 10,
                             graphIters: Int = 3): DataFrame = {
     val memberRows = segmentMembers(s, dir, lang)
+    val beamR = resolveSegmentBeam(beam, memberRows)
     val table = knnGraphSegmentTableFor(s, dir, lang, memberRows,
       graphK, graphIters)
     val graph = s.table(table)
@@ -1869,8 +1909,8 @@ object Similarity {
       .select(col("vec_id").as("qid"), asDouble(col("embedding")).as("qv"))
       .cacheTracked
     val seeds = denseLcgSeeds(members.select("vec_id"),
-      queries.select("qid"), "qid", beam)
-    val served = graphSearchCore(graph, members, queries, k, beam, hops,
+      queries.select("qid"), "qid", beamR)
+    val served = graphSearchCore(graph, members, queries, k, beamR, hops,
       seedsOverride = Some(seeds))
     val exact = queries.join(members.select(col("vec_id"), col("v")),
         col("qid") =!= col("vec_id"))

@@ -29,10 +29,17 @@ import org.apache.spark.sql.functions._
   * floor — read them like bench lines (direction and shape, not
   * third digits).
   *
-  * Usage: `runMain graft.tools.Dashboard [outFile] [--serving-only]`. */
+  * Usage: `runMain graft.tools.Dashboard [outFile] [oracleSfDir]
+  * [benchSfDir] [--serving-only]` — the SF dirs default to the
+  * committed-artifact pair (/root/testdata/sf0.01, sf0.1), so the
+  * per-round workflow is unchanged while any other corpus location
+  * stays reachable. */
 object Dashboard {
   def main(args: Array[String]): Unit = {
-    val outFile = args.find(!_.startsWith("--")).getOrElse("dashboard_out.json")
+    val positional = args.filter(!_.startsWith("--"))
+    val outFile = positional.headOption.getOrElse("dashboard_out.json")
+    val oracleSf = positional.lift(1).getOrElse("/root/testdata/sf0.01")
+    val benchSf = positional.lift(2).getOrElse("/root/testdata/sf0.1")
     val servingOnly = args.contains("--serving-only")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -69,7 +76,8 @@ object Dashboard {
       graft.CacheRegistry.releaseAll(blocking = true)
       val members = Similarity.segmentMembers(spark, sfDir, lang)
       val nMembers = members.count()
-      val scaledBeam = Similarity.beamForSegment(nMembers)
+      val (scaledBeam, rebuildGraph) =
+        Similarity.walkBudgetAlarm(nMembers, fixedBeam)
       // when the scaled walk IS the fixed walk just measured, reuse
       // the row instead of re-running an identical measurement (the
       // comparison is against the beam that row actually used)
@@ -77,6 +85,23 @@ object Dashboard {
         else oneRowJson(Similarity.segmentServeRecallRow(spark, sfDir,
           lang, beam = scaledBeam))
       graft.CacheRegistry.releaseAll(blocking = true)
+      // WALK-BUDGET drift alarm (r18's beamForSegment scaladoc made a
+      // flag): scaled beam past 2× the canary = rebuild-the-graph
+      // signal. When it fires, record the REBUILD EVIDENCE row too —
+      // the denser graphK=20 segment graph served at the halved
+      // size-aware walk (r18 ProbeSegmentRecall: 0.99 at beam 32 on
+      // the n=808 segment the k=10 graph needs beam 64 for), so every
+      // round's artifact carries the measured escape, not just the
+      // alarm.
+      val rebuildEvidence =
+        if (!rebuildGraph) "null"
+        else {
+          val denseBeam = math.max(fixedBeam, math.ceil(nMembers / 24.0).toInt)
+          val ev = oneRowJson(Similarity.segmentServeRecallRow(spark, sfDir,
+            lang, beam = denseBeam, graphK = 20))
+          graft.CacheRegistry.releaseAll(blocking = true)
+          s"""{"graph_k":20,"beam":$denseBeam,"row":$ev}"""
+        }
       // coverage health of the SAME segment graph the recall rows served
       val segTable = Similarity.knnGraphSegmentTableFor(spark, sfDir, lang, members)
       val health = oneRowJson(Similarity.graphArtifactHealthRow(spark, segTable,
@@ -91,13 +116,15 @@ object Dashboard {
       s"""{"sf":${jstr(sfDir)},"segment":${jstr(lang)},
          |"segment_serve_recall":$recall,
          |"segment_serve_recall_scaled_beam":{"beam":$scaledBeam,"row":$recallScaled},
+         |"walk_budget":{"canary_beam":$fixedBeam,"scaled_beam":$scaledBeam,
+         |"n_members":$nMembers,"rebuild_graph":$rebuildGraph,
+         |"rebuild_evidence":$rebuildEvidence},
          |"graph_artifact_health":$health,
          |"seed_artifact_health":$seed}""".stripMargin.replace("\n", "")
     }
-    val serving = Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val serving = Seq(oracleSf, benchSf)
       .map(servingBlock).mkString("[", ",", "]")
     val throughput = if (servingOnly) "null" else {
-      val benchSf = "/root/testdata/sf0.1"
       // the span-cut loop stages its shard as 16 files, so files-per-
       // trigger 2/4/8/16 is the four-point batch-size amortization
       // curve up to single-batch (each run rebuilds its tool-local

@@ -2017,6 +2017,40 @@ class DedupSimilaritySpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("span index build stamps the INDEXED count; forget pins ids via Lineage.cut") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // build stamp = docs actually indexed (the % 10 != 0 registry
+    // convention), not the full corpus row count — append advances /
+    // forget decrements by exact indexed counts, so a full-corpus
+    // stamp would sit permanently ~10% high (ADVICE r18)
+    val t = Dedup.spanGramIndexFor(spark, Sf, 50)
+    val expected = Tables.documents(spark, Sf)
+      .filter(col("doc_id") % 10 =!= 0).count()
+    assert(Dedup.spanIndexDocs(spark, t) == expected,
+      s"build must stamp the indexed count ($expected), got ${Dedup.spanIndexDocs(spark, t)}")
+    // forget's one-evaluation id pin routes through Lineage.cut: on
+    // the durable tier the pin is a reliable checkpoint (files land in
+    // the configured dir) and the forget semantics are unchanged
+    val tz = "graft_span_gram_reliable_forget_spec_v5"
+    spark.sql(s"DROP TABLE IF EXISTS $tz")
+    Dedup.spanGramIndexCreateEmpty(spark, tz, 8)
+    val batch = (1L to 3L).map(i => (i, s"doc $i body: " + ("x" * 60))).toDF("doc_id", "text")
+    Dedup.spanGramIndexAppend(spark, tz, batch)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_forget").toFile
+    withConf(graft.operators.Lineage.ReliableDirKey -> ckpt.getAbsolutePath) {
+      Dedup.spanGramIndexForget(spark, tz, Seq(2L).toDF("doc_id"))
+    }
+    assert(spark.table(tz).filter(col("doc_id") === 2L).head(1).isEmpty,
+      "durable-tier forget left the victim's rows behind")
+    assert(Dedup.spanIndexDocs(spark, tz) == 2L)
+    def files(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(files).sum else 1L
+    assert(files(ckpt) > 0, "forget id pin wrote nothing to the reliable dir")
+    spark.sql(s"DROP TABLE IF EXISTS $tz")
+    CacheRegistry.releaseAll()
+  }
+
   test("pipe_span_dedup_keep_first: keeper occurrences survive verbatim; cuts are a subset of remove-all") {
     import org.apache.spark.sql.functions._
     val n = 50
