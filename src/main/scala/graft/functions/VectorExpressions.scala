@@ -749,6 +749,75 @@ object SimhashKernel {
   }
 }
 
+/** Frozen-weight quality-classifier LOGIT of a gram array — the
+  * whole `pipe_classifier_quality` scoring pipeline in one JVM kernel
+  * call: md5-60 bucket each gram (mod [[graft.operators.QualityWeights.D]]),
+  * dedupe, SORT ascending, left-fold bias + Σ W(bucket). The
+  * Catalyst-expression formulation (`transform` + `conv(substring(
+  * md5(...)))` + interpreted `aggregate` HOF over a 2048-double
+  * literal) measured ~2.2 s of the 3.2 s sf0.1 line; this is one
+  * static call inside the document scan. Arithmetic is BIT-IDENTICAL
+  * to the HOF fold and to the DuckDB oracle: the same sorted-distinct
+  * bucket order, the same double adds ([[SimhashKernel.hash60]] ≡
+  * `conv(substring(md5(g),1,15),16,10)`), so the hash-verified
+  * contract is untouched. Weights are the [[graft.operators
+  * .QualityWeights]] constants — the frozen-model discipline
+  * (PqCodebook) extended to the expression layer. Null grams are
+  * impossible from the builder (concat of non-null token/structural
+  * arrays) but skipped defensively, matching md5(null) = null
+  * semantics. */
+case class QualityScore(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.simpleString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quality_score"
+
+  override def nullSafeEval(a: Any): Any =
+    QualityScoreKernel.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.QualityScoreKernel.compute($x)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** JVM kernel for [[QualityScore]] (static for generated code). */
+object QualityScoreKernel {
+  def compute(a: ArrayData): Double = {
+    val n = a.numElements()
+    val buckets = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        buckets(m) = SimhashKernel.hash60(a.getUTF8String(i).getBytes) %
+          graft.operators.QualityWeights.D
+        m += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(buckets, 0, m)
+    // ascending-distinct fold — the same add sequence as the HOF
+    // aggregate over array_sort(array_distinct(...)) and the oracle's
+    // list_reduce over list_sort(list_distinct(...))
+    var acc = graft.operators.QualityWeights.Bias
+    var prev = -1L
+    i = 0
+    while (i < m) {
+      val b = buckets(i)
+      if (b != prev) { acc += graft.operators.QualityWeights.W(b.toInt); prev = b }
+      i += 1
+    }
+    acc
+  }
+}
+
 /** Sign-LSH home bucket of an array<double> vector: one bit per
   * hyperplane (sign of the dot product — equivalently of the cosine,
   * since the norms are positive), packed into a long. The planes ride
@@ -1351,6 +1420,11 @@ object VectorFunctions {
     GraftColumnBridge.column(
       NgramHashesChars(GraftColumnBridge.expression(c),
         org.apache.spark.sql.catalyst.expressions.Literal(n)))
+
+  /** Column API: frozen-weight quality-classifier logit of a gram
+    * array ([[QualityScore]]). */
+  def quality_score(c: Column): Column =
+    GraftColumnBridge.column(QualityScore(GraftColumnBridge.expression(c)))
 
   /** Column API: all n-gram md5-60 hashes of a string column. */
   def md5_ngram_hashes(c: Column, n: Int): Column =

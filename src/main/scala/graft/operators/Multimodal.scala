@@ -763,6 +763,12 @@ object Multimodal {
     * PNG that fails the codec degrades to no row rather than a task
     * failure. Map-only decode; two vocabulary-sized shuffles. */
   def mmImageDedup(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    // the 4-chunk pigeonhole only guarantees a shared band at
+    // hamming <= 3; a larger threshold would verify correctly but
+    // MISS candidates the banding never generates — fail loudly
+    // rather than return a silently incomplete near_keeper
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] (4-chunk pigeonhole bound), got $maxHamming")
     val enc = org.apache.spark.sql.Encoders.row(imageDedupSchema)
     val hashes = Tables.documents(s, dir).select(col("doc_id"), col("text"))
       .mapPartitions { rows =>
@@ -770,7 +776,12 @@ object Multimodal {
           val id = r.getLong(0)
           val payload =
             if (id % 5 == 0) pngBytes(id)
-            else r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            // non-image rows: sniff a BOUNDED prefix — the magic-byte
+            // dispatch reads <= 12 bytes, so copying the whole body to
+            // UTF-8 here would be a redundant pass over ~80% of the
+            // corpus at scale (review catch, r19)
+            else r.getString(1).take(16)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
           sniffFormat(payload) match {
             case "png" => decodeRaster(payload).map(img => Row(id, dHash63(img)))
             case _ => None

@@ -196,6 +196,25 @@ object ProfileSpanIndex {
         val expParts = (p * (1 - math.exp(-grams.toDouble / p))).round
         println(f"""{"metric":"span_index_probe_curve","sf":"$dir","P":$p,"batch_docs":$nb,"batch_grams":$grams,"partitions_read":$cparts,"partitions_expected":$expParts,"files_bytes_read":$cbytes,"index_bytes":$idxBytes,"probe_sec":$cdt%.2f}""")
       }
+      // ---- probe AFTER FORGET: the forget rewrite touches every
+      // partition (TRUNCATE + re-insert through the stage table), so
+      // this is where the pruning economics could silently erode —
+      // the rewrite must preserve the pb directory layout (DPP
+      // partitions-read unchanged for the same gram set) and keep
+      // per-partition bytes ∝ surviving rows. ~1/7 of indexed docs
+      // forgotten, then the SAME single-document micro probe re-run.
+      val victims = graft.Tables.documents(spark, dir)
+        .filter(col("doc_id") % 10 =!= 0)
+        .filter(pmod(col("doc_id"), lit(7L)) === 1L).select("doc_id")
+      Dedup.spanGramIndexForget(spark, t, victims)
+      val postBytes = tableBytes(t)
+      // first probe after the rewrite pays a one-time P-directory
+      // re-list (TRUNCATE + insertInto invalidates the file-status
+      // cache); the second shows the steady-state wall — report both
+      // so the cost is attributed, not mistaken for a pruning loss
+      val (fdt, fparts, fbytes, _) = probeOnce(t, tiny)
+      val (fdt2, _, _, _) = probeOnce(t, tiny)
+      println(f"""{"metric":"span_index_probe_after_forget","sf":"$dir","P":$p,"partitions_read_before":$parts,"partitions_read_after":$fparts,"files_bytes_read_before":$bytes,"files_bytes_read_after":$fbytes,"index_bytes_before":$idxBytes,"index_bytes_after":$postBytes,"probe_sec_before":$dt%.2f,"probe_sec_after_relist":$fdt%.2f,"probe_sec_after_warm":$fdt2%.2f}""")
       spark.sql(s"DROP TABLE IF EXISTS $t")
     }
     scaleRows("/root/testdata/sf0.01", 256)
