@@ -770,18 +770,19 @@ object Multimodal {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming must be in [0, 3] (4-chunk pigeonhole bound), got $maxHamming")
     val enc = org.apache.spark.sql.Encoders.row(imageDedupSchema)
-    val hashes = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // non-image rows only need the magic-byte prefix (<= 12 bytes), so
+    // the bound lives IN THE PLAN: the columnar scan materializes 16
+    // chars per row instead of the whole body — an in-lambda take(16)
+    // would still deserialize every full document string through the
+    // row encoder first (review catch, r19)
+    val hashes = Tables.documents(s, dir)
+      .select(col("doc_id"), substring(col("text"), 1, 16).as("head"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
           val id = r.getLong(0)
           val payload =
             if (id % 5 == 0) pngBytes(id)
-            // non-image rows: sniff a BOUNDED prefix — the magic-byte
-            // dispatch reads <= 12 bytes, so copying the whole body to
-            // UTF-8 here would be a redundant pass over ~80% of the
-            // corpus at scale (review catch, r19)
-            else r.getString(1).take(16)
-              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            else r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
           sniffFormat(payload) match {
             case "png" => decodeRaster(payload).map(img => Row(id, dHash63(img)))
             case _ => None

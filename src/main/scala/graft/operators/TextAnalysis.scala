@@ -1697,9 +1697,12 @@ object TextAnalysis {
         tok("duc", floor(col("dup_word_frac") * 20)),
         tok("duf", floor(col("dup_word_frac") * 200)),
         tok("tb", least(floor(col("top_bigram_frac") * 50), lit(20L)))))
+      // ONE feature definition: `grams` feeds both the fit tool's
+      // bucket ids and the scoring kernel — fit and serve can never
+      // silently diverge on the feature template (review catch, r19)
+      .withColumn("grams", concat(col("w"), col("bg"), col("structural")))
       .withColumn("buckets", array_sort(array_distinct(expr(
-        "transform(concat(w, bg, structural), g -> " +
-          s"${Dedup.md5Hash60Sql("g")} % $ClassifierDim)"))))
+        s"transform(grams, g -> ${Dedup.md5Hash60Sql("g")} % $ClassifierDim)"))))
   }
 
   /** Frozen-weight logistic score appended to
@@ -1717,8 +1720,8 @@ object TextAnalysis {
       // the former transform/aggregate HOF chain — measured 2.2 s
       // cheaper at sf0.1. The `buckets` column remains for the fit
       // tool; Catalyst prunes it out of this plan.
-      .withColumn("raw", graft.functions.VectorFunctions.quality_score(
-        concat(col("w"), col("bg"), col("structural"))))
+      .withColumn("raw",
+        graft.functions.VectorFunctions.quality_score(col("grams")))
       .withColumn("score", round(col("raw"), 4))
       .withColumn("keep_pred", col("raw") > lit(0.0))
 
