@@ -1122,8 +1122,23 @@ object Dedup {
     val pos = if (cacheGrams) posBase.cacheTracked else posBase
     val rep = pos.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2).select("g")
+    // EXPLICIT broadcast below the doc limit (guide §3.1: size
+    // estimates after an aggregate+filter are wrong, so say it):
+    // Catalyst estimates `rep` from its pre-filter child — and once
+    // the warm run materializes the tracked gram cache, that estimate
+    // is the cache's REAL ~20-bytes-per-character size, far past the
+    // 10 MB auto-broadcast threshold — so every steady-state (timed)
+    // run silently degraded to a SortMergeJoin: one extra fat
+    // exchange of the whole (doc_id, p, g) stream plus sorts on BOTH
+    // sides (measured r19: the SMJ stage alone was 16-33 exec-s of
+    // the query's ~19-29 s total at sf0.1; AQE cannot rescue it
+    // because the conversion looks at the 28 MB pre-filter map
+    // output, not the 0.5 MB df>=2 survivor set). The actual df>=2
+    // set is ∝ duplicated text and bounded by the
+    // SpanBroadcastDocLimit gate — above it, the forced-shuffle
+    // branch takes over (unchanged).
     val probe = if (forceGramShuffle) pos.join(rep.hint("merge"), "g")
-                else pos.join(rep, "g")
+                else pos.join(broadcast(rep), "g")
     val hits0 = probe.select(col("doc_id"), col("p"))
     // confirmation: re-extract the raw window at each candidate
     // position — `sub` is the ground-truth key from here

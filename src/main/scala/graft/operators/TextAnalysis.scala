@@ -428,22 +428,32 @@ object TextAnalysis {
       .withColumn("passed_quality", col("words") >= minWords && col("ar") >= minAlpha)
       .withColumn("accepted", col("passed_quality") && !col("contaminated") &&
         !col("exact_dup") && !col("near_dup"))
+    // Pack assignment as ONE window over `flagged` — not the former
+    // filter(accepted) + window + join-back, which put `flagged` (and
+    // the whole span-cut subtree above it) in the plan TWICE: the
+    // pushed `accepted` filter made the twin subtrees non-identical,
+    // so ReusedExchange could not fire and every gram exchange /
+    // count aggregate ran twice (measured r19: twin 13.7 MB exchanges
+    // + twin 4.5 exec-s count stages at sf0.1; guide §2.4). The
+    // running sum counts ACCEPTED words only, so at accepted rows it
+    // equals the old accepted-only window (rejected rows interleave
+    // with a zero contribution and take the −1 sentinels directly) —
+    // row-identical output, oracle-verified.
     val w = Window.partitionBy("pack_shard").orderBy("skey", "doc_id")
-    val packed = flagged.filter(col("accepted"))
+    flagged
       .withColumn("skey", md5(concat_ws(":", col("doc_id"), lit(seed))))
       .withColumn("pack_shard",
         pmod(conv(substring(col("skey"), 1, 15), 16, 10).cast("long"), lit(nShards.toLong)))
-      .withColumn("cum", sum(col("words")).over(w))
+      .withColumn("cum",
+        sum(when(col("accepted"), col("words")).otherwise(lit(0L))).over(w))
       .withColumn("pack_bin", floor((col("cum") - col("words")) / seqLen))
-      .select(col("doc_id"), col("pack_shard"), col("pack_bin"))
-    flagged.join(packed, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_pii"), col("n_spans_cut"),
         col("n_chars_cut"), col("words"),
         round(col("ar"), 4).as("alpha_ratio"),
         col("passed_quality"), col("contaminated"), col("exact_dup"),
         col("near_dup"), col("accepted"),
-        coalesce(col("pack_shard"), lit(-1L)).as("pack_shard"),
-        coalesce(col("pack_bin"), lit(-1L)).as("pack_bin"))
+        when(col("accepted"), col("pack_shard")).otherwise(lit(-1L)).as("pack_shard"),
+        when(col("accepted"), col("pack_bin")).otherwise(lit(-1L)).as("pack_bin"))
       .orderBy("doc_id")
   }
 
