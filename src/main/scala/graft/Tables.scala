@@ -9,8 +9,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pruning identically, so nothing here is local-mode specific.
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Relation memo, keyed per (session, path): `spark.read.parquet`
+    * re-lists the directory and re-reads footers for the schema on
+    * EVERY call — pure driver-side metadata work repeated hundreds of
+    * times across the registry (guide §6: file listing is driver
+    * work; catalog tables cache it via
+    * `filesourcePartitionFileCacheSize`, bare-path reads do not).
+    * The logical plan is immutable and the test dirs are immutable
+    * for the life of the JVM (the rowCount memo's standing
+    * assumption), so reuse is safe. Keyed by session identity too:
+    * a DataFrame is bound to the session that resolved it, and test
+    * suites run several sessions per JVM. Memoizes METADATA only —
+    * every execution still scans the parquet data. */
+  private val relMemo =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = relMemo.synchronized {
+      var m = relMemo.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        relMemo.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$dir/$name.parquet",
+      p => spark.read.parquet(p))
+  }
 
   def lineitem(s: SparkSession, dir: String): DataFrame = apply(s, dir, "lineitem")
   def orders(s: SparkSession, dir: String): DataFrame = apply(s, dir, "orders")
