@@ -24,6 +24,20 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Stability, not speed (guide §1.2 step 3): the r19 8-core
+      // driver leg DIED mid-run — 60 consecutive failed executor
+      // heartbeats (~10 min of co-tenant driver starvation at the
+      // default 10 s interval) made the in-process executor self-exit
+      // and stop the context, losing the whole scaling measurement
+      // (BENCH_r19_c8 rc=1, parsed null). Heartbeats are background
+      // bookkeeping — in local mode executor and driver share a JVM,
+      // so a missed beat never signals a lost node, only a stalled
+      // host window. Widen the tolerance so a multi-minute stall
+      // inflates a timing (which min-of-2 + drift flags already
+      // handle) instead of killing the process.
+      .config("spark.executor.heartbeatInterval", "20s")
+      .config("spark.executor.heartbeat.maxFailures", "240")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // The warm/timed pair below re-persists structurally identical
@@ -171,13 +185,18 @@ object Bench {
       // identical code now self-arbitrates — parts < total here means
       // the warm run's cache was evicted under pressure and the timed
       // runs re-shuffled (host state), not that the plan changed.
-      val cacheState = {
+      // Guarded: on a stopped context (the r19 c8 heartbeat death)
+      // this read threw OUTSIDE any try and turned a partial run into
+      // rc=1 with no metric line at all. With the guard, remaining
+      // queries fail fast into `failed` (never persisted as a
+      // baseline) and the final JSON still reports what happened.
+      val cacheState = try {
         val infos = spark.sparkContext.getRDDStorageInfo
         val parts = infos.map(_.numCachedPartitions).sum
         val total = infos.map(_.numPartitions).sum
         s"n=${CacheRegistry.trackedCount},parts=$parts/$total," +
           s"mem=${infos.map(_.memSize).sum},disk=${infos.map(_.diskSize).sum}"
-      }
+      } catch { case _: Throwable => "unavailable" }
       // blocking: the previous query's block drop must finish here,
       // not during the next query's timed run
       CacheRegistry.releaseAll(blocking = true)

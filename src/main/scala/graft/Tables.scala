@@ -20,12 +20,36 @@ object Tables {
     * assumption), so reuse is safe. Keyed by session identity too:
     * a DataFrame is bound to the session that resolved it, and test
     * suites run several sessions per JVM. Memoizes METADATA only —
-    * every execution still scans the parquet data. */
+    * every execution still scans the parquet data.
+    *
+    * The weak keying alone cannot collect anything: each memoized
+    * DataFrame strongly references its session via queryExecution, so
+    * the value pins the key. Entries are therefore EVICTED explicitly
+    * on access once their session's context is stopped — a stopped
+    * session can never execute its memoized plans, and dropping the
+    * map breaks the value→key pin so both become collectable. */
   private val relMemo =
     new java.util.WeakHashMap[SparkSession,
       java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  /** Resolve `<dir>/<name>.parquet` once per (session, path).
+    *
+    * CONTRACT: the directory must be immutable for the life of the
+    * session — the memo pins the file listing and footer schema at
+    * first resolution, so a rewrite of the same path within a session
+    * would serve a stale file list at scan time. This holds for the
+    * driver-generated test corpora (never rewritten in-place); a
+    * caller over mutable directories must call
+    * `spark.read.parquet(path)` directly (or
+    * `spark.catalog.refreshByPath`) instead. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = relMemo.synchronized {
+      // evict stopped sessions: their plans are unexecutable and the
+      // DataFrame values otherwise pin the weak keys forever
+      val it = relMemo.entrySet().iterator()
+      while (it.hasNext) {
+        if (it.next().getKey.sparkContext.isStopped) it.remove()
+      }
       var m = relMemo.get(spark)
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()

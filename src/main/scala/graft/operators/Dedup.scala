@@ -1134,9 +1134,16 @@ object Dedup {
     // the query's ~19-29 s total at sf0.1; AQE cannot rescue it
     // because the conversion looks at the 28 MB pre-filter map
     // output, not the 0.5 MB df>=2 survivor set). The actual df>=2
-    // set is ∝ duplicated text and bounded by the
-    // SpanBroadcastDocLimit gate — above it, the forced-shuffle
-    // branch takes over (unchanged).
+    // set is ∝ duplicated text; EVERY dir-based entry point
+    // (pipeSpanDedup/KeepFirst, both multibyte twins, pipeSpanIngest,
+    // pipeFullIngest) threads forceGramShuffle =
+    // rowCount > SpanBroadcastDocLimit, so past the limit the
+    // forced-shuffle branch takes over and this broadcast never sees
+    // a corpus whose repeated-gram set could outgrow the 8 GB
+    // broadcast cap. Frame-parameterized core callers (specs) pass
+    // small literal frames. (r20: the gate was previously applied
+    // only by the two pipeSpanDedup* wrappers — an ungated caller at
+    // cluster scale would have force-broadcast regardless of size.)
     val probe = if (forceGramShuffle) pos.join(rep.hint("merge"), "g")
                 else pos.join(broadcast(rep), "g")
     val hits0 = probe.select(col("doc_id"), col("p"))
@@ -1406,7 +1413,8 @@ object Dedup {
     * span cutting is exact on non-ASCII text. */
   def pipeSpanDedupMultibyte(s: SparkSession, dir: String, n: Int = 50): DataFrame =
     spanDedupCore(multibyteDocs(s, dir), n,
-        cacheGrams = Tables.rowCount(s, dir, "documents") <= 20000)
+        cacheGrams = Tables.rowCount(s, dir, "documents") <= 20000,
+        forceGramShuffle = Tables.rowCount(s, dir, "documents") > SpanBroadcastDocLimit)
       .select(col("doc_id"), col("is_ascii"), col("lc_stable"), col("n_spans_cut"),
         col("n_chars_cut"), col("cut_ranges"),
         length(col("clean_text")).cast("long").as("clean_len"),
@@ -1417,7 +1425,8 @@ object Dedup {
     * (`pipe_span_keep_first_multibyte`). */
   def pipeSpanKeepFirstMultibyte(s: SparkSession, dir: String, n: Int = 50): DataFrame =
     spanDedupKeepFirstCore(multibyteDocs(s, dir), n,
-        cacheGrams = Tables.rowCount(s, dir, "documents") <= 20000)
+        cacheGrams = Tables.rowCount(s, dir, "documents") <= 20000,
+        forceGramShuffle = Tables.rowCount(s, dir, "documents") > SpanBroadcastDocLimit)
       .select(col("doc_id"), col("is_ascii"), col("lc_stable"), col("n_spans_cut"),
         col("n_chars_cut"), col("cut_ranges"),
         length(col("clean_text")).cast("long").as("clean_len"),

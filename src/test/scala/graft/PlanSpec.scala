@@ -257,6 +257,32 @@ class PlanSpec extends SparkSpec {
     CacheRegistry.releaseAll()
   }
 
+  test("span-family dir entry points thread the broadcast gate: below the doc limit the probe broadcasts, no forced gram exchange") {
+    // r20: pipeSpanIngest and the multibyte twins previously called the
+    // span cores with the DEFAULT forceGramShuffle=false — an
+    // unconditional broadcast(rep) regardless of corpus size, which
+    // past the 8 GB broadcast cap fails the job outright at cluster
+    // scale. They now thread rowCount > SpanBroadcastDocLimit like
+    // pipeSpanDedup; this pins the below-limit side (gate false at
+    // test scale → broadcast probe, no forced repartition), so an
+    // inverted gate would fail here, and the forced branch itself is
+    // covered by the past-broadcast fallback test above.
+    for ((name, df) <- Seq(
+        "pipe_span_ingest" -> TextAnalysis.pipeSpanIngest(spark, Sf),
+        "pipe_span_dedup_multibyte" ->
+          graft.operators.Dedup.pipeSpanDedupMultibyte(spark, Sf),
+        "pipe_span_keep_first_multibyte" ->
+          graft.operators.Dedup.pipeSpanKeepFirstMultibyte(spark, Sf))) {
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin \\[g#".r.findFirstIn(plan).isDefined,
+        s"$name: probe does not broadcast the repeated-gram set below the doc limit:\n$plan")
+      assert(!plan.contains("REPARTITION_BY_COL"),
+        s"$name: forced gram exchange taken below the doc limit (inverted gate?):\n$plan")
+    }
+    CacheRegistry.releaseAll()
+  }
+
   test("dedup_substring stays in fixed-width codegen aggregation — no object-agg, no unbounded buffer") {
     val df = graft.operators.Dedup.dedupSubstring(spark, Sf)
     df.collect()
