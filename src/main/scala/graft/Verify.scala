@@ -17,6 +17,15 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Same stall tolerance as Bench (see its builder for the full
+      // rationale): in local mode a missed executor heartbeat is a
+      // stalled host window, never a lost node — the r19 driver lost
+      // an entire bench leg to 60 consecutive misses during a ~10-min
+      // co-tenant stall. A killed Verify would zero the round's
+      // correctness artifact the same way.
+      .config("spark.executor.heartbeatInterval", "20s")
+      .config("spark.executor.heartbeat.maxFailures", "240")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
